@@ -1,0 +1,62 @@
+"""pandas->Spark semantics-parity helpers (SURVEY.md §2.10 must-handle list).
+
+Each helper encodes one verified delta between the reference's pandas
+semantics (``/root/reference/Project.py``) and Spark defaults. They are thin
+Column wrappers — no planner work, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Sentinel strings the reference maps to real NULL on ingest (Project.py:37-38).
+NULL_SENTINELS = ("nan", "None", "null")
+
+
+def clean_string(c: Column) -> Column:
+    """SF1+SF2: trim, then sentinel-string -> NULL (Project.py:37-38)."""
+    t = F.trim(c)
+    return F.when(t.isin(*NULL_SENTINELS) | (t == ""), F.lit(None)).otherwise(t)
+
+
+def coerce_double(c: Column) -> Column:
+    """NF1: pandas ``to_numeric(errors="coerce")`` parity (Project.py:41-49).
+
+    ``try_cast`` yields NULL on unparseable input regardless of ANSI mode.
+    """
+    return c.try_cast("double")
+
+
+def coerce_timestamp(c: Column) -> Column:
+    """DF1: pandas ``to_datetime(errors="coerce")`` parity (Project.py:53-55)."""
+    return F.try_to_timestamp(c)
+
+
+def sum0(c: Column) -> Column:
+    """§2.10(a): pandas sum of an all-NULL column is 0.0, Spark's is NULL."""
+    return F.coalesce(F.sum(c), F.lit(0.0))
+
+
+def flag(pred: Column) -> Column:
+    """§2.10(c): pandas ``NaN < 0`` is False; Spark ``NULL < 0`` is NULL.
+
+    Quality flags (Project.py:149-155) must be false, not NULL, on NULL input.
+    """
+    return F.coalesce(pred, F.lit(False))
+
+
+def stringify_null_label(c: Column) -> Column:
+    """§2.10(d): pandas ``astype(str)`` turns NULL labels into the literal
+    string "None", which then participates in groupbys (Project.py:99,124).
+    Reproduced only where the oracle compares that quirk."""
+    return F.coalesce(c.cast("string"), F.lit("None"))
+
+
+def event_date(trans_date: Column, deposit_date: Column) -> Column:
+    """DF2 generalized: per-row coalesce of the two date sources.
+
+    The reference picks at *column* level (trans_date if the column exists,
+    else deposit_date — Project.py:58-64); for schemas carrying both, per-row
+    coalesce is the defensible generalization (SURVEY.md §2.10(f))."""
+    return F.coalesce(trans_date, deposit_date)

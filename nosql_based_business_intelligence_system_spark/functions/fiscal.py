@@ -1,0 +1,184 @@
+"""Fiscal-calendar expression library (the reference's one custom semantic).
+
+Semantics replicated from the reference (``/root/reference/Project.py``):
+
+- A fiscal month (y, m) **ends on the last Friday** of civil month (y, m)
+  (``Project.py:78-80``) and **starts on the last Saturday of the previous
+  civil month** (``Project.py:90-92`` — the literal rule, quirks included).
+- A date d belongs to fiscal month (d.year, d.month) iff
+  ``d <= last_friday(d.year, d.month)``; otherwise it rolls into the *next*
+  month, December rolling into January of the next year (``Project.py:84-88``).
+- ``fin_quarter`` is ``"FY{y} Q{(m-1)//3 + 1}"`` of the **fiscal** month
+  number (``Project.py:94-96``).
+- Labels are zero-padded ``"YYYY-MM"`` strings (``Project.py:114``).
+
+The reference computes this with a per-row Python loop (``Project.py:110-121``,
+its dominant cost). Here the whole calendar is **pure Column expressions** —
+whole-stage-codegen'd, no Python boundary — plus a generated broadcast
+**calendar dimension** variant for the 100 TB path (join beats recomputing the
+expression tree per row when the fact table is huge and the date domain is
+small).
+
+Verified boundary cases (see tests/test_fiscal.py):
+2024-01-26 -> 2024-01 (== last Friday, closes the month),
+2024-01-27 -> 2024-02, 2024-12-28 -> 2025-01 (FY2025 Q1).
+
+Every Spark expression has a DuckDB-SQL twin right here in this module
+(``DD_*`` / ``duckdb_*``) so the oracle SQL can never drift from the engine.
+DuckDB ``dayofweek``: Sun=0..Sat=6; Spark ``dayofweek``: Sun=1..Sat=7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Spark column expressions (DF3-DF9 in SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def last_friday_of_month(d: Column) -> Column:
+    """Last Friday of d's civil month (Project.py:78-80).
+
+    Spark dayofweek: Fri=6 -> offset (dow+1)%7 maps Fri->0, Sat->1, Sun->2,
+    ..., Thu->6 — walk back from month-end to the nearest Friday.
+    """
+    ld = F.last_day(d)
+    return F.date_sub(ld, (F.dayofweek(ld) + F.lit(1)) % 7)
+
+
+def last_saturday_of_month(d: Column) -> Column:
+    """Last Saturday of d's civil month (Project.py:81-82). Sat offset: dow%7."""
+    ld = F.last_day(d)
+    return F.date_sub(ld, F.dayofweek(ld) % 7)
+
+
+def fiscal_anchor(d: Column) -> Column:
+    """First day of the civil month that *names* d's fiscal month.
+
+    Project.py:84-88: d belongs to (d.y, d.m) iff d <= last_friday(month),
+    else the next month (Dec -> next-year Jan via add_months).
+    """
+    m0 = F.trunc(d, "month")
+    return F.when(d <= last_friday_of_month(d), m0).otherwise(F.add_months(m0, 1))
+
+
+def fiscal_columns(d: Column) -> dict[str, Column]:
+    """All six fiscal columns of the reference (Project.py:98-126) from a date."""
+    anchor = fiscal_anchor(d)
+    fin_year = F.year(anchor)
+    fin_month_num = F.month(anchor)
+    return {
+        "fin_month_label": F.date_format(anchor, "yyyy-MM"),
+        "fin_month_start": last_saturday_of_month(F.add_months(anchor, -1)),
+        "fin_month_end": last_friday_of_month(anchor),
+        "fin_year": fin_year,
+        "fin_month_num": fin_month_num,
+        "fin_quarter": F.format_string(
+            "FY%d Q%d",
+            fin_year,
+            (F.floor((fin_month_num - F.lit(1)) / F.lit(3)) + F.lit(1)).cast("int"),
+        ),
+    }
+
+
+def with_fiscal_columns(df: DataFrame, date_col: str = "event_date") -> DataFrame:
+    """Enrich ``df`` with the six fiscal columns (expression variant of DF8).
+
+    NULL dates yield NULL fiscal columns (the reference instead left NaN /
+    stringified "None" labels — see ``cleaning.stringify_null_label`` for the
+    parity wrapper used where the oracle compares that quirk).
+    """
+    cols = fiscal_columns(F.col(date_col))
+    return df.withColumns(cols)
+
+
+# ---------------------------------------------------------------------------
+# Calendar-dimension variant — the 100 TB-scale path
+# ---------------------------------------------------------------------------
+
+
+def fiscal_calendar_dim(
+    spark: SparkSession, start: str = "1990-01-01", end: str = "2035-12-31"
+) -> DataFrame:
+    """One row per civil date with all fiscal columns, built with
+    ``sequence()`` + ``explode`` (a few thousand rows — always broadcastable).
+
+    At 100 TB the fact-side expression tree (6 derived columns, each nesting
+    last_day/dayofweek arithmetic) is recomputed per row; a broadcast hash
+    join against this dim replaces that with one probe, and the dim can also
+    back dynamic partition pruning on date-partitioned facts.
+    """
+    dates = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(start)),
+                F.to_date(F.lit(end)),
+                F.expr("interval 1 day"),
+            )
+        ).alias("cal_date")
+    )
+    return dates.withColumns(fiscal_columns(F.col("cal_date")))
+
+
+def with_fiscal_columns_via_dim(
+    df: DataFrame,
+    spark: SparkSession,
+    date_col: str = "event_date",
+    start: str = "1990-01-01",
+    end: str = "2035-12-31",
+) -> DataFrame:
+    """Same output as :func:`with_fiscal_columns` via broadcast calendar join.
+
+    Left join keeps NULL/out-of-range dates as NULL fiscal columns, matching
+    the expression variant (equivalence is property-tested).
+    """
+    dim = fiscal_calendar_dim(spark, start, end)
+    joined = df.join(
+        F.broadcast(dim), df[date_col] == dim["cal_date"], "left"
+    ).drop("cal_date")
+    return joined
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins (dayofweek: Sun=0..Sat=6)
+# ---------------------------------------------------------------------------
+
+
+def dd_last_friday(d: str) -> str:
+    """DuckDB: last Friday of d's month. Fri=5 -> offset (dow+2)%7."""
+    ld = f"last_day({d})"
+    return f"({ld} - CAST((dayofweek({ld}) + 2) % 7 AS INTEGER))"
+
+
+def dd_last_saturday(d: str) -> str:
+    """DuckDB: last Saturday of d's month. Sat=6 -> offset (dow+1)%7."""
+    ld = f"last_day({d})"
+    return f"({ld} - CAST((dayofweek({ld}) + 1) % 7 AS INTEGER))"
+
+
+def dd_fiscal_anchor(d: str) -> str:
+    m0 = f"CAST(date_trunc('month', {d}) AS DATE)"
+    return (
+        f"(CASE WHEN {d} <= {dd_last_friday(d)} THEN {m0} "
+        f"ELSE CAST({m0} + INTERVAL 1 MONTH AS DATE) END)"
+    )
+
+
+def dd_fiscal_select_list(anchor: str = "fin_anchor") -> str:
+    """Select-list fragment computing the six fiscal columns from a previously
+    computed anchor column (keeps oracle SQL readable; pair with a CTE that
+    computes ``{dd_fiscal_anchor(d)} AS fin_anchor``).
+
+    Types are pinned to match Spark: year/month as INTEGER, labels VARCHAR,
+    bounds DATE.
+    """
+    return (
+        f"strftime({anchor}, '%Y-%m') AS fin_month_label, "
+        f"{dd_last_saturday(f'({anchor} - INTERVAL 1 MONTH)')} AS fin_month_start, "
+        f"{dd_last_friday(anchor)} AS fin_month_end, "
+        f"CAST(year({anchor}) AS INTEGER) AS fin_year, "
+        f"CAST(month({anchor}) AS INTEGER) AS fin_month_num, "
+        f"printf('FY%d Q%d', year({anchor}), (month({anchor}) - 1) // 3 + 1) AS fin_quarter"
+    )

@@ -1,0 +1,292 @@
+"""Reference analytics suite: every aggregate/filter/top-k the reference
+computes (SURVEY.md §2 A1-A7, J1, O1-O2, F1-F4, NF2-NF7, DF3-DF10), phrased
+over the fixture star schema via the enriched-sales plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import fiscal
+from ..functions.cleaning import sum0
+from ..operators.star import DD_SALES_CTE, enriched_sales
+from ..sources.tables import load_table
+
+
+from .base import Query as _q
+
+
+# --- A1+A2 (+J1 fused): revenue & gross margin by fiscal month --------------
+
+
+def sales_by_fiscal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project.py:183-190 — revenue + gross margin + gm_pct per fiscal month.
+
+    The reference computes two grouped sums and inner-joins them (J1); in
+    Spark both sums fuse into ONE hash aggregate (single shuffle) and the
+    ratio is a post-aggregation projection.
+    """
+    return (
+        enriched_sales(spark, sf_dir)
+        .groupBy("fin_month_label")
+        .agg(
+            sum0(F.col("total_line_price")).alias("revenue"),
+            sum0(F.col("gross_margin")).alias("gross_margin"),
+        )
+        .withColumn("gm_pct", F.col("gross_margin") / F.col("revenue"))
+    )
+
+
+SALES_BY_FISCAL_MONTH_SQL = f"""WITH {DD_SALES_CTE}
+SELECT fin_month_label,
+       coalesce(SUM(total_line_price), 0.0) AS revenue,
+       coalesce(SUM(gross_margin), 0.0) AS gross_margin,
+       coalesce(SUM(gross_margin), 0.0) / coalesce(SUM(total_line_price), 0.0) AS gm_pct
+FROM sales GROUP BY fin_month_label"""
+
+
+# --- DF3-DF9: the fiscal calendar itself, verified date-by-date -------------
+
+
+def fiscal_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six fiscal columns for every distinct event date in the fact table.
+
+    Distinct-first keeps the expression tree evaluated once per date, and the
+    oracle verifies the calendar semantics exhaustively over the data's range.
+    """
+    dates = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.to_date("l_shipdate").alias("event_date"))
+        .distinct()
+    )
+    return fiscal.with_fiscal_columns(dates, "event_date")
+
+
+FISCAL_CALENDAR_SQL = f"""WITH dates AS (
+  SELECT DISTINCT CAST(l_shipdate AS DATE) AS event_date FROM lineitem
+), anchored AS (
+  SELECT event_date, {fiscal.dd_fiscal_anchor('event_date')} AS fin_anchor FROM dates
+)
+SELECT event_date, {fiscal.dd_fiscal_select_list('fin_anchor')} FROM anchored"""
+
+
+# --- A3 + O1 + O2 + SF5: top-15 products by revenue -------------------------
+
+
+def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project.py:195-202 — top-15 products by revenue, truncated labels.
+
+    Tiebreak on product_desc makes the top-k deterministic (SURVEY §5.2.2).
+    Spark plans TakeOrderedAndProject — true top-k, no full sort.
+    """
+    return (
+        enriched_sales(spark, sf_dir)
+        .groupBy("product_desc")
+        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("product_desc"))
+        .limit(15)
+        .select(
+            F.concat(F.substring("product_desc", 1, 30), F.lit("...")).alias(
+                "product_label"
+            ),
+            "revenue",
+        )
+    )
+
+
+TOP_PRODUCTS_SQL = f"""WITH {DD_SALES_CTE}
+SELECT substring(product_desc, 1, 30) || '...' AS product_label, revenue
+FROM (
+  SELECT product_desc, coalesce(SUM(total_line_price), 0.0) AS revenue
+  FROM sales GROUP BY product_desc
+  ORDER BY revenue DESC, product_desc ASC LIMIT 15
+)"""
+
+
+# --- A4: revenue & units by fiscal month x region x brand -------------------
+
+
+def sales_by_region_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project.py:211-217 — 3-key grouped sums (month x region x brand)."""
+    return (
+        enriched_sales(spark, sf_dir)
+        .groupBy("fin_month_label", "region_desc", "brand_desc")
+        .agg(
+            sum0(F.col("total_line_price")).alias("revenue"),
+            sum0(F.col("quantity")).alias("units"),
+        )
+    )
+
+
+SALES_BY_REGION_BRAND_SQL = f"""WITH {DD_SALES_CTE}
+SELECT fin_month_label, region_desc, brand_desc,
+       coalesce(SUM(total_line_price), 0.0) AS revenue,
+       coalesce(SUM(quantity), 0.0) AS units
+FROM sales GROUP BY fin_month_label, region_desc, brand_desc"""
+
+
+# --- A5: AR by fiscal month x region (orders-grain stand-in) ----------------
+
+
+def ar_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project.py:220-224 — ar_total per fiscal month x region.
+
+    AR stand-in per FIXTURES.md: o_totalprice at orders grain, region via
+    customer->nation->region broadcast chain; fiscal month of o_orderdate.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_totalprice").alias("total_due"),
+        F.to_date("o_orderdate").alias("event_date"),
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("region_desc")
+    )
+    df = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    df = df.withColumn(
+        "fin_month_label", fiscal.fiscal_columns(F.col("event_date"))["fin_month_label"]
+    )
+    return df.groupBy("fin_month_label", "region_desc").agg(
+        sum0(F.col("total_due")).alias("ar_total")
+    )
+
+
+AR_BY_REGION_SQL = f"""WITH ar AS (
+  SELECT r.r_name AS region_desc, o.o_totalprice AS total_due,
+         {fiscal.dd_fiscal_anchor("CAST(o.o_orderdate AS DATE)")} AS fin_anchor
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT strftime(fin_anchor, '%Y-%m') AS fin_month_label, region_desc,
+       coalesce(SUM(total_due), 0.0) AS ar_total
+FROM ar GROUP BY fin_month_label, region_desc"""
+
+
+# --- A6: grand-total summary scalars ----------------------------------------
+
+
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project.py:275-287,407-418 — the Excel summary sheet scalars.
+
+    Exact countDistinct (matches pandas .nunique), not approx.
+    """
+    return enriched_sales(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.min("event_date").alias("min_date"),
+        F.max("event_date").alias("max_date"),
+        sum0(F.col("total_line_price")).alias("total_revenue"),
+        F.countDistinct("fin_month_label").alias("n_fiscal_months"),
+    )
+
+
+SUMMARY_STATS_SQL = f"""WITH {DD_SALES_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+       MIN(event_date) AS min_date,
+       MAX(event_date) AS max_date,
+       coalesce(SUM(total_line_price), 0.0) AS total_revenue,
+       CAST(COUNT(DISTINCT fin_month_label) AS BIGINT) AS n_fiscal_months
+FROM sales"""
+
+
+# --- A7 + F2: quality-flag counts -------------------------------------------
+
+
+def quality_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project.py:407-410 — count of rows tripping each quality flag."""
+    return enriched_sales(spark, sf_dir).agg(
+        F.sum(F.col("flag_negative_qty").cast("bigint")).alias("n_negative_qty"),
+        F.sum(F.col("flag_negative_price").cast("bigint")).alias("n_negative_price"),
+        F.sum(F.col("flag_zero_price_nonzero_qty").cast("bigint")).alias(
+            "n_zero_price_nonzero_qty"
+        ),
+        F.sum(
+            (
+                F.col("flag_negative_qty")
+                | F.col("flag_negative_price")
+                | F.col("flag_zero_price_nonzero_qty")
+            ).cast("bigint")
+        ).alias("n_any_flag"),
+    )
+
+
+QUALITY_FLAG_COUNTS_SQL = f"""WITH {DD_SALES_CTE}
+SELECT CAST(SUM(CAST(flag_negative_qty AS BIGINT)) AS BIGINT) AS n_negative_qty,
+       CAST(SUM(CAST(flag_negative_price AS BIGINT)) AS BIGINT) AS n_negative_price,
+       CAST(SUM(CAST(flag_zero_price_nonzero_qty AS BIGINT)) AS BIGINT)
+         AS n_zero_price_nonzero_qty,
+       CAST(SUM(CAST(flag_negative_qty OR flag_negative_price
+                     OR flag_zero_price_nonzero_qty AS BIGINT)) AS BIGINT) AS n_any_flag
+FROM sales"""
+
+
+# --- NF2-NF7: per-line derived metrics (row-level verification) -------------
+
+
+def line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asp/cogs/gross_margin/gm_pct verified row-by-row (Project.py:128-144)."""
+    return enriched_sales(spark, sf_dir).select(
+        "doc_number",
+        "line_number",
+        "quantity",
+        "total_line_price",
+        "asp",
+        "cogs",
+        "gross_margin",
+        "gm_pct",
+    )
+
+
+LINE_METRICS_SQL = f"""WITH {DD_SALES_CTE}
+SELECT doc_number, line_number, quantity, total_line_price,
+       asp, cogs, gross_margin, gm_pct
+FROM sales"""
+
+
+# --- F1-F3: filters with real predicates ------------------------------------
+
+
+def high_discount_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range filter pushed to the Parquet scan (F-coverage).
+
+    Authored filter-first so Catalyst pushes both predicates into the scan
+    (PushedFilters on l_discount/l_quantity) before any join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_discount") >= 0.08) & (F.col("l_quantity") < 5))
+        .select(
+            F.col("l_orderkey").alias("doc_number"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("total_line_price"),
+            F.col("l_discount").alias("discount"),
+        )
+    )
+
+
+HIGH_DISCOUNT_LINES_SQL = """SELECT l_orderkey AS doc_number, l_linenumber AS line_number,
+       l_quantity AS quantity, l_extendedprice AS total_line_price,
+       l_discount AS discount
+FROM lineitem WHERE l_discount >= 0.08 AND l_quantity < 5"""
+
+
+QUERIES = {
+    "sales_by_fiscal_month": _q(sales_by_fiscal_month, SALES_BY_FISCAL_MONTH_SQL),
+    "fiscal_calendar": _q(fiscal_calendar, FISCAL_CALENDAR_SQL),
+    "top_products": _q(top_products, TOP_PRODUCTS_SQL),
+    "sales_by_region_brand": _q(sales_by_region_brand, SALES_BY_REGION_BRAND_SQL),
+    "ar_by_region": _q(ar_by_region, AR_BY_REGION_SQL),
+    "summary_stats": _q(summary_stats, SUMMARY_STATS_SQL),
+    "quality_flag_counts": _q(quality_flag_counts, QUALITY_FLAG_COUNTS_SQL),
+    "line_metrics": _q(line_metrics, LINE_METRICS_SQL),
+    "high_discount_lines": _q(high_discount_lines, HIGH_DISCOUNT_LINES_SQL),
+}

@@ -1,0 +1,77 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the same config block is what
+we would ship to a multi-executor cluster (AQE on, skew-join handling,
+broadcast threshold, non-ANSI casts for pandas-parity coerce semantics — see
+SURVEY.md §2.10(b), reference Project.py:41-49).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Config that matters at 100 TB as much as it does locally.
+SCALE_CONF: dict[str, str] = {
+    # Adaptive execution: runtime re-planning, partition coalescing, skew splits.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables (region/nation/customer/supplier/part at fixture scale,
+    # the fiscal-calendar dim always) should broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # pandas `errors="coerce"` parity: cast failures yield NULL, not errors
+    # (Spark 4 defaults ANSI on; the reference's ingest semantics are non-ANSI).
+    "spark.sql.ansi.enabled": "false",
+    # Deterministic date/timestamp semantics against the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any toPandas/pandas_udf boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Readable file splits; at cluster scale this is tuned to executor memory.
+    "spark.sql.files.maxPartitionBytes": "128m",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+def get_spark(
+    app_name: str = "nosql-bi-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real cluster
+    you would size this to ~2-3x total executor cores (AQE coalesces down).
+    """
+    cores = default_parallelism()
+    builder = SparkSession.builder.appName(app_name).master(
+        master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    )
+    conf = dict(SCALE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Settings that must hold even when reusing an existing session.
+    for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone"):
+        spark.conf.set(k, conf[k])
+    return spark
+
+
+def tune_for_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable parity conf to an externally provided session.
+
+    The driver harness owns its own SparkSession; ``entry``/``queries`` call
+    this so oracle-parity semantics (non-ANSI casts, UTC) hold regardless of
+    who built the session.
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,45 @@
+"""Fixture-table loading (TESTDATA.md star schema).
+
+One Parquet file per table. Parquet scans give Catalyst column pruning and
+predicate pushdown for free — queries must still be authored with early
+``select``/``filter`` so those kick in (`.explain` shows ``PushedFilters`` /
+``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Tables small enough to broadcast in fact->dim joins at any scale factor
+#: (region/nation are bounded; customer/supplier/part grow ~linearly with SF
+#: but stay dimension-sized relative to lineitem).
+DIMENSION_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}

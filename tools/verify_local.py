@@ -1,0 +1,123 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given sf_dir on Spark and, where an
+``oracle_sql()`` entry exists, the same SQL on DuckDB over the same Parquet —
+then compares row count, column names, and an order-insensitive value hash
+(floats rounded). Queries without an oracle get a rows-only report.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+FLOAT_SIG = 6  # significant digits kept when hashing floats
+
+
+def _norm_cell(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NaN"
+        if v == 0:
+            return "0"
+        return f"{v:.{FLOAT_SIG}e}"
+    if isinstance(v, bool):
+        return "T" if v else "F"
+    return str(v)
+
+
+def table_digest(rows, colnames) -> tuple[int, str]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x01".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return len(rows), h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
+    only = set(sys.argv[2:])
+
+    from nosql_based_business_intelligence_system_spark.session import get_spark
+    from nosql_based_business_intelligence_system_spark.queries import QUERIES
+
+    spark = get_spark(app_name="verify-local")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, q in QUERIES.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            sn, sh = table_digest([tuple(r) for r in srows], scols)
+        except Exception:
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        if q.oracle is None:
+            print(f"rows  {name}: {sn} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(q.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            on, oh = table_digest(orows, ocols)
+        except Exception:
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        ok = sn == on and sorted(scols) == sorted(ocols) and sh == oh
+        status = "OK   " if ok else "FAIL "
+        print(
+            f"{status} {name}: spark {sn} rows h={sh} | duckdb {on} rows h={oh}"
+            f" [{time.time()-t0:.1f}s]"
+        )
+        if not ok:
+            failures.append(name)
+            if sorted(scols) != sorted(ocols):
+                print(f"      cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+            elif sn == on:
+                # dump a few mismatching lines for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("\x01".join(_norm_cell(r[i]) for i in order_s) for r in (tuple(r) for r in srows))
+                lo = sorted("\x01".join(_norm_cell(r[i]) for i in order_o) for r in orows)
+                diffs = [(a, b) for a, b in zip(ls, lo) if a != b][:3]
+                for a, b in diffs:
+                    print(f"      spark : {a[:200]}")
+                    print(f"      duckdb: {b[:200]}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
