@@ -1,3 +1,422 @@
-"""Placeholder suite (filled in this round)."""
+"""TPC-H-style multi-table workload over the fixture star schema.
 
-QUERIES: dict = {}
+The reference performs its joins implicitly upstream (pre-merged CSV,
+Project.py:9); SURVEY.md §2.5/§7.1(7) makes the star joins a first-class
+capability of this engine. This suite exercises every join shape Spark
+plans: broadcast hash (fact->dim), shuffled fact-fact, left semi (EXISTS),
+left anti (NOT EXISTS), left outer + two-level aggregation, plus range
+filters that push into the Parquet scan and conditional aggregation.
+
+Scale notes per query are in the docstrings; the common pattern is: filter
+first (pushdown), project narrow (pruning), broadcast the dimension side,
+let one shuffle carry the grouped aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .base import Query as _q
+
+
+def _li(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem")
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+# --- Q1-style: pricing summary (wide agg, map-side partial agg) -------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 8-way aggregate after a pushed-down date filter.
+
+    At 100 TB: one shuffle on (returnflag, linestatus) — 6 groups — after
+    map-side partial aggregation; the scan reads 7 columns of 11.
+    """
+    return (
+        _li(spark, sf_dir)
+        .filter(F.to_date("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """SELECT l_returnflag, l_linestatus,
+  SUM(l_quantity) AS sum_qty,
+  SUM(l_extendedprice) AS sum_base_price,
+  SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+  SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+  AVG(l_quantity) AS avg_qty,
+  AVG(l_extendedprice) AS avg_price,
+  AVG(l_discount) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+# --- Q3-style: shipping-priority top-k (fact-fact join + TakeOrdered) -------
+
+
+def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BUILDING-segment orders by discounted revenue.
+
+    customer is broadcast; lineitem ⋈ orders shuffles on orderkey (AQE
+    handles skew); final top-k is TakeOrderedAndProject — no global sort.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _orders(spark, sf_dir)
+        .filter(F.to_date("o_orderdate") < F.lit("1998-01-01"))
+        .select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_date"))
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+    )
+    li = (
+        _li(spark, sf_dir)
+        .filter(F.to_date("l_shipdate") > F.lit("1998-01-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_date")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(F.col("l_orderkey").alias("orderkey"), F.col("o_date").alias("orderdate"), "revenue")
+    )
+
+
+TOP_BUILDING_ORDERS_SQL = """SELECT l_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+GROUP BY l_orderkey, orderdate
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10"""
+
+
+# --- Q5-style: regional revenue through the full star -----------------------
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation within ASIA for one order-year; 5 joins, 4 of them
+    broadcast (customer/nation/region/supplier), one shuffled (li ⋈ orders).
+    The supplier join additionally requires s_nationkey = c_nationkey
+    (local-supplier condition), exercising a two-key join."""
+    region = (
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        _orders(spark, sf_dir)
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.to_date("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return df.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+REGIONAL_REVENUE_SQL = """SELECT n_name AS nation,
+       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name"""
+
+
+# --- Q6-style: forecast revenue (pure pushed-down range scan) ---------------
+
+
+def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate over a 3-predicate range filter — all three predicates
+    reach the Parquet scan (PushedFilters), zero joins, zero shuffles beyond
+    the final single-row reduction."""
+    li = _li(spark, sf_dir)
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("forecast_revenue"))
+    )
+
+
+REVENUE_FORECAST_SQL = """SELECT SUM(l_extendedprice * l_discount) AS forecast_revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24"""
+
+
+# --- Q4-style: order-priority count via left-semi (EXISTS) ------------------
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join: orders having at least one returned line ('R').
+
+    left_semi keeps the probe side unduplicated — no post-join distinct —
+    and the returned-lines side is reduced to the join key before joining.
+    """
+    returned = (
+        _li(spark, sf_dir)
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_orderpriority")
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORDER_PRIORITY_COUNTS_SQL = """SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority"""
+
+
+# --- Anti-join: customers with no open orders -------------------------------
+
+
+def customers_without_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join counted per market segment."""
+    open_orders = (
+        _orders(spark, sf_dir)
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+CUSTOMERS_WITHOUT_OPEN_ORDERS_SQL = """SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+GROUP BY c_mktsegment"""
+
+
+# --- Q13-style: order-count distribution (left outer + two-level agg) -------
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeps order-less customers as count 0; second-level
+    aggregation builds the histogram. Two shuffles by construction."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _orders(spark, sf_dir)
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count"""
+
+
+# --- Q14-style: promo revenue share (conditional aggregation) ---------------
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN inside SUM over a broadcast part join — percentage of
+    revenue from PROMO parts in one ship-year."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = (
+        _li(spark, sf_dir)
+        .filter(
+            (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev)
+        ).alias("promo_revenue_pct")
+    )
+
+
+PROMO_REVENUE_SHARE_SQL = """SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'"""
+
+
+# --- HAVING + distinct-agg: big spenders per segment ------------------------
+
+
+def segment_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order value stats with a HAVING clause and an exact
+    count-distinct of customers (two-phase distinct aggregation)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _orders(spark, sf_dir).select("o_custkey", "o_totalprice")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_value"),
+            F.avg("o_totalprice").alias("avg_value"),
+        )
+        .filter(F.col("n_orders") > 50)
+    )
+
+
+SEGMENT_VALUE_SUMMARY_SQL = """SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       SUM(o_totalprice) AS total_value,
+       AVG(o_totalprice) AS avg_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+HAVING COUNT(*) > 50"""
+
+
+# --- Set ops: union / intersect / except over key sets ----------------------
+
+
+def active_vs_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator coverage (§2.8 extension): customers with open orders
+    UNION/INTERSECT/EXCEPT customers with returned lines, tagged and counted."""
+    orders = _orders(spark, sf_dir)
+    li = _li(spark, sf_dir)
+    open_cust = (
+        orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    )
+    returned_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        open_cust.intersect(returned_cust).select(F.lit("both").alias("cohort"), "o_custkey")
+        .unionAll(open_cust.exceptAll(returned_cust).select(F.lit("open_only").alias("cohort"), "o_custkey"))
+        .unionAll(returned_cust.exceptAll(open_cust).select(F.lit("returned_only").alias("cohort"), "o_custkey"))
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+ACTIVE_VS_RETURNED_SQL = """WITH open_cust AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+), returned_cust AS (
+  SELECT DISTINCT o_custkey FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+), tagged AS (
+  SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM open_cust INTERSECT SELECT * FROM returned_cust)
+  UNION ALL
+  SELECT 'open_only', o_custkey FROM (SELECT * FROM open_cust EXCEPT SELECT * FROM returned_cust)
+  UNION ALL
+  SELECT 'returned_only', o_custkey FROM (SELECT * FROM returned_cust EXCEPT SELECT * FROM open_cust)
+)
+SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers FROM tagged GROUP BY cohort"""
+
+
+QUERIES = {
+    "pricing_summary": _q(pricing_summary, PRICING_SUMMARY_SQL),
+    "top_building_orders": _q(top_building_orders, TOP_BUILDING_ORDERS_SQL),
+    "regional_revenue": _q(regional_revenue, REGIONAL_REVENUE_SQL),
+    "revenue_forecast": _q(revenue_forecast, REVENUE_FORECAST_SQL),
+    "order_priority_counts": _q(order_priority_counts, ORDER_PRIORITY_COUNTS_SQL),
+    "customers_without_open_orders": _q(
+        customers_without_open_orders, CUSTOMERS_WITHOUT_OPEN_ORDERS_SQL
+    ),
+    "customer_order_distribution": _q(
+        customer_order_distribution, CUSTOMER_ORDER_DISTRIBUTION_SQL
+    ),
+    "promo_revenue_share": _q(promo_revenue_share, PROMO_REVENUE_SHARE_SQL),
+    "segment_value_summary": _q(segment_value_summary, SEGMENT_VALUE_SUMMARY_SQL),
+    "active_vs_returned_customers": _q(
+        active_vs_returned_customers, ACTIVE_VS_RETURNED_SQL
+    ),
+}

@@ -1,3 +1,189 @@
-"""Placeholder suite (filled in this round)."""
+"""Window-function suite (SURVEY.md §2.8 north-star extension: the reference
+has no window ops; ranking/running/moving analyses are required engine
+capability for the implied BI workload).
 
-QUERIES: dict = {}
+Window shapes covered: running cumulative over an ordered dimension, lag +
+period-over-period growth, moving average frame, rank-per-partition top-N,
+row_number dedup (latest-row-per-key).
+
+Scale note: a window partitioned by a key shuffles once on that key; the
+unpartitioned monthly windows below operate on *post-aggregation* data
+(~tens-hundreds of rows), so the single-partition window is cheap — never
+window an unaggregated 100 TB fact without a PARTITION BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import sum0
+from ..operators.star import DD_SALES_CTE, enriched_sales
+from .base import Query as _q
+
+
+def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue + MoM growth per fiscal month (runs on the ~80-row
+    aggregate, not the fact table)."""
+    monthly = (
+        enriched_sales(spark, sf_dir)
+        .groupBy("fin_month_label")
+        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+    )
+    w = Window.orderBy("fin_month_label")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "fin_month_label",
+        "revenue",
+        F.sum("revenue").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cumulative_revenue"),
+        prev.alias("prev_revenue"),
+        F.when(prev > 0, (F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
+
+
+MONTHLY_REVENUE_RUNNING_SQL = f"""WITH {DD_SALES_CTE},
+monthly AS (
+  SELECT fin_month_label, coalesce(SUM(total_line_price), 0.0) AS revenue
+  FROM sales GROUP BY fin_month_label
+)
+SELECT fin_month_label, revenue,
+  SUM(revenue) OVER (ORDER BY fin_month_label
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS cumulative_revenue,
+  LAG(revenue) OVER (ORDER BY fin_month_label) AS prev_revenue,
+  CASE WHEN LAG(revenue) OVER (ORDER BY fin_month_label) > 0
+       THEN (revenue - LAG(revenue) OVER (ORDER BY fin_month_label))
+            / LAG(revenue) OVER (ORDER BY fin_month_label) END AS mom_growth
+FROM monthly"""
+
+
+def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-month trailing moving average of fiscal-month revenue."""
+    monthly = (
+        enriched_sales(spark, sf_dir)
+        .groupBy("fin_month_label")
+        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+    )
+    w = Window.orderBy("fin_month_label").rowsBetween(-2, 0)
+    return monthly.select(
+        "fin_month_label", "revenue", F.avg("revenue").over(w).alias("revenue_ma3")
+    )
+
+
+REVENUE_MOVING_AVG_SQL = f"""WITH {DD_SALES_CTE},
+monthly AS (
+  SELECT fin_month_label, coalesce(SUM(total_line_price), 0.0) AS revenue
+  FROM sales GROUP BY fin_month_label
+)
+SELECT fin_month_label, revenue,
+  AVG(revenue) OVER (ORDER BY fin_month_label
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS revenue_ma3
+FROM monthly"""
+
+
+def top_products_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() per region partition; keep top-3 with deterministic tiebreak."""
+    per = (
+        enriched_sales(spark, sf_dir)
+        .groupBy("region_desc", "product_desc")
+        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+    )
+    w = Window.partitionBy("region_desc").orderBy(
+        F.desc("revenue"), F.asc("product_desc")
+    )
+    return (
+        per.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+TOP_PRODUCTS_PER_REGION_SQL = f"""WITH {DD_SALES_CTE},
+per AS (
+  SELECT region_desc, product_desc,
+         coalesce(SUM(total_line_price), 0.0) AS revenue
+  FROM sales GROUP BY region_desc, product_desc
+)
+SELECT * FROM (
+  SELECT region_desc, product_desc, revenue,
+         CAST(RANK() OVER (PARTITION BY region_desc
+                           ORDER BY revenue DESC, product_desc ASC) AS BIGINT) AS rnk
+  FROM per
+) WHERE rnk <= 3"""
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number dedup: each customer's most recent order (the canonical
+    latest-row-per-key pattern; one shuffle on the partition key)."""
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_date"),
+        "o_totalprice",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_date"), F.desc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_date").alias("latest_orderdate"),
+            F.col("o_totalprice").alias("latest_totalprice"),
+        )
+    )
+
+
+LATEST_ORDER_PER_CUSTOMER_SQL = """SELECT o_custkey AS custkey,
+       o_orderkey AS latest_orderkey,
+       CAST(o_orderdate AS DATE) AS latest_orderdate,
+       o_totalprice AS latest_totalprice
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1"""
+
+
+def quarter_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each region's share of total revenue within its fiscal quarter —
+    window aggregate (sum over partition) against grouped data."""
+    per = (
+        enriched_sales(spark, sf_dir)
+        .groupBy("fin_quarter", "region_desc")
+        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+    )
+    w = Window.partitionBy("fin_quarter")
+    return per.select(
+        "fin_quarter",
+        "region_desc",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w)).alias("share_of_quarter"),
+    )
+
+
+QUARTER_REVENUE_SHARE_SQL = f"""WITH {DD_SALES_CTE},
+per AS (
+  SELECT fin_quarter, region_desc,
+         coalesce(SUM(total_line_price), 0.0) AS revenue
+  FROM sales GROUP BY fin_quarter, region_desc
+)
+SELECT fin_quarter, region_desc, revenue,
+       revenue / SUM(revenue) OVER (PARTITION BY fin_quarter) AS share_of_quarter
+FROM per"""
+
+
+QUERIES = {
+    "monthly_revenue_running": _q(monthly_revenue_running, MONTHLY_REVENUE_RUNNING_SQL),
+    "revenue_moving_avg": _q(revenue_moving_avg, REVENUE_MOVING_AVG_SQL),
+    "top_products_per_region": _q(top_products_per_region, TOP_PRODUCTS_PER_REGION_SQL),
+    "latest_order_per_customer": _q(
+        latest_order_per_customer, LATEST_ORDER_PER_CUSTOMER_SQL
+    ),
+    "quarter_revenue_share": _q(quarter_revenue_share, QUARTER_REVENUE_SHARE_SQL),
+}
