@@ -1,0 +1,222 @@
+"""Deduplication operators for training-data pipelines (north-star scope).
+
+Five strategies, cheapest first:
+
+- exact (hash groupBy on content or content-hash)
+- n-gram Jaccard (shingle explode -> shingle-key self-join -> similarity)
+- MinHash + LSH banding (spark.ml MinHashLSH) — the scale path for fuzzy
+  dedup: candidate pairs come from band-bucket joins, not O(n^2)
+- SimHash (64-bit fingerprint; near-dups = small Hamming distance)
+- embedding cosine near-dup (delegates to operators/similarity.py)
+
+Scale stance: every strategy here is shuffle-bounded by the *candidate
+pair* count, never O(n^2) over the corpus. Exact dedup shuffles once on the
+hash; Jaccard/MinHash shuffle on shingle/band keys (skew from ultra-common
+shingles is the known hazard — mitigate by dropping top-frequency shingles,
+`max_docs_per_shingle`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact content value.
+
+    groupBy on the content hash (not the full text) keeps shuffle rows
+    narrow at 100 TB; winners join back to recover full rows.
+    """
+    h = F.md5(F.col(content_col)).alias("__h")
+    winners = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners, [id_col], "left_semi")
+
+
+def exact_dedup_summary(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row: corpus size, unique contents, removable duplicate rows."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(content_col).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(content_col)).alias("n_duplicates"),
+    )
+
+
+def shingle_doc_pairs(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing >=1 n-word shingle.
+
+    Plan: tokenize -> distinct shingles -> explode -> self-join on the
+    shingle (shuffle key = shingle) -> count common per pair -> join sizes.
+    ``max_docs_per_shingle`` drops degenerate ultra-common shingles before
+    the join — the standard skew guard for this operator at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(T.word_shingles(T.tokens(F.col(content_col)), n)).alias("shingle"),
+    )
+    if max_docs_per_shingle is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = (
+            sh.join(freq.filter(F.col("df_") <= max_docs_per_shingle), "shingle")
+            .drop("df_")
+        )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_dupes(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs at/above a Jaccard threshold, deterministic order."""
+    return (
+        shingle_doc_pairs(df, content_col, id_col, n)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_dupes(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hash_tables: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH fuzzy dedup: shingle -> sparse vector -> banded min-hash
+    buckets -> candidate pairs -> Jaccard-distance filter (spark.ml).
+
+    This is the 100 TB fuzzy-dedup path: candidates come from hash-bucket
+    joins (num_hash_tables bands), so cost tracks true-duplicate density
+    rather than corpus size squared. Not SQL-expressible -> rows-only check
+    + self-consistency tests (exact dupes must appear at distance 0).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        T.word_shingles(T.tokens(F.col(content_col)), n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(toks)
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - jaccard_threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            (1 - F.col("jaccard_dist")).alias("est_jaccard"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+def simhash_dupes(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, banded by 16-bit chunks
+    so candidate pairs share at least one exact band (pigeonhole: any pair
+    within Hamming distance 3 shares a band; wider distances are best-effort
+    recall, standard SimHash practice). Not SQL-expressible -> rows-only.
+    """
+    fp = df.select(
+        F.col(id_col).alias("doc"),
+        T.simhash64(T.tokens(F.col(content_col))).alias("fp"),
+    )
+    bands = fp.select(
+        "doc",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        T.hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def dedup_connected_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs to a keep-set: drop the higher id of every pair
+    (single-pass approximation of connected components — adequate when
+    duplicate clusters are small; iterate for full transitive closure)."""
+    drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return all_ids.join(drop, [id_col], "left_anti")

@@ -1,0 +1,198 @@
+"""Similarity search over embedding columns (north-star scope).
+
+- brute-force cosine top-k: broadcast the (small) query set against the
+  corpus; per-query rank via window. Exact; the baseline.
+- LSH-bucketed top-k (BucketedRandomProjectionLSH): the scale path —
+  candidates from hash buckets instead of the full cross product.
+- IVF-style coarse quantization: assign corpus vectors to the nearest of K
+  deterministic centroids, probe only matching cells — a pure-DataFrame
+  approximation of IVF-Flat.
+
+Scale stance: brute force is O(|Q| x |C|) — fine for |Q| small because the
+query side broadcasts and the corpus never shuffles; for corpus-vs-corpus
+similarity use the LSH/IVF paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self-matches).
+
+    Output: query_id, neighbor_id, score, rank (1..k). The query side is
+    broadcast; ranking shuffles only (n_queries x corpus) scored rows
+    pre-filtered to the window partition key — with AQE the skew risk is nil
+    because query_id cardinality = |Q|.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
+    )
+    score = (
+        V.cosine(F.col("qv"), F.col("cv"))
+        if metric == "cosine"
+        else -V.euclidean(F.col("qv"), F.col("cv"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-projection LSH buckets (spark.ml).
+
+    Candidates come from bucket joins across ``num_hash_tables`` tables;
+    exact cosine is computed only on candidates. Recall < 1.0 by design —
+    rows-only verification plus a recall test against brute force.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("craw"),
+        array_to_vector(V.as_double(F.col(vec_col))).alias("features"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qraw"),
+        array_to_vector(V.as_double(F.col(vec_col))).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(c)
+    # Large threshold: LSH buckets do the pruning; distance filter is loose.
+    pairs = model.approxSimilarityJoin(q, c, float("inf"), distCol="l2")
+    scored = (
+        pairs.select(
+            F.col("datasetA.qid").alias("query_id"),
+            F.col("datasetB.cid").alias("neighbor_id"),
+            V.cosine(
+                V.as_double(F.col("datasetA.qraw")),
+                V.as_double(F.col("datasetB.craw")),
+            ).alias("score"),
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = deterministic corpus sample
+    (lowest ids), each vector assigned to its nearest centroid cell.
+
+    Returns (assignments, centroids). At scale the assignment is one
+    broadcast join + argmin over K centroids; repartitioning the output by
+    ``cell`` colocates each cell for probe-time scans.
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            F.col(id_col).alias("cell"), V.as_double(F.col(vec_col)).alias("centroid")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), V.as_double(F.col(vec_col)).alias("v")
+    )
+    scored = c.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "v",
+        "cell",
+        V.euclidean(F.col("v"), F.col("centroid")).alias("dist"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cell"))
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell", "v")
+    )
+    return assignments, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat search: probe the ``n_probe`` nearest cells per query, exact
+    cosine within probed cells only."""
+    assignments, centroids = ivf_assign(corpus, n_cells, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    qcells = q.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "qv",
+        "cell",
+        V.euclidean(F.col("qv"), F.col("centroid")).alias("cdist"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cand = probes.join(assignments, "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        V.cosine(F.col("qv"), F.col("v")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

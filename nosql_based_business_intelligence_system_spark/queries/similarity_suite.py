@@ -1,3 +1,144 @@
-"""Placeholder suite (filled in this round)."""
+"""Similarity-search suite over the ``embeddings`` table (north-star scope).
 
-QUERIES: dict = {}
+Brute-force cosine top-k is oracle-checked (DuckDB list_inner_product over
+DOUBLE[] folds left-to-right like Spark's aggregate, so scores are
+bit-comparable). LSH and IVF variants are approximate -> rows-only, with
+recall-vs-brute-force covered in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..operators import similarity
+from ..sources.tables import load_table
+from .base import Query as _q
+
+N_QUERY_VECS = 5
+TOP_K = 10
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for the first 5 vectors (by id)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.brute_force_topk(emb, queries, k=TOP_K)
+
+
+_Q = V.dd_vec("q.embedding")
+_C = V.dd_vec("c.embedding")
+
+ANN_BRUTEFORCE_TOPK_SQL = f"""SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {V.dd_cosine(_Q, _C)} AS score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {V.dd_cosine(_Q, _C)} DESC, c.vec_id ASC) AS BIGINT) AS rank
+  FROM embeddings q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+) WHERE rank <= {TOP_K}"""
+
+
+def ann_nearest_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-filtered exact 1-NN: nearest same-label neighbor per query —
+    predicate composes with the scoring cross join before ranking."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        V.as_double(F.col("embedding")).alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.as_double(F.col("embedding")).alias("cv"),
+        F.col("label").alias("clabel"),
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("qlabel") == F.col("clabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") == 1)
+        .drop("rank")
+    )
+
+
+ANN_NEAREST_SAME_LABEL_SQL = f"""SELECT query_id, neighbor_id, score FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {V.dd_cosine(_Q, _C)} AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {V.dd_cosine(_Q, _C)} DESC, c.vec_id ASC) AS rank
+  FROM embeddings q
+  CROSS JOIN embeddings c
+  WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+    AND q.label = c.label
+) WHERE rank = 1"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics — vector fold + grouped agg."""
+    emb = _emb(spark, sf_dir)
+    v = V.as_double(F.col("embedding"))
+    return (
+        emb.select("label", V.norm(v).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg("nrm").alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+EMBEDDING_NORM_STATS_SQL = f"""SELECT label,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  AVG(nrm) AS avg_norm, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_inner_product({V.dd_vec('embedding')}, {V.dd_vec('embedding')})) AS nrm
+  FROM embeddings
+) GROUP BY label"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-10 (rows-only; recall tested in pytest)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.lsh_topk(emb, queries, k=TOP_K)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat coarse-quantized top-10 (rows-only; recall tested in pytest)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4)
+
+
+QUERIES = {
+    "ann_bruteforce_topk": _q(ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL),
+    "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),
+    "embedding_norm_stats": _q(embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
+    "ann_lsh_topk": _q(ann_lsh_topk, None),
+    "ann_ivf_topk": _q(ann_ivf_topk, None),
+}

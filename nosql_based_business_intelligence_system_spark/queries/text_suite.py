@@ -1,3 +1,217 @@
-"""Placeholder suite (filled in this round)."""
+"""Text-analysis + deduplication suite over the ``documents`` table
+(north-star scope: language-ID, quality scoring, token counting,
+fingerprinting, exact + fuzzy dedup).
 
-QUERIES: dict = {}
+Oracle-checked where SQL-expressible; MinHash/SimHash register rows-only
+(hash functions aren't portable across engines) with self-consistency
+covered in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup
+from ..sources.tables import load_table
+from .base import Query as _q
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- per-doc text statistics -------------------------------------------------
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.n_tokens(toks).alias("n_tokens"),
+        T.n_distinct_tokens(toks).alias("n_distinct_tokens"),
+        T.avg_token_len(toks).alias("avg_token_len"),
+        T.stopword_ratio(toks).alias("stopword_ratio"),
+        T.type_token_ratio(toks).alias("type_token_ratio"),
+        T.punct_ratio(F.col("text")).alias("punct_ratio"),
+        T.quality_score(toks, F.col("text")).alias("quality_score"),
+    )
+
+
+_TOKS = T.dd_tokens("text")
+_STOP_HITS = f"len(list_filter({_TOKS}, t -> lower(t) IN {T.DD_STOPWORDS}))"
+
+DOC_TEXT_STATS_SQL = f"""SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+  CASE WHEN len({_TOKS}) > 0
+       THEN list_aggregate([length(t) for t in {_TOKS}], 'sum') * 1.0 / len({_TOKS})
+  END AS avg_token_len,
+  CASE WHEN len({_TOKS}) > 0
+       THEN {_STOP_HITS} * 1.0 / len({_TOKS}) END AS stopword_ratio,
+  CASE WHEN len({_TOKS}) > 0
+       THEN len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) END AS type_token_ratio,
+  CASE WHEN length(text) > 0
+       THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+            * 1.0 / length(text) END AS punct_ratio,
+  (CASE WHEN len({_TOKS}) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+  + least(coalesce(len(list_distinct({_TOKS})) * 1.0 / nullif(len({_TOKS}), 0), 0.0) * 2.0, 1.0) * 0.4
+  + (0.2 - least(coalesce((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 * 1.0 / nullif(length(text), 0), 0.0) * 2.0, 1.0) * 0.2)
+    AS quality_score
+FROM documents"""
+
+
+# --- BPE-ish token counting --------------------------------------------------
+
+
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        T.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+    )
+
+
+DOC_TOKEN_COUNTS_SQL = f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents"""
+
+
+# --- language-ID heuristic ---------------------------------------------------
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        T.predicted_lang(toks).alias("predicted_lang"),
+    )
+
+
+DOC_LANG_ID_SQL = f"""SELECT doc_id, lang AS labeled_lang,
+  {T.DD_LANG_CASE} AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+    {T.dd_lang_score(_TOKS, 'en')} AS s_en,
+    {T.dd_lang_score(_TOKS, 'es')} AS s_es,
+    {T.dd_lang_score(_TOKS, 'de')} AS s_de
+  FROM documents
+)"""
+
+
+# --- fingerprinting ----------------------------------------------------------
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-content fingerprint (md5 — portable) per doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.md5_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+DOC_FINGERPRINTS_SQL = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+# --- exact dedup -------------------------------------------------------------
+
+
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_summary(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SUMMARY_SQL = """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique,
+  CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS n_duplicates
+FROM documents"""
+
+
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving doc ids after exact dedup (lowest id per distinct text)."""
+    return dedup.exact_dedup(_docs(spark, sf_dir)).select("doc_id", "source", "lang")
+
+
+DEDUP_EXACT_KEEP_SQL = """SELECT doc_id, source, lang FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))"""
+
+
+# --- n-gram Jaccard near-dup -------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with trigram-shingle Jaccard >= 0.5 (shingle-key join,
+    never O(n^2)); oracle recomputes the identical pipeline in SQL."""
+    return dedup.ngram_jaccard_dupes(
+        _docs(spark, sf_dir), n=3, threshold=0.5
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""WITH sh AS (
+  SELECT doc_id AS doc, unnest({T.dd_shingles(_TOKS, 3)}) AS shingle
+  FROM documents
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON common.doc_a = sa.doc
+JOIN sizes sb ON common.doc_b = sb.doc
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
+
+
+# --- fuzzy dedup (not SQL-portable -> rows-only) -----------------------------
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dupes(
+        _docs(spark, sf_dir), jaccard_threshold=0.5
+    ).select("doc_a", "doc_b", "est_jaccard")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_dupes(_docs(spark, sf_dir), max_hamming=3)
+
+
+# --- JSON prop extraction over events (get_json_object) ---------------------
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg(k).alias("avg_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type"""
+
+
+QUERIES = {
+    "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
+    "doc_token_counts": _q(doc_token_counts, DOC_TOKEN_COUNTS_SQL),
+    "doc_lang_id": _q(doc_lang_id, DOC_LANG_ID_SQL),
+    "doc_fingerprints": _q(doc_fingerprints, DOC_FINGERPRINTS_SQL),
+    "dedup_exact_summary": _q(dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
+    "dedup_exact_keep": _q(dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
+    "dedup_ngram_jaccard": _q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_minhash": _q(dedup_minhash, None),
+    "dedup_simhash": _q(dedup_simhash, None),
+    "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
+}

@@ -30,6 +30,9 @@ SCALE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Readable file splits; at cluster scale this is tuned to executor memory.
     "spark.sql.files.maxPartitionBytes": "128m",
+    # events.parquet carries TIMESTAMP(NANOS); read as long + convert
+    # (sources.tables._normalize_event_ts) instead of failing the scan.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 
@@ -74,4 +77,8 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static conf on some builds; events loader copes via schema check
     return spark

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -36,7 +37,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = _normalize_event_ts(spark, df)
+    return df
+
+
+def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader rejects.
+
+    With ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as a
+    nanosecond epoch LongType; convert to a proper micro-precision timestamp
+    (floor division — matches DuckDB's nanos->micros truncation).
+    """
+    from pyspark.sql.types import LongType
+
+    field = next((f for f in df.schema.fields if f.name == "ts"), None)
+    if field is not None and isinstance(field.dataType, LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))  # integer div: no double-precision loss
+        )
+    return df
 
 
 def load_tables(

@@ -1,0 +1,85 @@
+"""Self-consistency tests for dedup operators (SURVEY.md §5.2.5: LSH ops are
+not SQL-expressible, so they're verified by internal invariants instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from nosql_based_business_intelligence_system_spark.operators import dedup
+
+DOCS = [
+    Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again today"),
+    Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again today"),  # exact dup of 1
+    Row(doc_id=3, text="the quick brown fox jumps over the lazy dog again tomorrow"),  # near dup
+    Row(doc_id=4, text="completely different words about spark and data engines"),
+    Row(doc_id=5, text="another unrelated document mentioning databases and queries"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(_df(spark)).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_exact_dedup_summary_counts(spark):
+    r = dedup.exact_dedup_summary(_df(spark)).collect()[0]
+    assert (r.n_docs, r.n_unique, r.n_duplicates) == (5, 4, 1)
+
+
+def test_ngram_jaccard_finds_exact_and_near(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_dupes(_df(spark), threshold=0.4).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs -> jaccard exactly 1
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_finds_exact_dup_at_distance_zero(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in dedup.minhash_lsh_dupes(_df(spark), jaccard_threshold=0.5).collect()
+    }
+    assert pairs.get((1, 2)) == 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_dupes(_df(spark), max_hamming=16).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert pairs.get((1, 3), 99) <= 16  # near dup within a few bits
+
+
+def test_minhash_recall_vs_exact_jaccard_on_fixture(spark, sf_smoke):
+    """MinHash candidates must recover most true Jaccard>=0.5 pairs."""
+    from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_dupes(docs, threshold=0.5).collect()
+    }
+    if not truth:
+        return  # nothing to recall at this sf
+    est = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_dupes(docs, jaccard_threshold=0.4).collect()
+    }
+    recall = len(truth & est) / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+
+
+def test_dedup_connected_keep_min(spark):
+    df = _df(spark)
+    pairs = dedup.ngram_jaccard_dupes(df, threshold=0.4)
+    kept = dedup.dedup_connected_keep_min(pairs, df.select("doc_id"))
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert ids == [1, 4, 5]  # 2 and 3 drop as higher-id members of pairs
