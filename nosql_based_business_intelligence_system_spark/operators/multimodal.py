@@ -1,0 +1,222 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata, processed with Arrow-batched ``mapInPandas`` (north-star scope).
+
+The Spark-side plumbing — schema contracts, batch iteration, row-expanding
+frame sampling, partition preservation — is real and tested. The actual
+codec work (JPEG decode, audio resample, video frame extraction) requires
+libraries absent from this container, so the default backend is a
+clearly-marked DETERMINISTIC FAKE (seeded by content hash); swap
+``decode_backend`` for a PIL/ffmpeg-backed callable in production. Backends
+that are unavailable raise NotImplementedError at call time, not import
+time.
+
+Scale notes: mapInPandas is a narrow transformation — no shuffle, batches
+stream through Arrow with ``spark.sql.execution.arrow.maxRecordsPerBatch``
+controlling memory. Decode-heavy pipelines should repartition by size (not
+count) first so executor batches are uniform.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media-table schema: payload is opaque bytes; meta is typed.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def _content_seed(payload: bytes) -> int:
+    return int.from_bytes(hashlib.sha256(payload).digest()[:8], "big")
+
+
+def fake_decode_image(payload: bytes) -> dict:
+    """DETERMINISTIC FAKE decode — stands in for a PIL/turbojpeg backend.
+
+    Produces stable pseudo-metadata and a pseudo-feature vector seeded by
+    the content hash, so pipelines and tests behave identically across runs
+    while exercising the exact schema/batch path a real decoder would.
+    """
+    seed = _content_seed(payload)
+    feats = [((seed >> (i * 3)) & 0xFF) / 255.0 for i in range(FEATURE_DIM)]
+    return {
+        "dec_width": 16 + seed % 1024,
+        "dec_height": 16 + (seed >> 10) % 1024,
+        "n_channels": 3,
+        "features": feats,
+    }
+
+
+def real_decode_image(payload: bytes) -> dict:  # pragma: no cover - env-gated
+    """Real decode backend — requires PIL, absent from this container."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL/Pillow; use fake_decode_image or "
+            "install a codec backend"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when the library exists")
+
+
+DECODED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("dec_width", IntegerType()),
+        StructField("dec_height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_images(
+    media: DataFrame,
+    decode_backend: Callable[[bytes], dict] = fake_decode_image,
+) -> DataFrame:
+    """Decode + feature-extract image payloads via Arrow-batched mapInPandas.
+
+    One output row per input image row; narrow (no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_backend(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "dec_width": [d["dec_width"] for d in decoded],
+                    "dec_height": [d["dec_height"] for d in decoded],
+                    "n_channels": [d["n_channels"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ts_ms", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Row-expanding frame sampler: N output rows per video row.
+
+    The FAKE frame payload is a content-hash slice (real backend: ffmpeg
+    keyframe extraction); the row-expansion plumbing — the part Spark owns —
+    is real: mapInPandas yielding more rows than it receives.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_index": [], "frame_ts_ms": [], "frame_payload": [],
+            }
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = min(max_frames, max(int(dur or 0) // every_ms, 1))
+                digest = hashlib.sha256(bytes(payload)).digest()
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    out["frame_payload"].append(digest + i.to_bytes(4, "big"))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_windows", IntegerType()),
+        StructField("mfcc_like", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame, window_ms: int = 25
+) -> DataFrame:
+    """Windowed audio featurization plumbing (FAKE features; real backend:
+    librosa/torchaudio MFCC). Window count derives from real metadata."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "n_windows": [], "mfcc_like": []}
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                seed = _content_seed(bytes(payload))
+                rows["media_id"].append(mid)
+                rows["n_windows"].append(max(int(dur or 0) // window_ms, 1))
+                rows["mfcc_like"].append(
+                    [((seed >> (i * 5)) & 0x3FF) / 1024.0 for i in range(FEATURE_DIM)]
+                )
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+def synth_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic synthetic media corpus (payload = hash bytes of id);
+    cycles image/audio/video. Test fodder in lieu of real binaries."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(f"media-{i}".encode()).digest() * 4
+        rows.append(
+            (
+                i,
+                kind,
+                bytearray(payload),
+                64 if kind == "image" else None,
+                48 if kind == "image" else None,
+                16000 if kind == "audio" else None,
+                (1000 + i * 37) % 8000 if kind != "image" else None,
+                {"image": "jpeg", "audio": "wav", "video": "mp4"}[kind],
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -16,13 +16,27 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import reference_suite, tpch_suite, window_suite, text_suite, similarity_suite
+from . import (
+    reference_suite,
+    similarity_suite,
+    stream_suite,
+    text_suite,
+    tpch_suite,
+    window_suite,
+)
 from .base import Query  # noqa: F401  (re-exported)
 
 
 def _collect() -> dict[str, Query]:
     out: dict[str, Query] = {}
-    for mod in (reference_suite, tpch_suite, window_suite, text_suite, similarity_suite):
+    for mod in (
+        reference_suite,
+        tpch_suite,
+        window_suite,
+        text_suite,
+        similarity_suite,
+        stream_suite,
+    ):
         for name, q in mod.QUERIES.items():
             if name in out:
                 raise ValueError(f"duplicate query name {name!r}")

@@ -1,0 +1,109 @@
+"""Event-time window suite over ``events`` (batch shapes of the streaming
+facet — the same transforms run under readStream; tests/test_streaming.py
+proves batch/stream parity with availableNow triggers).
+
+Oracles: tumbling = date_trunc; sliding = the 2-window unnest expansion;
+session = gap-flag + cumulative-sum session ids (identical semantics to
+Spark's session_window: session end = last event + gap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming import windows as W
+from .base import Query as _q
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.tumbling_counts(_events(spark, sf_dir), "1 hour")
+
+
+EVENTS_TUMBLING_HOURLY_SQL = """SELECT
+  date_trunc('hour', ts) AS window_start,
+  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  SUM(value) AS total_value
+FROM events GROUP BY 1, 2, 3"""
+
+
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 30min; exact distinct users (batch shape —
+    the streaming variant uses approx_count_distinct for bounded state)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+EVENTS_SLIDING_HOURLY_SQL = """WITH expanded AS (
+  SELECT e.*, ws AS window_start
+  FROM events e, unnest([
+    time_bucket(INTERVAL 30 MINUTES, ts),
+    time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES
+  ]) AS t(ws)
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM expanded GROUP BY 1, 2"""
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return W.session_activity(_events(spark, sf_dir), gap="15 minutes")
+
+
+EVENTS_SESSIONIZATION_SQL = """WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 15 MINUTES OR
+              LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, value
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 15 MINUTES AS session_end,
+       user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(value) AS session_value
+FROM sessions GROUP BY user_id, session_id"""
+
+
+def events_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of streaming_dedup: distinct event_ids survive."""
+    deduped = W.streaming_dedup(_events(spark, sf_dir))
+    return deduped.agg(F.count(F.lit(1)).alias("n_unique_events"))
+
+
+EVENTS_DEDUP_COUNT_SQL = (
+    "SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique_events FROM events"
+)
+
+
+QUERIES = {
+    "events_tumbling_hourly": _q(events_tumbling_hourly, EVENTS_TUMBLING_HOURLY_SQL),
+    "events_sliding_hourly": _q(events_sliding_hourly, EVENTS_SLIDING_HOURLY_SQL),
+    "events_sessionization": _q(events_sessionization, EVENTS_SESSIONIZATION_SQL),
+    "events_dedup_count": _q(events_dedup_count, EVENTS_DEDUP_COUNT_SQL),
+}

@@ -1,0 +1,166 @@
+"""Event-time windowed aggregations over the ``events`` stream.
+
+The reference is batch-only (SURVEY.md §2.9); this module is the north-star
+streaming facet. Design rule: every aggregation here is a *reuse* of a batch
+expression under ``groupBy(window(...))`` — batch/stream parity is tested by
+running the same transform through ``readStream`` (availableNow trigger) and
+``read`` and diffing.
+
+Scale notes: watermarks bound state; tumbling/sliding windows shuffle on
+(window, keys); session windows keep per-key state until the gap closes.
+``dropDuplicatesWithinWatermark`` is the streaming exact-dedup analogue of
+operators/dedup.exact_dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Schema events arrive with after ts normalization (sources.tables).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of event parquet/json files.
+
+    The fixture's events.parquet carries TIMESTAMP(NANOS) which the Spark
+    scan rejects; streaming reads therefore expect *normalized* files — use
+    ``materialize_events_dir`` (tests do) or any directory produced by our
+    own sinks.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def materialize_events_dir(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_files: int = 4
+) -> str:
+    """Rewrite fixture events as micro-precision parquet files (streaming
+    source fodder; several files so triggers see multiple batches)."""
+    from ..sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return out_dir
+
+
+# --- windowed aggregations (shared batch/stream shapes) ---------------------
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-type event counts/value sums in tumbling event-time windows."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_size).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_activity(
+    events: DataFrame,
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window distinct-user activity (approx per window via exact
+    count on grouped rows; stream-safe because the grouping carries state)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window_size, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+def session_activity(
+    events: DataFrame,
+    gap: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap-based); session length + event count."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact dedup on event_id within the watermark horizon — the streaming
+    analogue of operators/dedup.exact_dedup with bounded state."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain a stream with availableNow into an in-memory table (tests/demo)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

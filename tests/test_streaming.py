@@ -1,0 +1,56 @@
+"""Batch/stream parity: the same windowed transforms run through readStream
+(availableNow -> memory sink) must equal their batch run on the same data."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+from nosql_based_business_intelligence_system_spark.streaming import windows as W
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke):  # noqa: F811
+    with tempfile.TemporaryDirectory() as d:
+        yield W.materialize_events_dir(spark, sf_smoke, f"{d}/events", n_files=4)
+
+
+def _sorted_rows(df, keys):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: tuple(str(x) for x in t))
+
+
+def test_tumbling_stream_equals_batch(spark, sf_smoke, events_dir):
+    stream = W.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out = W.tumbling_counts(stream, "1 hour")
+    W.run_to_memory_sink(out, "tumbling_test", output_mode="complete")
+    got = spark.table("tumbling_test")
+    expected = W.tumbling_counts(load_table(spark, sf_smoke, "events"), "1 hour")
+    assert _sorted_rows(got, None) == _sorted_rows(expected, None)
+    assert got.count() > 0
+
+
+def test_session_stream_equals_batch(spark, sf_smoke, events_dir):
+    stream = W.read_events_stream(spark, events_dir)
+    out = W.session_activity(stream, gap="15 minutes")
+    W.run_to_memory_sink(out, "session_test", output_mode="complete")
+    got = spark.table("session_test")
+    expected = W.session_activity(load_table(spark, sf_smoke, "events"), gap="15 minutes")
+    assert _sorted_rows(got, None) == _sorted_rows(expected, None)
+
+
+def test_streaming_dedup_bounded(spark, events_dir):
+    stream = W.read_events_stream(spark, events_dir)
+    deduped = W.streaming_dedup(stream, watermark="1 hour")
+    W.run_to_memory_sink(deduped, "dedup_test", output_mode="append")
+    got = spark.table("dedup_test")
+    # every surviving event_id unique
+    assert got.count() == got.select("event_id").distinct().count()
+
+
+def test_sliding_stream_runs(spark, events_dir):
+    stream = W.read_events_stream(spark, events_dir)
+    out = W.sliding_activity(stream)
+    W.run_to_memory_sink(out, "sliding_test", output_mode="complete")
+    assert spark.table("sliding_test").count() > 0
