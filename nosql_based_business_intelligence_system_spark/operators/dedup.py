@@ -159,6 +159,41 @@ def minhash_lsh_dupes(
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc via explode + grouped bit votes.
+
+    The naive formulation (64 array-aggregates per row, functions.text
+    .simhash64) produces a codegen-hostile expression tree; this one
+    explodes distinct tokens (narrow -> one shuffle on the id) and computes
+    the 64 bit votes as plain grouped sums — far cheaper to compile and the
+    shape that scales: shuffle rows = total distinct tokens.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(T.tokens(F.col(content_col)))).alias("t"),
+    )
+    hashed = tok.select("doc", F.xxhash64("t").alias("h"))
+    votes = hashed.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.getbit(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("bigint")
+    for b in range(64):
+        mask = (1 << b) if b < 63 else -(1 << 63)
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{b}") > 0, F.lit(mask).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return votes.select("doc", fp.alias("fp"))
+
+
 def simhash_dupes(
     df: DataFrame,
     content_col: str = "text",
@@ -170,10 +205,7 @@ def simhash_dupes(
     within Hamming distance 3 shares a band; wider distances are best-effort
     recall, standard SimHash practice). Not SQL-expressible -> rows-only.
     """
-    fp = df.select(
-        F.col(id_col).alias("doc"),
-        T.simhash64(T.tokens(F.col(content_col))).alias("fp"),
-    )
+    fp = simhash_fingerprints(df, content_col, id_col)
     bands = fp.select(
         "doc",
         "fp",

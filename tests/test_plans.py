@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the scale discipline is asserted, not
+hoped for. A change that un-pushes a filter, drops a broadcast, or widens a
+scan fails here before it ships."""
+
+from __future__ import annotations
+
+import pytest
+
+from nosql_based_business_intelligence_system_spark.plans import inspect as I
+from nosql_based_business_intelligence_system_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(spark, name):
+    return QUERIES[name].fn(spark, SF)
+
+
+def test_filters_push_to_scan(spark):
+    assert I.has_pushed_filters(_df(spark, "high_discount_lines"), "l_discount", "l_quantity")
+    assert I.has_pushed_filters(_df(spark, "revenue_forecast"), "l_discount", "l_quantity")
+
+
+def test_scan_only_needed_columns(spark):
+    cols = I.scan_schema_columns(_df(spark, "top_products"), "lineitem")
+    assert set(cols) == {"l_orderkey", "l_partkey", "l_extendedprice"}
+    cols = I.scan_schema_columns(_df(spark, "revenue_forecast"), "lineitem")
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_dimension_joins_broadcast(spark):
+    for q in ("sales_by_fiscal_month", "regional_revenue", "top_building_orders"):
+        assert I.has_broadcast_join(_df(spark, q)), q
+
+
+def test_topk_avoids_global_sort(spark):
+    assert I.uses_take_ordered(_df(spark, "top_products"))
+    assert I.uses_take_ordered(_df(spark, "top_building_orders"))
+
+
+def test_scan_queries_shuffle_free(spark):
+    assert I.count_exchanges(_df(spark, "high_discount_lines")) == 0
+    assert I.count_exchanges(_df(spark, "revenue_forecast")) == 0
+
+
+def test_grouped_aggregates_single_shuffle(spark):
+    """A1+A2 fused (the reference's two passes + join, Project.py:183-190)
+    must plan exactly one hash-partition exchange."""
+    assert I.count_exchanges(_df(spark, "sales_by_fiscal_month")) == 1
+    assert I.count_exchanges(_df(spark, "pricing_summary")) == 1
+
+
+def test_fiscal_expressions_have_no_python_boundary(spark):
+    """The fiscal calendar must stay JVM-side (the reference's per-row
+    Python loop, Project.py:110-121, is exactly what we're not doing).
+    AQE hides WholeStageCodegen spans pre-execution, so assert the absence
+    of Python eval operators instead."""
+    for q in ("fiscal_calendar", "sales_by_fiscal_month", "doc_text_stats"):
+        plan = I.explain_str(_df(spark, q), "simple")
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
+        assert "mapInPandas" not in plan.lower(), q
