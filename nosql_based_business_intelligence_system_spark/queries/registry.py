@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     reference_suite,
     similarity_suite,
+    stats_suite,
     stream_suite,
     text_suite,
     tpch_suite,
@@ -36,6 +37,7 @@ def _collect() -> dict[str, Query]:
         text_suite,
         similarity_suite,
         stream_suite,
+        stats_suite,
     ):
         for name, q in mod.QUERIES.items():
             if name in out:

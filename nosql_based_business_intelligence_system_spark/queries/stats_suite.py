@@ -1,0 +1,183 @@
+"""Statistical / OLAP-shape suite: rollup, cube, pivot, exact percentiles,
+correlation/stddev, AR aging bucketization.
+
+The reference consumes pre-bucketed AR aging columns (amt_30_days ...,
+Project.py:379-386); this suite *computes* the bucketization from raw
+order dates — the upstream operator the reference implies but doesn't own.
+Rollup/cube/pivot are the OLAP shapes its Power BI layer (missing .pbix)
+would have issued against the exported collections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.star import DD_SALES_CTE, enriched_sales
+from ..sources.tables import load_table
+from .base import Query as _q
+
+#: Reference date for AR aging (after the last o_orderdate in the fixtures).
+AR_AS_OF = "2001-09-01"
+
+#: Aging bucket edges in days (the reference's 30-day ladder, capped at 240+).
+AGING_BUCKETS = (0, 30, 60, 90, 120, 150, 180, 210, 240)
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, brand): per-brand, per-region subtotals and grand
+    total in one pass — Spark expands grouping sets in a single shuffle."""
+    return (
+        enriched_sales(spark, sf_dir)
+        .rollup("region_desc", "brand_desc")
+        .agg(
+            F.sum("total_line_price").alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = f"""WITH {DD_SALES_CTE}
+SELECT region_desc, brand_desc, SUM(total_line_price) AS revenue,
+       CAST(GROUPING(region_desc) * 2 + GROUPING(brand_desc) AS BIGINT) AS gid
+FROM sales GROUP BY ROLLUP (region_desc, brand_desc)"""
+
+
+def returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (returnflag, linestatus): all 2^2 grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+RETURNFLAG_CUBE_SQL = """SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       SUM(l_quantity) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"""
+
+
+def region_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per region with one column per fiscal-quarter-number
+    (Q1..Q4). Fixed pivot values keep the plan single-pass (no distinct
+    pre-scan) and the schema stable — required at scale and for the oracle.
+    """
+    base = enriched_sales(spark, sf_dir).withColumn(
+        "qnum",
+        (F.floor((F.col("fin_month_num") - F.lit(1)) / F.lit(3)) + F.lit(1)).cast("int"),
+    )
+    return (
+        base.groupBy("region_desc")
+        .pivot("qnum", [1, 2, 3, 4])
+        .agg(F.sum("total_line_price"))
+        .toDF("region_desc", "q1_revenue", "q2_revenue", "q3_revenue", "q4_revenue")
+    )
+
+
+REGION_QUARTER_PIVOT_SQL = f"""WITH {DD_SALES_CTE}
+SELECT region_desc,
+  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 1 THEN total_line_price END) AS q1_revenue,
+  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 2 THEN total_line_price END) AS q2_revenue,
+  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 3 THEN total_line_price END) AS q3_revenue,
+  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 4 THEN total_line_price END) AS q4_revenue
+FROM sales GROUP BY region_desc"""
+
+
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; at 100 TB swap for approx_percentile and a
+    documented tolerance)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        )
+    )
+
+
+ORDER_VALUE_PERCENTILES_SQL = """SELECT c_mktsegment,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.9) AS p90,
+  quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment"""
+
+
+def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics + correlation (qty vs price) per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_extendedprice").alias("price_stddev"),
+        F.var_samp("l_extendedprice").alias("price_var"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+    )
+
+
+LINEITEM_PRICE_STATS_SQL = """SELECT l_returnflag,
+  stddev_samp(l_extendedprice) AS price_stddev,
+  var_samp(l_extendedprice) AS price_var,
+  corr(l_quantity, l_extendedprice) AS qty_price_corr,
+  covar_samp(l_quantity, l_extendedprice) AS qty_price_covar
+FROM lineitem GROUP BY l_returnflag"""
+
+
+def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR aging: open ('O') order amounts bucketed by age at AR_AS_OF into
+    the reference's 30-day ladder (receivables collection, Project.py:379-386
+    — there consumed pre-bucketed, here computed from raw dates)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    age = F.datediff(F.lit(AR_AS_OF).cast("date"), F.to_date("o_orderdate"))
+    edges = AGING_BUCKETS
+    cols = {"total_due": F.sum("o_totalprice").alias("total_due")}
+    aggs = [cols["total_due"]]
+    for i, lo in enumerate(edges):
+        hi = edges[i + 1] if i + 1 < len(edges) else None
+        cond = (age >= lo) & (age < hi) if hi is not None else age >= lo
+        name = "amt_current" if lo == 0 else f"amt_{lo}_days"
+        aggs.append(F.sum(F.when(cond, F.col("o_totalprice")).otherwise(0.0)).alias(name))
+    return (
+        orders.groupBy(F.col("o_custkey").alias("customer_number")).agg(*aggs)
+    )
+
+
+def _dd_aging_cases() -> str:
+    age = f"datediff('day', CAST(o_orderdate AS DATE), DATE '{AR_AS_OF}')"
+    parts = []
+    edges = AGING_BUCKETS
+    for i, lo in enumerate(edges):
+        hi = edges[i + 1] if i + 1 < len(edges) else None
+        cond = f"{age} >= {lo} AND {age} < {hi}" if hi is not None else f"{age} >= {lo}"
+        name = "amt_current" if lo == 0 else f"amt_{lo}_days"
+        parts.append(f"SUM(CASE WHEN {cond} THEN o_totalprice ELSE 0.0 END) AS {name}")
+    return ",\n  ".join(parts)
+
+
+AR_AGING_BUCKETS_SQL = f"""SELECT o_custkey AS customer_number,
+  SUM(o_totalprice) AS total_due,
+  {_dd_aging_cases()}
+FROM orders WHERE o_orderstatus = 'O'
+GROUP BY o_custkey"""
+
+
+QUERIES = {
+    "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
+    "returnflag_cube": _q(returnflag_cube, RETURNFLAG_CUBE_SQL),
+    "region_quarter_pivot": _q(region_quarter_pivot, REGION_QUARTER_PIVOT_SQL),
+    "order_value_percentiles": _q(order_value_percentiles, ORDER_VALUE_PERCENTILES_SQL),
+    "lineitem_price_stats": _q(lineitem_price_stats, LINEITEM_PRICE_STATS_SQL),
+    "ar_aging_buckets": _q(ar_aging_buckets, AR_AGING_BUCKETS_SQL),
+}

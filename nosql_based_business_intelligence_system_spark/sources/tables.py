@@ -64,3 +64,15 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
 ) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in (names or TABLES)}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None
+) -> None:
+    """Register every fixture table as a temp view — the SQL entry point.
+
+    After this, ``spark.sql("SELECT ... FROM lineitem JOIN part ...")`` is a
+    first-class query surface with the same Catalyst plans as the DataFrame
+    API (SQL and DataFrame compile to identical logical plans)."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
