@@ -1,0 +1,80 @@
+"""As-of (temporal) join — an operator the reference implies but Spark
+lacks natively (the reference's payments/receivables collections share
+customer keys across time-stamped rows, Project.py:379-395; any
+"balance as of payment date" query over them is an as-of join).
+
+Implemented as a composition of existing DataFrame ops (SURVEY.md custom-
+operator rule (a)): union the two sides, one window pass per key carrying
+the last-seen right row forward. Exactly ONE shuffle (by key) regardless of
+either side's size — never the naive range cross-join, which explodes as
+|left_per_key| x |right_per_key| and dies at 100 TB. Equivalent to DuckDB's
+``ASOF JOIN`` (backward direction, inclusive), which serves as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    suffix: str = "_matched",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` (backward, inclusive — DuckDB ASOF semantics)
+    or the least ``right_ts >= left_ts`` (forward) within the same ``on``
+    key. Left-outer: unmatched left rows keep NULL right columns.
+
+    Right rows must be unique per (key, ts) for deterministic output —
+    pre-aggregate the right side (e.g. ``max_by``) if they are not.
+
+    Plan shape: tag both sides, union, single window over (key, ts) with
+    the right row carried forward via ``last(ignorenulls)``. Sort puts
+    right rows before left rows at equal ts, making the match inclusive.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    rvals = [c for c in right.columns if c != on]
+    lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
+    rstruct = F.struct(*[F.col(c) for c in rvals]).alias("__r")
+    ltype = left.select(lstruct).schema["__l"].dataType
+    rtype = right.select(rstruct).schema["__r"].dataType
+
+    l2 = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        lstruct,
+        F.lit(None).cast(rtype).alias("__r"),
+    )
+    r2 = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(ltype).alias("__l"),
+        rstruct,
+    )
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(ts_order, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    taken = set(left.columns)
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    for c in rvals:
+        name = c if c not in taken else f"{c}{suffix}"
+        out_cols.append(F.col(f"__m.{c}").alias(name))
+    return matched.select(*out_cols)

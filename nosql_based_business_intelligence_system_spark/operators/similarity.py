@@ -118,6 +118,101 @@ def lsh_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-dup pairs (id_a < id_b, score >= threshold) via
+    all-pairs self-join. O(n^2) by construction — the verification baseline
+    for :func:`embedding_cosine_dupes`; bound the input (e.g. one dedup
+    shard or an id range) before calling at scale.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), V.as_double(F.col(vec_col)).alias("vb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_cosine_dupes(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH.
+
+    Signature = sign bits of ``n_planes`` Gaussian projections (sign-LSH:
+    P[bits agree] = 1 - angle/pi, so high-cosine pairs collide in some
+    band w.h.p.); candidates share at least one of ``bands`` band keys;
+    exact cosine is computed on candidates only. Recall < 1 by design at
+    low thresholds — planted-duplicate recall is pytest-verified.
+
+    The projection is a Pandas UDF on purpose: a (batch x dim) @ (dim x
+    n_planes) matmul per Arrow batch vectorizes ~100x better than a per-
+    element fold expression; the hyperplanes are regenerated per batch from
+    the seed, so the operator stays deterministic and closure-free.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    r = n_planes // bands
+
+    # no type hints: under `from __future__ import annotations` they become
+    # strings pyspark's hint inference can't resolve; SCALAR is the default.
+    def _band_keys(vecs):
+        import numpy as np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        planes = np.random.default_rng(seed).standard_normal((m.shape[1], n_planes))
+        bits = (m @ planes) > 0  # (batch, n_planes)
+        weights = 1 << np.arange(r)
+        keys = [
+            bits[:, b * r : (b + 1) * r] @ weights for b in range(bands)
+        ]  # bands x (batch,)
+        return pd.Series(np.stack(keys, axis=1).tolist())
+
+    band_keys = F.pandas_udf(_band_keys, ArrayType(LongType()))
+
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        V.as_double(F.col(vec_col)).alias("v"),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("score")
+    ).filter(F.col("score") >= threshold)
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_cells: int = 16,

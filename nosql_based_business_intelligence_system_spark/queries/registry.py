@@ -21,6 +21,7 @@ from . import (
     similarity_suite,
     stats_suite,
     stream_suite,
+    temporal_suite,
     text_suite,
     tpch_suite,
     window_suite,
@@ -38,6 +39,7 @@ def _collect() -> dict[str, Query]:
         similarity_suite,
         stream_suite,
         stats_suite,
+        temporal_suite,
     ):
         for name, q in mod.QUERIES.items():
             if name in out:

@@ -135,8 +135,46 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4)
 
 
+#: Exact near-pair query is bounded to this id range so the all-pairs join
+#: stays quadratic-in-a-constant at every sf (the LSH variant is unbounded).
+NEAR_PAIR_ID_BOUND = 1000
+NEAR_PAIR_THRESHOLD = 0.35
+
+
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs over a bounded id range —
+    the oracle-checkable baseline for the LSH near-dup path."""
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < NEAR_PAIR_ID_BOUND)
+    return similarity.cosine_pairs(emb, threshold=NEAR_PAIR_THRESHOLD)
+
+
+_A = V.dd_vec("a.embedding")
+_B = V.dd_vec("b.embedding")
+
+EMBEDDING_NEAR_PAIRS_SQL = f"""SELECT id_a, id_b, score FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {V.dd_cosine(_A, _B)} AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < {NEAR_PAIR_ID_BOUND} AND b.vec_id < {NEAR_PAIR_ID_BOUND}
+) WHERE score >= {NEAR_PAIR_THRESHOLD}"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup pairs over the full table (the
+    100 TB path; candidates from sign-LSH band buckets). The fixture
+    embeddings are near-orthogonal (max pairwise cosine ~0.48), so this
+    legitimately returns zero rows at a dedup threshold — planted-duplicate
+    recall is covered in tests/test_similarity.py. Rows-only check (the
+    band hash isn't SQL-portable)."""
+    return similarity.embedding_cosine_dupes(
+        _emb(spark, sf_dir), threshold=0.9, n_planes=64, bands=4
+    )
+
+
 QUERIES = {
     "ann_bruteforce_topk": _q(ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL),
+    "embedding_near_pairs": _q(embedding_near_pairs, EMBEDDING_NEAR_PAIRS_SQL),
+    "dedup_embedding_cosine": _q(dedup_embedding_cosine, None),
     "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),
     "embedding_norm_stats": _q(embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
     "ann_lsh_topk": _q(ann_lsh_topk, None),

@@ -1,0 +1,63 @@
+"""As-of join semantics: backward/forward, inclusive bounds, left-outer
+NULLs, and plan shape (one shuffle by key, no range cross join)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from nosql_based_business_intelligence_system_spark.operators.asof import asof_join
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+LEFT = [
+    Row(lid=1, k="a", ts=_ts(10)),
+    Row(lid=2, k="a", ts=_ts(20)),
+    Row(lid=3, k="b", ts=_ts(5)),   # before any right row for key b
+    Row(lid=4, k="c", ts=_ts(15)),  # key absent on right side
+]
+RIGHT = [
+    Row(k="a", ts=_ts(10), px=1.0),   # equal ts -> inclusive match for lid=1
+    Row(k="a", ts=_ts(15), px=2.0),
+    Row(k="a", ts=_ts(25), px=3.0),
+    Row(k="b", ts=_ts(8), px=9.0),
+]
+
+
+def _run(spark, direction):
+    out = asof_join(
+        spark.createDataFrame(LEFT),
+        spark.createDataFrame(RIGHT),
+        on="k",
+        direction=direction,
+    )
+    return {r.lid: (r.ts_matched, r.px) for r in out.collect()}
+
+
+def test_backward_inclusive_and_outer(spark):
+    m = _run(spark, "backward")
+    assert m[1] == (_ts(10), 1.0)   # equal ts matches (inclusive)
+    assert m[2] == (_ts(15), 2.0)   # latest at-or-before, not the later row
+    assert m[3] == (None, None)     # no right row at-or-before
+    assert m[4] == (None, None)     # key never on right side
+
+
+def test_forward_direction(spark):
+    m = _run(spark, "forward")
+    assert m[1] == (_ts(10), 1.0)   # inclusive in forward direction too
+    assert m[2] == (_ts(25), 3.0)   # earliest at-or-after
+    assert m[3] == (_ts(8), 9.0)
+    assert m[4] == (None, None)
+
+
+def test_single_shuffle_no_cross_join(spark):
+    out = asof_join(
+        spark.createDataFrame(LEFT), spark.createDataFrame(RIGHT), on="k"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -73,3 +73,49 @@ def test_ivf_assignment_covers_corpus(spark, sf_smoke):
     assert centroids.count() == 8
     # every vector lands in exactly one cell
     assert assignments.select("vec_id").distinct().count() == emb.count()
+
+
+def test_cosine_pairs_exact_on_planted_dups(spark, sf_smoke):
+    """Planted exact duplicates must surface with score ~1.0."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_smoke, "embeddings").filter("vec_id < 50")
+    planted = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = similarity.cosine_pairs(emb.unionByName(planted), threshold=0.99)
+    found = {(r.id_a, r.id_b): r.score for r in pairs.collect()}
+    for i in range(3):
+        assert abs(found[(i, i + 10_000)] - 1.0) < 1e-9
+
+
+def test_embedding_lsh_dupes_find_planted(spark, sf_smoke):
+    """Sign-LSH near-dup path: every planted exact dup must be recalled
+    (identical vectors share every band key by construction)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_smoke, "embeddings").filter("vec_id < 50")
+    planted = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = similarity.embedding_cosine_dupes(
+        emb.unionByName(planted), threshold=0.99, n_planes=64, bands=4
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert {(i, i + 10_000) for i in range(5)} <= found
+
+
+def test_embedding_lsh_no_false_positives_above_threshold(spark, sf_smoke):
+    """Every reported pair's score must actually clear the threshold
+    (LSH prunes candidates; it must never inflate scores)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    pairs = similarity.embedding_cosine_dupes(
+        emb, threshold=0.3, n_planes=16, bands=4
+    ).collect()
+    exact = {
+        (r.id_a, r.id_b): r.score
+        for r in similarity.cosine_pairs(emb, threshold=0.3).collect()
+    }
+    for r in pairs:
+        assert r.score >= 0.3
+        assert abs(exact[(r.id_a, r.id_b)] - r.score) < 1e-9
