@@ -124,22 +124,50 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine near-dup pairs (id_a < id_b, score >= threshold) via
-    all-pairs self-join. O(n^2) by construction — the verification baseline
-    for :func:`embedding_cosine_dupes`; bound the input (e.g. one dedup
-    shard or an id range) before calling at scale.
+    """Exact cosine near-dup pairs (id_a < id_b, score >= threshold) —
+    the verification baseline for :func:`embedding_cosine_dupes`. O(n^2)
+    scoring by construction; bound the input (e.g. one dedup shard or an
+    id range) before calling at scale.
+
+    Shape: the bounded input is materialized driver-side as a numpy matrix
+    and broadcast (it IS the broadcast relation — same thing Spark does
+    for a broadcast join side), then ONE ``mapInPandas`` pass streams the
+    same rows and scores each Arrow batch against the matrix with a numpy
+    matmul. Alternatives measured at (1000 vecs, 64 dims): non-equi self-
+    join with fold-expression cosine 29s (Catalyst inlines the interpreted
+    fold into the nested-loop join condition), join + Arrow pair-dot UDF
+    12s (ships both vectors per PAIR); this matmul path ~1s (ships each
+    vector once per side).
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"), V.as_double(F.col(vec_col)).alias("va")
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"), V.as_double(F.col(vec_col)).alias("vb")
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("score"))
-        .filter(F.col("score") >= threshold)
-    )
+    import numpy as np
+
+    rows = df.select(F.col(id_col), V.as_double(F.col(vec_col))).collect()
+    ids = np.array([r[0] for r in rows], dtype="int64")
+    mat = np.array([r[1] for r in rows], dtype="float64")
+    nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((ids, mat, nrm))
+
+    def gen(batches):
+        import pandas as pd
+
+        bids, bmat, bnrm = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            aid = pdf["id"].to_numpy()
+            an = np.sqrt(np.einsum("ij,ij->i", a, a))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (a @ bmat.T) / np.outer(an, bnrm)
+            ia, ib = np.where((s >= threshold) & (aid[:, None] < bids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": aid[ia], "id_b": bids[ib], "score": s[ia, ib]}
+            )
+
+    return df.select(
+        F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+    ).mapInPandas(gen, "id_a long, id_b long, score double")
 
 
 def embedding_cosine_dupes(

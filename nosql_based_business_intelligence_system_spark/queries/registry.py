@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import (
     reference_suite,
+    setops_suite,
     similarity_suite,
     stats_suite,
     stream_suite,
@@ -40,6 +41,7 @@ def _collect() -> dict[str, Query]:
         stream_suite,
         stats_suite,
         temporal_suite,
+        setops_suite,
     ):
         for name, q in mod.QUERIES.items():
             if name in out:

@@ -1,0 +1,22 @@
+"""Set-op cohorts partition correctly; HLL sketch error stays bounded."""
+
+from __future__ import annotations
+
+from nosql_based_business_intelligence_system_spark.queries.setops_suite import (
+    customer_year_cohorts,
+    distinct_count_sketches,
+)
+
+
+def test_cohorts_partition_the_union(spark, sf_smoke):
+    rows = {r.cohort: r.n_customers for r in customer_year_cohorts(spark, sf_smoke).collect()}
+    assert set(rows) == {"repeat", "churned", "new"}
+    assert all(n >= 0 for n in rows.values())
+    assert rows["repeat"] + rows["churned"] > 0  # 1995 had customers
+
+
+def test_hll_relative_error_within_bound(spark, sf_smoke):
+    # rsd=0.05 is a standard deviation -> allow 3 sigma per group
+    for r in distinct_count_sketches(spark, sf_smoke).collect():
+        assert abs(r.approx_orders - r.exact_orders) <= max(0.15 * r.exact_orders, 2)
+        assert abs(r.approx_parts - r.exact_parts) <= max(0.15 * r.exact_parts, 2)
