@@ -402,8 +402,41 @@ ACTIVE_VS_RETURNED_SQL = """WITH open_cust AS (
 SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_customers FROM tagged GROUP BY cohort"""
 
 
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped correlated scalar subquery: yearly-averaged revenue of
+    lineitems whose quantity is below 20% of their part's mean quantity.
+
+    Written in its *decorrelated* form (per-part pre-aggregate + join) —
+    exactly the plan Catalyst's DecorrelateInnerQuery would produce from
+    the subquery text, but explicit so the per-part aggregate is one
+    shuffle and the probe can broadcast when the part set is filtered.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+  )"""
+
+
 QUERIES = {
     "pricing_summary": _q(pricing_summary, PRICING_SUMMARY_SQL),
+    "small_quantity_revenue": _q(small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
     "top_building_orders": _q(top_building_orders, TOP_BUILDING_ORDERS_SQL),
     "regional_revenue": _q(regional_revenue, REGIONAL_REVENUE_SQL),
     "revenue_forecast": _q(revenue_forecast, REVENUE_FORECAST_SQL),

@@ -54,3 +54,33 @@ def test_sliding_stream_runs(spark, events_dir):
     out = W.sliding_activity(stream)
     W.run_to_memory_sink(out, "sliding_test", output_mode="complete")
     assert spark.table("sliding_test").count() > 0
+
+
+def test_stateful_user_activity_equals_batch(spark, sf_smoke, events_dir):
+    """applyInPandasWithState across micro-batches: the final snapshot per
+    user must equal the batch aggregate over the same data."""
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.streaming import stateful as S
+
+    stream = W.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = S.user_activity_stateful(stream)
+    W.run_to_memory_sink(out, "stateful_test", output_mode="update")
+    # update mode emits one snapshot per user per micro-batch: keep the last
+    got = (
+        spark.table("stateful_test")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("user_id").orderBy(
+                    F.desc("n_events")
+                )
+            ),
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    expected = S.user_activity_batch(load_table(spark, sf_smoke, "events"))
+    # fold order differs between pandas partial sums and one-shot agg
+    norm = lambda df: df.withColumn("total_value", F.round("total_value", 6))
+    assert _sorted_rows(norm(got), None) == _sorted_rows(norm(expected), None)
