@@ -104,6 +104,27 @@ def write_partitioned_fact(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Bucketed (hash-clustered) managed-table layout.
+
+    Two tables bucketed by the same key with the same bucket count join
+    WITHOUT a shuffle (and without even a sort, when ``sortBy`` matches) —
+    the answer for repeated fact-fact joins (lineitem ⋈ orders on orderkey)
+    where re-shuffling 100 TB per query is the dominant cost. Bucketing
+    requires ``saveAsTable`` (the bucket spec lives in the catalog).
+    """
+    w = df.write.format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").saveAsTable(table)
+
+
 def summary_sheet_inputs(enriched: DataFrame) -> dict[str, DataFrame]:
     """S5 reduced to engine work: the small DataFrames the Excel report
     collects (summary scalars, aggregates, quality sample). Presentation
