@@ -65,13 +65,22 @@ def fiscal_anchor(d: Column) -> Column:
 
 
 def fiscal_columns(d: Column) -> dict[str, Column]:
-    """All six fiscal columns of the reference (Project.py:98-126) from a date."""
+    """All fiscal columns from a date: the reference's six (Project.py:98-126)
+    plus ``fin_week_label`` — the latent feature the reference projects into
+    its collections but never computes (Project.py:371,391; the `if c in
+    df.columns` guard silently drops it — SURVEY.md §1.1). Semantics are
+    ours to define: week k of the fiscal month, 7-day blocks counted from
+    ``fin_month_start`` (always >= 1 because a date is never before its
+    fiscal month start under the reference's start rule).
+    """
     anchor = fiscal_anchor(d)
     fin_year = F.year(anchor)
     fin_month_num = F.month(anchor)
+    label = F.date_format(anchor, "yyyy-MM")
+    start = last_saturday_of_month(F.add_months(anchor, -1))
     return {
-        "fin_month_label": F.date_format(anchor, "yyyy-MM"),
-        "fin_month_start": last_saturday_of_month(F.add_months(anchor, -1)),
+        "fin_month_label": label,
+        "fin_month_start": start,
         "fin_month_end": last_friday_of_month(anchor),
         "fin_year": fin_year,
         "fin_month_num": fin_month_num,
@@ -79,6 +88,11 @@ def fiscal_columns(d: Column) -> dict[str, Column]:
             "FY%d Q%d",
             fin_year,
             (F.floor((fin_month_num - F.lit(1)) / F.lit(3)) + F.lit(1)).cast("int"),
+        ),
+        "fin_week_label": F.format_string(
+            "%s-W%d",
+            label,
+            (F.floor(F.datediff(d, start) / F.lit(7)) + F.lit(1)).cast("int"),
         ),
     }
 
@@ -166,19 +180,23 @@ def dd_fiscal_anchor(d: str) -> str:
     )
 
 
-def dd_fiscal_select_list(anchor: str = "fin_anchor") -> str:
-    """Select-list fragment computing the six fiscal columns from a previously
+def dd_fiscal_select_list(anchor: str = "fin_anchor", d: str = "event_date") -> str:
+    """Select-list fragment computing the fiscal columns from a previously
     computed anchor column (keeps oracle SQL readable; pair with a CTE that
-    computes ``{dd_fiscal_anchor(d)} AS fin_anchor``).
+    computes ``{dd_fiscal_anchor(d)} AS fin_anchor``). ``d`` is the raw date
+    column, needed for the week-within-month index.
 
     Types are pinned to match Spark: year/month as INTEGER, labels VARCHAR,
     bounds DATE.
     """
+    start = dd_last_saturday(f"({anchor} - INTERVAL 1 MONTH)")
     return (
         f"strftime({anchor}, '%Y-%m') AS fin_month_label, "
-        f"{dd_last_saturday(f'({anchor} - INTERVAL 1 MONTH)')} AS fin_month_start, "
+        f"{start} AS fin_month_start, "
         f"{dd_last_friday(anchor)} AS fin_month_end, "
         f"CAST(year({anchor}) AS INTEGER) AS fin_year, "
         f"CAST(month({anchor}) AS INTEGER) AS fin_month_num, "
-        f"printf('FY%d Q%d', year({anchor}), (month({anchor}) - 1) // 3 + 1) AS fin_quarter"
+        f"printf('FY%d Q%d', year({anchor}), (month({anchor}) - 1) // 3 + 1) AS fin_quarter, "
+        f"printf('%s-W%d', strftime({anchor}, '%Y-%m'), "
+        f"date_diff('day', {start}, {d}) // 7 + 1) AS fin_week_label"
     )

@@ -279,8 +279,31 @@ HIGH_DISCOUNT_LINES_SQL = """SELECT l_orderkey AS doc_number, l_linenumber AS li
 FROM lineitem WHERE l_discount >= 0.08 AND l_quantity < 5"""
 
 
+def sales_by_fiscal_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue/units per fiscal WEEK — the reference's latent feature
+    realized (fin_week_label is projected into sales_lines/payments at
+    Project.py:371,391 but never computed; week semantics in
+    functions.fiscal.fiscal_columns)."""
+    return (
+        enriched_sales(spark, sf_dir)
+        .groupBy("fin_week_label")
+        .agg(
+            sum0(F.col("total_line_price")).alias("revenue"),
+            sum0(F.col("quantity")).alias("units"),
+        )
+    )
+
+
+SALES_BY_FISCAL_WEEK_SQL = f"""WITH {DD_SALES_CTE}
+SELECT fin_week_label,
+       coalesce(SUM(total_line_price), 0.0) AS revenue,
+       coalesce(SUM(quantity), 0.0) AS units
+FROM sales GROUP BY fin_week_label"""
+
+
 QUERIES = {
     "sales_by_fiscal_month": _q(sales_by_fiscal_month, SALES_BY_FISCAL_MONTH_SQL),
+    "sales_by_fiscal_week": _q(sales_by_fiscal_week, SALES_BY_FISCAL_WEEK_SQL),
     "fiscal_calendar": _q(fiscal_calendar, FISCAL_CALENDAR_SQL),
     "top_products": _q(top_products, TOP_PRODUCTS_SQL),
     "sales_by_region_brand": _q(sales_by_region_brand, SALES_BY_REGION_BRAND_SQL),

@@ -110,3 +110,27 @@ def test_calendar_dim_is_dense_and_unique(spark):
     # every fiscal month in range spans consecutive dates
     n_labels = dim.select("fin_month_label").distinct().count()
     assert n_labels in (12, 13)
+
+
+def test_fin_week_label_properties(spark):
+    """Week index is 1..6 and the label's month prefix equals fin_month_label."""
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.functions import fiscal
+
+    dates = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("2023-01-01")),
+                F.to_date(F.lit("2025-12-31")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    enriched = dates.withColumns(fiscal.fiscal_columns(F.col("d")))
+    bad = enriched.filter(
+        (F.substring("fin_week_label", 1, 7) != F.col("fin_month_label"))
+        | ~F.substring("fin_week_label", 9, 2).cast("int").between(1, 6)
+        | (F.datediff(F.col("d"), F.col("fin_month_start")) < 0)
+    )
+    assert bad.count() == 0
