@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    multimodal_suite,
     reference_suite,
     setops_suite,
     similarity_suite,
@@ -42,6 +43,7 @@ def _collect() -> dict[str, Query]:
         stats_suite,
         temporal_suite,
         setops_suite,
+        multimodal_suite,
     ):
         for name, q in mod.QUERIES.items():
             if name in out:
