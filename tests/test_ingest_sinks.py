@@ -74,9 +74,10 @@ def test_export_collections_jsonl(spark):
         # JSONL round-trip: one object per line, Spark reads its own output
         back = spark.read.json(paths["sales_lines"])
         assert back.count() == 4
-        # fin_week_label is declared but never computed (reference quirk) ->
-        # existence filter drops it, like Project.py:373
-        assert "fin_week_label" not in back.columns
+        # the reference declares fin_week_label but never computes it
+        # (Project.py:371 vs the guard at :373); our engine realizes the
+        # latent feature, so the existence filter now keeps it
+        assert "fin_week_label" in back.columns
         assert "fin_month_label" in back.columns
         # raw JSONL line is a JSON object with nulls, not "NaN" strings
         part = [
