@@ -124,3 +124,17 @@ def ingest_csv(
         .csv(path)
     )
     return clean_frame(normalize_names(df), measure_cols, date_cols)
+
+
+def ingest_jsonl(
+    spark: SparkSession,
+    path: str,
+    measure_cols: Iterable[str] = MEASURE_COLUMNS,
+    date_cols: Iterable[str] = DATE_COLUMNS,
+) -> DataFrame:
+    """Read a JSONL collection back through the same clean pipeline — the
+    round-trip side of the S3/S7 handoff (our sinks' JSONL output and any
+    ``mongoexport``-style dump are line-delimited JSON; Spark's JSON source
+    reads them natively, schema inferred in one pass).
+    """
+    return clean_frame(normalize_names(spark.read.json(path)), measure_cols, date_cols)

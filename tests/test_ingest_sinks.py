@@ -118,3 +118,17 @@ def test_summary_sheet_inputs(spark):
         # excel write degrades gracefully without xlsxwriter
         ok = sinks.write_excel_report(sheets, os.path.join(d, "r.xlsx"))
         assert ok in (True, False)
+
+
+def test_jsonl_roundtrip_through_ingest(spark):
+    """Sink JSONL -> ingest_jsonl: measures return typed, labels survive."""
+    with tempfile.TemporaryDirectory() as d:
+        enriched = _enriched(spark, d)
+        paths = sinks.export_collections(enriched, os.path.join(d, "out"))
+        back = ingest.ingest_jsonl(spark, paths["sales_lines"])
+        assert back.count() == enriched.count()
+        assert dict(back.dtypes)["quantity"] == "double"
+        assert dict(back.dtypes)["total_line_price"] == "double"
+        got = {r.fin_month_label for r in back.select("fin_month_label").collect()}
+        want = {r.fin_month_label for r in enriched.select("fin_month_label").collect()}
+        assert got == want
