@@ -84,3 +84,28 @@ def test_stateful_user_activity_equals_batch(spark, sf_smoke, events_dir):
     # fold order differs between pandas partial sums and one-shot agg
     norm = lambda df: df.withColumn("total_value", F.round("total_value", 6))
     assert _sorted_rows(norm(got), None) == _sorted_rows(norm(expected), None)
+
+
+def test_file_sink_checkpoint_no_duplicates(spark, sf_smoke, events_dir, tmp_path):
+    """File sink + checkpoint: availableNow drains once; a rerun against the
+    same checkpoint must be a no-op (exactly-once bookkeeping)."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            W.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_input = load_table(spark, sf_smoke, "events").count()
+    assert spark.read.parquet(out).count() == n_input
+    run_once()  # same checkpoint, no new files -> nothing re-emitted
+    assert spark.read.parquet(out).count() == n_input
