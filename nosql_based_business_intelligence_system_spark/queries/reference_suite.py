@@ -279,6 +279,90 @@ HIGH_DISCOUNT_LINES_SQL = """SELECT l_orderkey AS doc_number, l_linenumber AS li
 FROM lineitem WHERE l_discount >= 0.08 AND l_quantity < 5"""
 
 
+def sales_by_fiscal_month_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as ``sales_by_fiscal_month`` but enriched via the
+    broadcast fiscal CALENDAR DIMENSION instead of per-row expressions —
+    the 100 TB path (one broadcast probe replaces re-evaluating the
+    calendar expression tree on every fact row). Oracle: identical SQL to
+    the expression variant, which is itself the equivalence proof."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.to_date("l_shipdate").alias("event_date"),
+        F.col("l_extendedprice").alias("total_line_price"),
+    )
+    enriched = fiscal.with_fiscal_columns_via_dim(
+        li, spark, "event_date", start="1992-01-01", end="2002-12-31"
+    )
+    return enriched.groupBy("fin_month_label").agg(
+        sum0(F.col("total_line_price")).alias("revenue")
+    )
+
+
+SALES_BY_FISCAL_MONTH_DIM_SQL = f"""WITH anchored AS (
+  SELECT CAST(l_shipdate AS DATE) AS event_date,
+         l_extendedprice AS total_line_price,
+         {fiscal.dd_fiscal_anchor('CAST(l_shipdate AS DATE)')} AS fin_anchor
+  FROM lineitem
+)
+SELECT strftime(fin_anchor, '%Y-%m') AS fin_month_label,
+       coalesce(SUM(total_line_price), 0.0) AS revenue
+FROM anchored GROUP BY 1"""
+
+
+def monthly_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densified monthly revenue: every fiscal month between the corpus min
+    and max appears, zero-filled when no sales landed in it — the series
+    a BI chart needs (the reference's line chart, Project.py:231-245,
+    silently skips empty months). sequence() generates the month spine;
+    the sparse aggregate left-joins onto it."""
+    monthly = (
+        enriched_sales(spark, sf_dir)
+        .groupBy("fin_month_label")
+        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+    )
+    return gapfill_months(monthly)
+
+
+def gapfill_months(
+    monthly: DataFrame, label_col: str = "fin_month_label", value_col: str = "revenue"
+) -> DataFrame:
+    """Left-join a generated month spine (corpus min..max) onto a sparse
+    per-month aggregate, zero-filling absent months (fill path unit-tested
+    on sparse data in tests/test_setops.py — the fixtures happen dense)."""
+    bounds = monthly.agg(
+        F.min(label_col).alias("lo"), F.max(label_col).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.concat(F.col("lo"), F.lit("-01"))),
+                F.to_date(F.concat(F.col("hi"), F.lit("-01"))),
+                F.expr("interval 1 month"),
+            )
+        ).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias(label_col))
+    return spine.join(monthly, label_col, "left").select(
+        label_col, F.coalesce(value_col, F.lit(0.0)).alias(value_col)
+    )
+
+
+MONTHLY_REVENUE_GAPFILLED_SQL = f"""WITH {DD_SALES_CTE}
+, monthly AS (
+  SELECT fin_month_label, coalesce(SUM(total_line_price), 0.0) AS revenue
+  FROM sales GROUP BY fin_month_label
+), bounds AS (
+  SELECT MIN(fin_month_label) AS lo, MAX(fin_month_label) AS hi FROM monthly
+), spine AS (
+  SELECT strftime(m, '%Y-%m') AS fin_month_label
+  FROM bounds, LATERAL (
+    SELECT unnest(generate_series(
+      CAST(lo || '-01' AS DATE), CAST(hi || '-01' AS DATE), INTERVAL 1 MONTH
+    )) AS m
+  )
+)
+SELECT spine.fin_month_label, coalesce(monthly.revenue, 0.0) AS revenue
+FROM spine LEFT JOIN monthly USING (fin_month_label)"""
+
+
 def sales_by_fiscal_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue/units per fiscal WEEK — the reference's latent feature
     realized (fin_week_label is projected into sales_lines/payments at
@@ -303,6 +387,12 @@ FROM sales GROUP BY fin_week_label"""
 
 QUERIES = {
     "sales_by_fiscal_month": _q(sales_by_fiscal_month, SALES_BY_FISCAL_MONTH_SQL),
+    "sales_by_fiscal_month_dim": _q(
+        sales_by_fiscal_month_dim, SALES_BY_FISCAL_MONTH_DIM_SQL
+    ),
+    "monthly_revenue_gapfilled": _q(
+        monthly_revenue_gapfilled, MONTHLY_REVENUE_GAPFILLED_SQL
+    ),
     "sales_by_fiscal_week": _q(sales_by_fiscal_week, SALES_BY_FISCAL_WEEK_SQL),
     "fiscal_calendar": _q(fiscal_calendar, FISCAL_CALENDAR_SQL),
     "top_products": _q(top_products, TOP_PRODUCTS_SQL),

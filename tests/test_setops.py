@@ -20,3 +20,20 @@ def test_hll_relative_error_within_bound(spark, sf_smoke):
     for r in distinct_count_sketches(spark, sf_smoke).collect():
         assert abs(r.approx_orders - r.exact_orders) <= max(0.15 * r.exact_orders, 2)
         assert abs(r.approx_parts - r.exact_parts) <= max(0.15 * r.exact_parts, 2)
+
+
+def test_gapfill_months_fills_sparse_series(spark):
+    from pyspark.sql import Row
+
+    from nosql_based_business_intelligence_system_spark.queries.reference_suite import (
+        gapfill_months,
+    )
+
+    sparse = spark.createDataFrame(
+        [
+            Row(fin_month_label="2024-01", revenue=10.0),
+            Row(fin_month_label="2024-04", revenue=40.0),
+        ]
+    )
+    out = {r.fin_month_label: r.revenue for r in gapfill_months(sparse).collect()}
+    assert out == {"2024-01": 10.0, "2024-02": 0.0, "2024-03": 0.0, "2024-04": 40.0}
