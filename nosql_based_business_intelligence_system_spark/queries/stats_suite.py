@@ -173,8 +173,43 @@ FROM orders WHERE o_orderstatus = 'O'
 GROUP BY o_custkey"""
 
 
+#: Columns profiled by lineitem_profile (mixed numeric/string/date).
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_suppkey")
+
+
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep: per-column row/non-null/distinct counts in ONE
+    pass (single wide aggregate, then ``stack`` unpivots to one row per
+    column — the quality-screening step upstream of the reference's flag
+    logic, generalized)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"{c}__nn"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__nd"))
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd" for c in PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack_args}) AS (column_name, n_non_null, n_distinct)"
+        ),
+        F.col("__rows").alias("n_rows"),
+    ).select("column_name", "n_rows", "n_non_null", "n_distinct")
+
+
+LINEITEM_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+  CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
 QUERIES = {
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
+    "lineitem_profile": _q(lineitem_profile, LINEITEM_PROFILE_SQL),
     "returnflag_cube": _q(returnflag_cube, RETURNFLAG_CUBE_SQL),
     "region_quarter_pivot": _q(region_quarter_pivot, REGION_QUARTER_PIVOT_SQL),
     "order_value_percentiles": _q(order_value_percentiles, ORDER_VALUE_PERCENTILES_SQL),

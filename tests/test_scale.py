@@ -69,3 +69,37 @@ def test_bucketed_join_is_shuffle_free(spark, sf_smoke):
     finally:
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+
+
+def test_dynamic_partition_pruning_on_fiscal_layout(spark, sf_smoke, tmp_path):
+    """A dim-filtered join against the fiscal-partitioned fact must plan a
+    dynamicpruning subquery on the partition key (DPP) — the mechanism that
+    makes month-scoped queries skip irrelevant partitions at 100 TB."""
+    from nosql_based_business_intelligence_system_spark.functions import fiscal
+    from nosql_based_business_intelligence_system_spark.sources import sinks
+
+    li = load_table(spark, sf_smoke, "lineitem").select(
+        F.to_date("l_shipdate").alias("event_date"),
+        F.col("l_extendedprice").alias("total_line_price"),
+    )
+    fact_dir = str(tmp_path / "fact")
+    sinks.write_partitioned_fact(
+        fiscal.with_fiscal_columns(li, "event_date"), fact_dir,
+        partition_cols=("fin_year",),
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        fiscal.fiscal_calendar_dim(spark, "1995-01-01", "1997-12-31")
+        .select("fin_year", "fin_quarter")
+        .distinct()
+    )
+    dim_filtered = dim.filter(F.col("fin_quarter") == "FY1996 Q2")
+    q = (
+        fact.select("fin_year", "total_line_price")
+        .join(F.broadcast(dim_filtered), "fin_year")
+        .groupBy("fin_year")
+        .agg(F.sum("total_line_price").alias("revenue"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    assert q.count() >= 1
