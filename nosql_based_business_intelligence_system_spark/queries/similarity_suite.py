@@ -121,6 +121,32 @@ FROM (
 ) GROUP BY label"""
 
 
+def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function sweep per label: first/last component means, mean of
+    per-vector max/min (element_at / array_max / array_min — all JVM-side),
+    the column-wise sanity screen for an embedding corpus."""
+    emb = _emb(spark, sf_dir)
+    v = V.as_double(F.col("embedding"))
+    return emb.groupBy("label").agg(
+        F.avg(F.element_at(v, 1)).alias("avg_first"),
+        F.avg(F.element_at(v, -1)).alias("avg_last"),
+        F.avg(F.array_max(v)).alias("avg_max"),
+        F.avg(F.array_min(v)).alias("avg_min"),
+        F.avg(F.size(v)).alias("avg_dim"),
+    )
+
+
+_E = V.dd_vec("embedding")
+
+EMBEDDING_COMPONENT_STATS_SQL = f"""SELECT label,
+  AVG({_E}[1]) AS avg_first,
+  AVG({_E}[len({_E})]) AS avg_last,
+  AVG(list_aggregate({_E}, 'max')) AS avg_max,
+  AVG(list_aggregate({_E}, 'min')) AS avg_min,
+  AVG(len({_E})) AS avg_dim
+FROM embeddings GROUP BY label"""
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH-bucketed top-10 (rows-only; recall tested in pytest)."""
     emb = _emb(spark, sf_dir)
@@ -177,6 +203,9 @@ QUERIES = {
     "dedup_embedding_cosine": _q(dedup_embedding_cosine, None),
     "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),
     "embedding_norm_stats": _q(embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
+    "embedding_component_stats": _q(
+        embedding_component_stats, EMBEDDING_COMPONENT_STATS_SQL
+    ),
     "ann_lsh_topk": _q(ann_lsh_topk, None),
     "ann_ivf_topk": _q(ann_ivf_topk, None),
 }
