@@ -1,0 +1,244 @@
+"""MongoDB aggregation-pipeline translator: the reference's implied query
+surface, compiled to DataFrame plans.
+
+The reference's endgame is three MongoDB collections plus printed
+``mongoimport`` commands (Project.py:367-395,420-423) — the analytical
+queries its dashboard would issue against db ``clearvue_proto`` are Mongo
+aggregation pipelines. This module lets those users run the SAME pipeline
+shape on Spark: a list-of-stage-dicts compiles to DataFrame operators, so
+Catalyst plans it like any native query (pushdown, broadcast, AQE all
+apply — the pipeline is a frontend, not an interpreter).
+
+Supported stages (the analytical core of the language):
+``$match`` (equality, $gt/$gte/$lt/$lte/$ne/$in/$nin, $and/$or/$not,
+$exists), ``$project`` (include/exclude/rename), ``$addFields``/``$set``
+(arithmetic: $add/$subtract/$multiply/$divide, $cond, $ifNull, literals),
+``$group`` (_id scalar/compound/None; $sum/$avg/$min/$max/$count/$first
+/$last/$push/$addToSet), ``$sort``, ``$limit``, ``$skip`` is rejected
+(unstable without order), ``$unwind``, ``$count``.
+
+Unsupported constructs raise ``MongoTranslateError`` eagerly — a silent
+wrong answer is worse than a loud unsupported one.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class MongoTranslateError(ValueError):
+    pass
+
+
+# --- expressions -----------------------------------------------------------
+
+_ARITH = {
+    "$add": lambda args: _fold(args, lambda a, b: a + b),
+    "$subtract": lambda args: _binary(args, lambda a, b: a - b, "$subtract"),
+    "$multiply": lambda args: _fold(args, lambda a, b: a * b),
+    "$divide": lambda args: _binary(args, lambda a, b: a / b, "$divide"),
+}
+
+
+def _fold(args: list, op) -> Column:
+    cols = [expr(a) for a in args]
+    out = cols[0]
+    for c in cols[1:]:
+        out = op(out, c)
+    return out
+
+
+def _binary(args: list, op, name: str) -> Column:
+    if len(args) != 2:
+        raise MongoTranslateError(f"{name} takes exactly 2 args, got {len(args)}")
+    return op(expr(args[0]), expr(args[1]))
+
+
+def expr(e: Any) -> Column:
+    """Compile a Mongo expression ("$field", literal, or operator dict)."""
+    if isinstance(e, str) and e.startswith("$"):
+        return F.col(e[1:])
+    if isinstance(e, dict):
+        if len(e) != 1:
+            raise MongoTranslateError(f"expression must have one operator: {e}")
+        (op, args), = e.items()
+        if op in _ARITH:
+            return _ARITH[op](args)
+        if op == "$cond":
+            if isinstance(args, dict):
+                args = [args["if"], args["then"], args["else"]]
+            return F.when(predicate_expr(args[0]), expr(args[1])).otherwise(
+                expr(args[2])
+            )
+        if op == "$ifNull":
+            return F.coalesce(expr(args[0]), expr(args[1]))
+        if op == "$literal":
+            return F.lit(args)
+        raise MongoTranslateError(f"unsupported expression operator {op!r}")
+    return F.lit(e)
+
+
+def predicate_expr(e: Any) -> Column:
+    """A $cond condition: comparison-operator dict over expressions."""
+    if isinstance(e, dict) and len(e) == 1:
+        (op, args), = e.items()
+        cmps = {
+            "$gt": lambda a, b: a > b, "$gte": lambda a, b: a >= b,
+            "$lt": lambda a, b: a < b, "$lte": lambda a, b: a <= b,
+            "$eq": lambda a, b: a == b, "$ne": lambda a, b: a != b,
+        }
+        if op in cmps:
+            return cmps[op](expr(args[0]), expr(args[1]))
+    raise MongoTranslateError(f"unsupported condition {e!r}")
+
+
+# --- $match ----------------------------------------------------------------
+
+_CMP = {
+    "$gt": lambda c, v: c > F.lit(v),
+    "$gte": lambda c, v: c >= F.lit(v),
+    "$lt": lambda c, v: c < F.lit(v),
+    "$lte": lambda c, v: c <= F.lit(v),
+    "$ne": lambda c, v: c != F.lit(v),
+    "$eq": lambda c, v: c == F.lit(v),
+    "$in": lambda c, v: c.isin(*v),
+    "$nin": lambda c, v: ~c.isin(*v),
+    "$exists": lambda c, v: c.isNotNull() if v else c.isNull(),
+}
+
+
+def match_filter(q: dict) -> Column:
+    """Compile a $match document to one boolean Column (implicit AND)."""
+    parts: list[Column] = []
+    for k, v in q.items():
+        if k == "$and":
+            parts.append(_fold_bool([match_filter(s) for s in v], lambda a, b: a & b))
+        elif k == "$or":
+            parts.append(_fold_bool([match_filter(s) for s in v], lambda a, b: a | b))
+        elif k == "$not":
+            parts.append(~match_filter(v))
+        elif k.startswith("$"):
+            raise MongoTranslateError(f"unsupported $match operator {k!r}")
+        elif isinstance(v, dict):
+            for op, val in v.items():
+                if op not in _CMP:
+                    raise MongoTranslateError(f"unsupported comparator {op!r}")
+                parts.append(_CMP[op](F.col(k), val))
+        else:
+            parts.append(F.col(k) == F.lit(v))
+    if not parts:
+        return F.lit(True)
+    return _fold_bool(parts, lambda a, b: a & b)
+
+
+def _fold_bool(cols: list[Column], op) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = op(out, c)
+    return out
+
+
+# --- $group ----------------------------------------------------------------
+
+_ACCUM = {
+    "$sum": lambda a: F.sum(a) if a is not None else None,
+    "$avg": lambda a: F.avg(a),
+    "$min": lambda a: F.min(a),
+    "$max": lambda a: F.max(a),
+    "$first": lambda a: F.first(a),
+    "$last": lambda a: F.last(a),
+    "$push": lambda a: F.collect_list(a),
+    "$addToSet": lambda a: F.array_sort(F.collect_set(a)),
+    "$count": lambda a: F.count(F.lit(1)),
+}
+
+
+def _accumulator(name: str, spec: Any) -> Column:
+    if not (isinstance(spec, dict) and len(spec) == 1):
+        raise MongoTranslateError(f"accumulator for {name!r} must be one-op dict")
+    (op, arg), = spec.items()
+    if op not in _ACCUM:
+        raise MongoTranslateError(f"unsupported accumulator {op!r}")
+    if op == "$sum" and not isinstance(arg, str) and not isinstance(arg, dict):
+        # {"$sum": 1} -> count
+        return (F.count(F.lit(1)) * F.lit(arg)).alias(name) if arg != 1 else F.count(
+            F.lit(1)
+        ).alias(name)
+    if op == "$count":
+        return F.count(F.lit(1)).alias(name)
+    return _ACCUM[op](expr(arg)).alias(name)
+
+
+def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
+    if "_id" not in spec:
+        raise MongoTranslateError("$group requires _id")
+    gid = spec["_id"]
+    aggs = [_accumulator(k, v) for k, v in spec.items() if k != "_id"]
+    if gid is None:
+        return df.agg(*aggs)
+    if isinstance(gid, str) and gid.startswith("$"):
+        return (
+            df.groupBy(expr(gid).alias("_id")).agg(*aggs)
+        )
+    if isinstance(gid, dict):
+        keys = [expr(v).alias(k) for k, v in gid.items()]
+        return df.groupBy(*keys).agg(*aggs)
+    raise MongoTranslateError(f"unsupported _id {gid!r}")
+
+
+# --- pipeline --------------------------------------------------------------
+
+
+def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
+    """Compile a Mongo aggregation pipeline against ``df`` (one collection).
+
+    Returns a lazy DataFrame — stages become Catalyst operators, so a
+    $match after $project still pushes to the scan, $sort+$limit plans
+    top-k, and a $group on a pre-partitioned key avoids a second shuffle.
+    """
+    for stage in pipeline:
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise MongoTranslateError(f"stage must be a one-key dict: {stage}")
+        (op, spec), = stage.items()
+        if op == "$match":
+            df = df.filter(match_filter(spec))
+        elif op == "$project":
+            includes = [k for k, v in spec.items() if v not in (0, False)]
+            excludes = [k for k, v in spec.items() if v in (0, False)]
+            if includes and excludes:
+                raise MongoTranslateError("$project cannot mix include and exclude")
+            if excludes:
+                df = df.drop(*excludes)
+            else:
+                cols = []
+                for k, v in spec.items():
+                    if v in (1, True):
+                        cols.append(F.col(k))
+                    else:
+                        cols.append(expr(v).alias(k))
+                df = df.select(*cols)
+        elif op in ("$addFields", "$set"):
+            df = df.withColumns({k: expr(v) for k, v in spec.items()})
+        elif op == "$group":
+            df = _apply_group(df, spec)
+        elif op == "$sort":
+            df = df.orderBy(
+                *[
+                    F.col(k).asc() if v == 1 else F.col(k).desc()
+                    for k, v in spec.items()
+                ]
+            )
+        elif op == "$limit":
+            df = df.limit(int(spec))
+        elif op == "$unwind":
+            field = spec["path"] if isinstance(spec, dict) else spec
+            name = field[1:]
+            df = df.withColumn(name, F.explode(F.col(name)))
+        elif op == "$count":
+            df = df.agg(F.count(F.lit(1)).alias(str(spec)))
+        else:
+            raise MongoTranslateError(f"unsupported stage {op!r}")
+    return df

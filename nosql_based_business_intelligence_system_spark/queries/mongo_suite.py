@@ -1,0 +1,53 @@
+"""Queries issued through the Mongo aggregation-pipeline frontend
+(operators/mongo_query.py) — the query language the reference's exported
+collections imply (Project.py:420-423 hands off to MongoDB; this is what
+its dashboard pipelines compile to on Spark). Oracle-checked like any
+native query: the frontend must not change semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.mongo_query import mongo_pipeline
+from ..operators.star import DD_SALES_CTE, enriched_sales
+from .base import Query as _q
+
+REGIONS = ("ASIA", "EUROPE", "AMERICA")
+
+#: The pipeline a Mongo-side analyst would run against the sales_lines
+#: collection — declared as data, compiled by mongo_pipeline.
+REGION_QUARTER_PIPELINE = [
+    {"$match": {"region_desc": {"$in": list(REGIONS)}, "quantity": {"$gt": 10.0}}},
+    {
+        "$group": {
+            "_id": {"region_desc": "$region_desc", "fin_quarter": "$fin_quarter"},
+            "revenue": {"$sum": "$total_line_price"},
+            "units": {"$sum": "$quantity"},
+            "n_lines": {"$sum": 1},
+        }
+    },
+]
+
+
+def mongo_region_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mongo_pipeline(enriched_sales(spark, sf_dir), REGION_QUARTER_PIPELINE)
+
+
+_IN = ", ".join(f"'{r}'" for r in REGIONS)
+
+MONGO_REGION_QUARTER_REVENUE_SQL = f"""WITH {DD_SALES_CTE}
+SELECT region_desc, fin_quarter,
+       SUM(total_line_price) AS revenue,
+       SUM(quantity) AS units,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM sales
+WHERE region_desc IN ({_IN}) AND quantity > 10.0
+GROUP BY region_desc, fin_quarter"""
+
+
+QUERIES = {
+    "mongo_region_quarter_revenue": _q(
+        mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL
+    ),
+}

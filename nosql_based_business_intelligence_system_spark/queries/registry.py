@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    mongo_suite,
     multimodal_suite,
     reference_suite,
     setops_suite,
@@ -44,6 +45,7 @@ def _collect() -> dict[str, Query]:
         temporal_suite,
         setops_suite,
         multimodal_suite,
+        mongo_suite,
     ):
         for name, q in mod.QUERIES.items():
             if name in out:

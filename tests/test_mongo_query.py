@@ -1,0 +1,97 @@
+"""Mongo aggregation-pipeline translator: semantics + plan quality."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+
+from nosql_based_business_intelligence_system_spark.operators.mongo_query import (
+    MongoTranslateError,
+    mongo_pipeline,
+)
+
+DOCS = [
+    Row(region="N", brand="a", qty=2.0, price=10.0, tags=["x", "y"]),
+    Row(region="N", brand="b", qty=1.0, price=30.0, tags=["x"]),
+    Row(region="S", brand="a", qty=5.0, price=20.0, tags=[]),
+    Row(region="S", brand="a", qty=None, price=40.0, tags=["z"]),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS)
+
+
+def test_match_group_sort(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {"$match": {"price": {"$gte": 15.0}}},
+            {"$group": {"_id": "$region", "revenue": {"$sum": "$price"}, "n": {"$sum": 1}}},
+            {"$sort": {"revenue": -1}},
+        ],
+    ).collect()
+    assert [(r._id, r.revenue, r.n) for r in out] == [("S", 60.0, 2), ("N", 30.0, 1)]
+
+
+def test_compound_group_and_arithmetic(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {"$addFields": {"total": {"$multiply": ["$qty", "$price"]}}},
+            {"$group": {"_id": {"region": "$region", "brand": "$brand"},
+                        "t": {"$sum": "$total"}}},
+        ],
+    ).collect()
+    got = {(r.region, r.brand): r.t for r in out}
+    assert got[("N", "a")] == 20.0 and got[("S", "a")] == 100.0
+
+
+def test_match_operators(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [{"$match": {"$or": [{"region": "N"}, {"qty": {"$gt": 4.0}}],
+                     "brand": {"$in": ["a", "b"]}}}],
+    )
+    assert out.count() == 3
+
+
+def test_unwind_and_count(spark):
+    out = mongo_pipeline(
+        _df(spark), [{"$unwind": "$tags"}, {"$count": "n_tags"}]
+    ).collect()
+    assert out[0].n_tags == 4
+
+
+def test_project_rename_and_cond(spark):
+    rows = mongo_pipeline(
+        _df(spark),
+        [
+            {"$project": {
+                "region": 1,
+                "big": {"$cond": [{"$gte": ["$price", 25.0]}, 1, 0]},
+                "qty_filled": {"$ifNull": ["$qty", 0.0]},
+            }},
+        ],
+    ).collect()
+    assert sum(r.big for r in rows) == 2
+    assert sorted(r.qty_filled for r in rows) == [0.0, 1.0, 2.0, 5.0]
+
+
+def test_unsupported_raises(spark):
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(_df(spark), [{"$lookup": {}}])
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(_df(spark), [{"$match": {"price": {"$regex": "x"}}}])
+
+
+def test_sort_limit_plans_topk(spark):
+    from nosql_based_business_intelligence_system_spark.plans.inspect import uses_take_ordered
+
+    out = mongo_pipeline(
+        _df(spark),
+        [{"$sort": {"price": -1}}, {"$limit": 2}],
+    )
+    assert uses_take_ordered(out)
+    assert [r.price for r in out.collect()] == [40.0, 30.0]
