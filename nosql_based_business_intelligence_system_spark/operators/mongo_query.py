@@ -192,6 +192,27 @@ def _apply_group(df: DataFrame, spec: dict) -> DataFrame:
 # --- pipeline --------------------------------------------------------------
 
 
+def mongo_find(
+    df: DataFrame,
+    filter: dict | None = None,
+    projection: dict | None = None,
+    sort: dict | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """``db.collection.find(filter, projection).sort(...).limit(n)`` — the
+    CRUD-side read surface, expressed through the same stage compiler."""
+    pipeline: list[dict] = []
+    if filter:
+        pipeline.append({"$match": filter})
+    if projection:
+        pipeline.append({"$project": projection})
+    if sort:
+        pipeline.append({"$sort": sort})
+    if limit is not None:
+        pipeline.append({"$limit": limit})
+    return mongo_pipeline(df, pipeline)
+
+
 def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     """Compile a Mongo aggregation pipeline against ``df`` (one collection).
 

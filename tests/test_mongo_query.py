@@ -95,3 +95,16 @@ def test_sort_limit_plans_topk(spark):
     )
     assert uses_take_ordered(out)
     assert [r.price for r in out.collect()] == [40.0, 30.0]
+
+
+def test_find_surface(spark):
+    from nosql_based_business_intelligence_system_spark.operators.mongo_query import mongo_find
+
+    rows = mongo_find(
+        _df(spark),
+        filter={"region": "S"},
+        projection={"brand": 1, "price": 1},
+        sort={"price": -1},
+        limit=1,
+    ).collect()
+    assert [tuple(r) for r in rows] == [("a", 40.0)]

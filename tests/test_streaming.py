@@ -109,3 +109,23 @@ def test_file_sink_checkpoint_no_duplicates(spark, sf_smoke, events_dir, tmp_pat
     assert spark.read.parquet(out).count() == n_input
     run_once()  # same checkpoint, no new files -> nothing re-emitted
     assert spark.read.parquet(out).count() == n_input
+
+
+def test_foreach_batch_upsert(spark, events_dir):
+    """foreachBatch: micro-batches merged into a driver-side store keyed by
+    event_id — the upsert-sink pattern (idempotent per key)."""
+    store: dict[int, float] = {}
+
+    def upsert(batch_df, batch_id):
+        for r in batch_df.select("event_id", "value").collect():
+            store[r.event_id] = r.value
+
+    q = (
+        W.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+        .writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    src = spark.read.parquet(events_dir)
+    assert len(store) == src.select("event_id").distinct().count()
