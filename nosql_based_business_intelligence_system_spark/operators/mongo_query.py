@@ -213,53 +213,102 @@ def mongo_find(
     return mongo_pipeline(df, pipeline)
 
 
+def _apply_lookup(df: DataFrame, spec: dict, unwound: bool) -> DataFrame:
+    """$lookup: left outer equi-join against another collection.
+
+    Mongo semantics put the matches in an ARRAY field (``as``); when the
+    pipeline immediately ``$unwind``s that field, the compiler fuses the
+    pair into a plain join — no collect_list/explode round-trip, which is
+    the difference between one shuffle and two at scale.
+    """
+    for k in ("from", "localField", "foreignField", "as"):
+        if k not in spec:
+            raise MongoTranslateError(f"$lookup requires {k!r}")
+    other: DataFrame = spec["from"]
+    if not isinstance(other, DataFrame):
+        raise MongoTranslateError("$lookup 'from' must be a DataFrame collection")
+    local, foreign, out = spec["localField"], spec["foreignField"], spec["as"]
+    rcols = [c for c in other.columns if c != foreign]
+    if unwound:
+        # fused $lookup+$unwind: inner-ness matches Mongo's default unwind
+        # (rows with empty match arrays disappear)
+        right = other.select(
+            F.col(foreign).alias("__fk"),
+            F.struct(*[F.col(c) for c in rcols]).alias(out),
+        )
+        return df.join(right, F.col(local) == F.col("__fk"), "inner").drop("__fk")
+    right = (
+        other.groupBy(F.col(foreign).alias("__fk"))
+        .agg(F.collect_list(F.struct(*[F.col(c) for c in rcols])).alias(out))
+    )
+    joined = df.join(right, F.col(local) == F.col("__fk"), "left").drop("__fk")
+    # Mongo yields [] (not null) when nothing matched
+    return joined.withColumn(
+        out, F.coalesce(F.col(out), F.array().cast(joined.schema[out].dataType))
+    )
+
+
 def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     """Compile a Mongo aggregation pipeline against ``df`` (one collection).
 
     Returns a lazy DataFrame — stages become Catalyst operators, so a
     $match after $project still pushes to the scan, $sort+$limit plans
     top-k, and a $group on a pre-partitioned key avoids a second shuffle.
+    ``$lookup`` immediately followed by ``$unwind`` of the looked-up field
+    is fused into a single join.
     """
-    for stage in pipeline:
+    pipeline = list(pipeline)
+    i = 0
+    while i < len(pipeline):
+        stage = pipeline[i]
         if not (isinstance(stage, dict) and len(stage) == 1):
             raise MongoTranslateError(f"stage must be a one-key dict: {stage}")
         (op, spec), = stage.items()
-        if op == "$match":
-            df = df.filter(match_filter(spec))
-        elif op == "$project":
-            includes = [k for k, v in spec.items() if v not in (0, False)]
-            excludes = [k for k, v in spec.items() if v in (0, False)]
-            if includes and excludes:
-                raise MongoTranslateError("$project cannot mix include and exclude")
-            if excludes:
-                df = df.drop(*excludes)
-            else:
-                cols = []
-                for k, v in spec.items():
-                    if v in (1, True):
-                        cols.append(F.col(k))
-                    else:
-                        cols.append(expr(v).alias(k))
-                df = df.select(*cols)
-        elif op in ("$addFields", "$set"):
-            df = df.withColumns({k: expr(v) for k, v in spec.items()})
-        elif op == "$group":
-            df = _apply_group(df, spec)
-        elif op == "$sort":
-            df = df.orderBy(
-                *[
-                    F.col(k).asc() if v == 1 else F.col(k).desc()
-                    for k, v in spec.items()
-                ]
-            )
-        elif op == "$limit":
-            df = df.limit(int(spec))
-        elif op == "$unwind":
-            field = spec["path"] if isinstance(spec, dict) else spec
-            name = field[1:]
-            df = df.withColumn(name, F.explode(F.col(name)))
-        elif op == "$count":
-            df = df.agg(F.count(F.lit(1)).alias(str(spec)))
-        else:
-            raise MongoTranslateError(f"unsupported stage {op!r}")
+        if op == "$lookup":
+            nxt = pipeline[i + 1] if i + 1 < len(pipeline) else None
+            unwind_field = None
+            if isinstance(nxt, dict) and "$unwind" in nxt:
+                uspec = nxt["$unwind"]
+                unwind_field = uspec["path"] if isinstance(uspec, dict) else uspec
+            fused = unwind_field == f"${spec.get('as')}"
+            df = _apply_lookup(df, spec, unwound=fused)
+            i += 2 if fused else 1
+            continue
+        df = _apply_stage(df, op, spec)
+        i += 1
     return df
+
+
+def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
+    if op == "$match":
+        return df.filter(match_filter(spec))
+    if op == "$project":
+        includes = [k for k, v in spec.items() if v not in (0, False)]
+        excludes = [k for k, v in spec.items() if v in (0, False)]
+        if includes and excludes:
+            raise MongoTranslateError("$project cannot mix include and exclude")
+        if excludes:
+            return df.drop(*excludes)
+        cols = []
+        for k, v in spec.items():
+            if v in (1, True):
+                cols.append(F.col(k))
+            else:
+                cols.append(expr(v).alias(k))
+        return df.select(*cols)
+    if op in ("$addFields", "$set"):
+        return df.withColumns({k: expr(v) for k, v in spec.items()})
+    if op == "$group":
+        return _apply_group(df, spec)
+    if op == "$sort":
+        return df.orderBy(
+            *[F.col(k).asc() if v == 1 else F.col(k).desc() for k, v in spec.items()]
+        )
+    if op == "$limit":
+        return df.limit(int(spec))
+    if op == "$unwind":
+        field = spec["path"] if isinstance(spec, dict) else spec
+        return df.withColumn(field[1:], F.explode(F.col(field[1:])))
+    if op == "$count":
+        return df.agg(F.count(F.lit(1)).alias(str(spec)))
+    raise MongoTranslateError(f"unsupported stage {op!r}")

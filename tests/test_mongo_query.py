@@ -108,3 +108,42 @@ def test_find_surface(spark):
         limit=1,
     ).collect()
     assert [tuple(r) for r in rows] == [("a", 40.0)]
+
+
+ORDERS = [
+    Row(okey=1, cust="c1", total=10.0),
+    Row(okey=2, cust="c1", total=20.0),
+    Row(okey=3, cust="c9", total=5.0),   # no matching customer
+]
+CUSTS = [
+    Row(cid="c1", segment="RETAIL"),
+    Row(cid="c2", segment="WHOLESALE"),
+]
+
+
+def test_lookup_array_semantics(spark):
+    out = mongo_pipeline(
+        spark.createDataFrame(ORDERS),
+        [{"$lookup": {"from": spark.createDataFrame(CUSTS),
+                      "localField": "cust", "foreignField": "cid", "as": "c"}}],
+    ).collect()
+    by_key = {r.okey: r.c for r in out}
+    assert by_key[1][0].segment == "RETAIL"
+    assert by_key[3] == []  # empty array, not null (Mongo semantics)
+
+
+def test_lookup_unwind_fuses_to_plain_join(spark):
+    df = mongo_pipeline(
+        spark.createDataFrame(ORDERS),
+        [
+            {"$lookup": {"from": spark.createDataFrame(CUSTS),
+                         "localField": "cust", "foreignField": "cid", "as": "c"}},
+            {"$unwind": "$c"},
+            {"$group": {"_id": {"segment": "$c.segment"},
+                        "revenue": {"$sum": "$total"}}},
+        ],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan  # fused: no array round-trip
+    rows = {r.segment: r.revenue for r in df.collect()}
+    assert rows == {"RETAIL": 30.0}  # unmatched order drops (Mongo unwind)
