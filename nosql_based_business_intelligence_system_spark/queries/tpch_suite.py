@@ -434,9 +434,53 @@ WHERE p.p_brand = 'Brand#1'
   )"""
 
 
+def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped disjunctive multi-column predicate: three OR'd brand x
+    size x quantity bands evaluated in one scan+join pass. Catalyst
+    extracts the common l_partkey join key and pushes the per-column
+    bounds (quantity, size) toward the scans — the disjunction never
+    forces three separate passes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return j.filter(band).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+DISJUNCTIVE_PROMO_REVENUE_SQL = """SELECT
+  SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)"""
+
+
 QUERIES = {
     "pricing_summary": _q(pricing_summary, PRICING_SUMMARY_SQL),
     "small_quantity_revenue": _q(small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
+    "disjunctive_promo_revenue": _q(
+        disjunctive_promo_revenue, DISJUNCTIVE_PROMO_REVENUE_SQL
+    ),
     "top_building_orders": _q(top_building_orders, TOP_BUILDING_ORDERS_SQL),
     "regional_revenue": _q(regional_revenue, REGIONAL_REVENUE_SQL),
     "revenue_forecast": _q(revenue_forecast, REVENUE_FORECAST_SQL),

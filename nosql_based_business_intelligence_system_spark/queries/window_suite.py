@@ -178,8 +178,42 @@ SELECT fin_quarter, region_desc, revenue,
 FROM per"""
 
 
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) over per-customer lifetime spend: decile boundaries +
+    totals (the window shuffles once on the post-aggregation rows)."""
+    from ..sources.tables import load_table
+
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend").alias("decile_spend"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+    )
+
+
+CUSTOMER_VALUE_DECILES_SQL = """SELECT decile,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  SUM(spend) AS decile_spend, MIN(spend) AS min_spend, MAX(spend) AS max_spend
+FROM (
+  SELECT o_custkey, spend,
+         CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS BIGINT) AS decile
+  FROM (SELECT o_custkey, SUM(o_totalprice) AS spend FROM orders GROUP BY o_custkey)
+) GROUP BY decile"""
+
+
 QUERIES = {
     "monthly_revenue_running": _q(monthly_revenue_running, MONTHLY_REVENUE_RUNNING_SQL),
+    "customer_value_deciles": _q(customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL),
     "revenue_moving_avg": _q(revenue_moving_avg, REVENUE_MOVING_AVG_SQL),
     "top_products_per_region": _q(top_products_per_region, TOP_PRODUCTS_PER_REGION_SQL),
     "latest_order_per_customer": _q(
