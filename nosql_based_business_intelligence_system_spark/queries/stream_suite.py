@@ -101,7 +101,52 @@ EVENTS_DEDUP_COUNT_SQL = (
 )
 
 
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over raw events: users whose first signup
+    precedes their first click precedes their first purchase. One grouped
+    pass builds per-user first-touch timestamps; the funnel is then three
+    conditional counts — no self-joins, no per-step scans."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") >= F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") >= F.col("t_click"))
+    cnt = lambda c: F.sum(c.cast("int")).cast("bigint")
+    return per_user.agg(
+        cnt(signed).alias("n_signup"),
+        cnt(clicked).alias("n_signup_then_click"),
+        cnt(purchased).alias("n_full_funnel"),
+    )
+
+
+CONVERSION_FUNNEL_SQL = """WITH per_user AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_click,
+  CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click >= t_signup
+                AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM per_user"""
+
+
 QUERIES = {
+    "conversion_funnel": _q(conversion_funnel, CONVERSION_FUNNEL_SQL),
     "events_tumbling_hourly": _q(events_tumbling_hourly, EVENTS_TUMBLING_HOURLY_SQL),
     "events_sliding_hourly": _q(events_sliding_hourly, EVENTS_SLIDING_HOURLY_SQL),
     "events_sessionization": _q(events_sessionization, EVENTS_SESSIONIZATION_SQL),

@@ -200,8 +200,59 @@ EVENTS_JSON_PROPS_SQL = """SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
+#: TF-IDF query is bounded to this many docs so the per-term fanout stays
+#: constant per sf; df/idf are computed within the same subset.
+TFIDF_DOC_BOUND = 50
+TFIDF_TOP_K = 3
+
+
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (keyword extraction): explode ->
+    per-(doc,term) tf -> per-term df -> idf join -> rank window. All
+    aggregations key-partitioned; the idf side is tiny and broadcasts."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < TFIDF_DOC_BOUND)
+    tok = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf", F.col("tf") * F.log(F.lit(float(TFIDF_DOC_BOUND)) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+DOC_TOP_TERMS_SQL = f"""WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents WHERE doc_id < {TFIDF_DOC_BOUND}
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         tf.tf * ln({float(TFIDF_DOC_BOUND)} / dfreq.df) AS tfidf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * ln({float(TFIDF_DOC_BOUND)} / dfreq.df) DESC, tf.term ASC
+         ) AS BIGINT) AS rank
+  FROM tf JOIN dfreq ON tf.term = dfreq.term
+) WHERE rank <= {TFIDF_TOP_K}"""
+
+
 QUERIES = {
     "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
+    "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
     "doc_token_counts": _q(doc_token_counts, DOC_TOKEN_COUNTS_SQL),
     "doc_lang_id": _q(doc_lang_id, DOC_LANG_ID_SQL),
     "doc_fingerprints": _q(doc_fingerprints, DOC_FINGERPRINTS_SQL),
