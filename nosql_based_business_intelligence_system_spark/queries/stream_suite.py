@@ -145,8 +145,46 @@ SELECT
 FROM per_user"""
 
 
+def payments_by_fiscal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payments collection's flagship rollup (FIXTURES.md maps
+    events.value/ts to tot_payment/deposit_date): payment totals per
+    FISCAL month — the fiscal calendar applied to a second date domain."""
+    from ..functions import fiscal
+    from ..functions.cleaning import sum0
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("deposit_date"), F.col("value").alias("tot_payment")
+    )
+    enriched = fiscal.with_fiscal_columns(ev, "deposit_date")
+    return enriched.groupBy("fin_month_label").agg(
+        sum0(F.col("tot_payment")).alias("total_payments"),
+        F.count(F.lit(1)).alias("n_payments"),
+    )
+
+
+PAYMENTS_BY_FISCAL_MONTH_SQL = f"""WITH anchored AS (
+  SELECT CAST(ts AS DATE) AS deposit_date, value AS tot_payment,
+         {{anchor}} AS fin_anchor
+  FROM events
+)
+SELECT strftime(fin_anchor, '%Y-%m') AS fin_month_label,
+       coalesce(SUM(tot_payment), 0.0) AS total_payments,
+       CAST(COUNT(*) AS BIGINT) AS n_payments
+FROM anchored GROUP BY 1"""
+
+
+def _payments_sql() -> str:
+    from ..functions import fiscal
+
+    return PAYMENTS_BY_FISCAL_MONTH_SQL.format(
+        anchor=fiscal.dd_fiscal_anchor("CAST(ts AS DATE)")
+    )
+
+
 QUERIES = {
     "conversion_funnel": _q(conversion_funnel, CONVERSION_FUNNEL_SQL),
+    "payments_by_fiscal_month": _q(payments_by_fiscal_month, _payments_sql()),
     "events_tumbling_hourly": _q(events_tumbling_hourly, EVENTS_TUMBLING_HOURLY_SQL),
     "events_sliding_hourly": _q(events_sliding_hourly, EVENTS_SLIDING_HOURLY_SQL),
     "events_sessionization": _q(events_sessionization, EVENTS_SESSIONIZATION_SQL),

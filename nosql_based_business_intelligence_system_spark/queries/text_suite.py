@@ -167,6 +167,34 @@ FROM common
 WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5"""
 
 
+def dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup: docs SURVIVING near-dup removal (trigram
+    Jaccard >= 0.5 pairs resolved by dropping the higher id of each pair —
+    dedup.dedup_connected_keep_min). The downstream \"write the cleaned
+    corpus\" step of a training-data pipeline, fully oracle-checked."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_dupes(docs, n=3, threshold=0.5)
+    return dedup.dedup_connected_keep_min(pairs, docs.select("doc_id")).select(
+        "doc_id"
+    )
+
+
+DEDUP_FUZZY_KEEP_SQL = f"""WITH sh AS (
+  SELECT doc_id AS doc, len(sh_list) AS n_sh, unnest(sh_list) AS shingle
+  FROM (SELECT doc_id, {T.dd_shingles(_TOKS, 3)} AS sh_list FROM documents)
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+), dupes AS (
+  SELECT doc_b FROM common
+  WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM dupes)"""
+
+
 # --- fuzzy dedup (not SQL-portable -> rows-only) -----------------------------
 
 
@@ -259,6 +287,7 @@ QUERIES = {
     "dedup_exact_summary": _q(dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
     "dedup_exact_keep": _q(dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
     "dedup_ngram_jaccard": _q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_fuzzy_keep": _q(dedup_fuzzy_keep, DEDUP_FUZZY_KEEP_SQL),
     "dedup_minhash": _q(dedup_minhash, None),
     "dedup_simhash": _q(dedup_simhash, None),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
