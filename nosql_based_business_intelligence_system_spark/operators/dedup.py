@@ -378,6 +378,60 @@ def simhash_dupes(
 def dedup_connected_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup pairs to a keep-set: drop the higher id of every pair
     (single-pass approximation of connected components — adequate when
-    duplicate clusters are small; iterate for full transitive closure)."""
+    duplicate clusters are small; :func:`connected_components` gives the
+    full transitive closure and cluster ids)."""
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return all_ids.join(drop, [id_col], "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Transitive closure of near-dup pairs: (node, component) where the
+    component id is the minimum node id reachable through the pair graph.
+
+    Iterative label propagation (the iterative-algorithm case of the driver
+    contract — not SQL-expressible): each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(log(longest path)) rounds for typical dup clusters because labels
+    jump through the current minimum, not one hop at a time. Each round is
+    one join + one grouped min (both shuffle on node); ``localCheckpoint``
+    truncates the growing lineage so round N doesn't replay rounds 1..N-1.
+    Stops early when a round changes no label.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
+                    "__chg"
+                ),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__chg")).limit(1).count()
+        labels = updated.drop("__chg")
+        if changed == 0:
+            break
+    return labels

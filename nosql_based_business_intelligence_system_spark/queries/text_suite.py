@@ -167,6 +167,43 @@ FROM common
 WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5"""
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER inventory: full transitive closure of trigram-
+    Jaccard pairs (iterative label propagation, operators/dedup
+    .connected_components) -> per-cluster member count. The oracle proves
+    the iterative Spark algorithm against a recursive SQL closure
+    (DuckDB WITH RECURSIVE)."""
+    pairs = dedup.ngram_jaccard_dupes(_docs(spark, sf_dir), n=3, threshold=0.5)
+    cc = dedup.connected_components(pairs)
+    return cc.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, len(sh_list) AS n_sh, unnest(sh_list) AS shingle
+  FROM (SELECT doc_id, {T.dd_shingles(_TOKS, 3)} AS sh_list FROM documents)
+), common AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2, 3, 4
+), dupes AS (
+  SELECT doc_a, doc_b FROM common
+  WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM dupes
+  UNION SELECT doc_b, doc_a FROM dupes
+), reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+)
+SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+GROUP BY comp"""
+
+
 def dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup: docs SURVIVING near-dup removal (trigram
     Jaccard >= 0.5 pairs resolved by dropping the higher id of each pair —
@@ -288,6 +325,7 @@ QUERIES = {
     "dedup_exact_keep": _q(dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
     "dedup_ngram_jaccard": _q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_fuzzy_keep": _q(dedup_fuzzy_keep, DEDUP_FUZZY_KEEP_SQL),
+    "dedup_clusters": _q(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_minhash": _q(dedup_minhash, None),
     "dedup_simhash": _q(dedup_simhash, None),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),

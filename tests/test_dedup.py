@@ -83,3 +83,34 @@ def test_dedup_connected_keep_min(spark):
     kept = dedup.dedup_connected_keep_min(pairs, df.select("doc_id"))
     ids = sorted(r.doc_id for r in kept.collect())
     assert ids == [1, 4, 5]  # 2 and 3 drop as higher-id members of pairs
+
+
+def test_connected_components_chain_and_ring(spark):
+    """Transitive closure: a 4-chain and a 3-ring resolve to min-id labels
+    even though no single pair links the extremes."""
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=3, doc_b=4),  # chain
+            Row(doc_a=10, doc_b=11), Row(doc_a=11, doc_b=12), Row(doc_a=10, doc_b=12),  # ring
+            Row(doc_a=20, doc_b=21),  # simple pair
+        ]
+    )
+    comp = {r.node: r.comp for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_agrees_with_keep_min_on_fixture(spark, sf_smoke):
+    """On the fixture corpus the CC minima must be kept by keep-min too."""
+    from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = dedup.ngram_jaccard_dupes(docs, threshold=0.5)
+    cc = dedup.connected_components(pairs)
+    minima = {r.comp for r in cc.collect()}
+    kept = {
+        r.doc_id
+        for r in dedup.dedup_connected_keep_min(pairs, docs.select("doc_id")).collect()
+    }
+    assert minima <= kept
