@@ -150,6 +150,41 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.dropDuplicates(["event_id"])
 
 
+def purchases_with_recent_click(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "2 hours",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases paired with same-user clicks
+    in the preceding ``horizon``. Both sides watermarked; the time-range
+    condition bounds each side's state store (rows age out once the other
+    stream's watermark passes the horizon). Works identically on batch
+    frames (the condition is just a theta join there).
+    """
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    if purchases.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+        c = c.withWatermark("click_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "user_id", "purchase_ts", "click_ts", "click_value"
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     query_name: str,

@@ -129,3 +129,24 @@ def test_foreach_batch_upsert(spark, events_dir):
     q.awaitTermination()
     src = spark.read.parquet(events_dir)
     assert len(store) == src.select("event_id").distinct().count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, events_dir):
+    """Stream-stream interval join (watermarked both sides) must produce
+    the same pairs as the identical theta join on batch frames."""
+    stream = W.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    out = W.purchases_with_recent_click(
+        stream.filter("event_type = 'purchase'"),
+        stream.filter("event_type = 'click'"),
+        horizon="2 hours",
+    )
+    W.run_to_memory_sink(out, "ssjoin_test", output_mode="append")
+    got = spark.table("ssjoin_test")
+    batch = load_table(spark, sf_smoke, "events")
+    expected = W.purchases_with_recent_click(
+        batch.filter("event_type = 'purchase'"),
+        batch.filter("event_type = 'click'"),
+        horizon="2 hours",
+    )
+    assert got.count() == expected.count() > 0
+    assert _sorted_rows(got, None) == _sorted_rows(expected, None)
