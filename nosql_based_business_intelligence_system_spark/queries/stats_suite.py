@@ -207,9 +207,43 @@ LINEITEM_PROFILE_SQL = "\nUNION ALL\n".join(
 )
 
 
+def price_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier screen per return flag: lines whose extendedprice
+    deviates > 2 sigma from the group mean. Group moments via one window
+    pass (partitioned on the group key — one shuffle), flags counted in
+    the same pass; no join-back of an aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    z = (F.col("l_extendedprice") - F.avg("l_extendedprice").over(w)) / F.stddev_samp(
+        "l_extendedprice"
+    ).over(w)
+    return (
+        li.withColumn("__out", (F.abs(z) > 2.0).cast("int"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("__out").cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+PRICE_OUTLIER_COUNTS_SQL = """SELECT l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN abs(z) > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM (
+  SELECT l_returnflag,
+         (l_extendedprice - AVG(l_extendedprice) OVER (PARTITION BY l_returnflag))
+         / stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag) AS z
+  FROM lineitem
+) GROUP BY l_returnflag"""
+
+
 QUERIES = {
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
     "lineitem_profile": _q(lineitem_profile, LINEITEM_PROFILE_SQL),
+    "price_outlier_counts": _q(price_outlier_counts, PRICE_OUTLIER_COUNTS_SQL),
     "returnflag_cube": _q(returnflag_cube, RETURNFLAG_CUBE_SQL),
     "region_quarter_pivot": _q(region_quarter_pivot, REGION_QUARTER_PIVOT_SQL),
     "order_value_percentiles": _q(order_value_percentiles, ORDER_VALUE_PERCENTILES_SQL),

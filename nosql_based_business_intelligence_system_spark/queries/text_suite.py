@@ -315,9 +315,94 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM (
 ) WHERE rank <= {TFIDF_TOP_K}"""
 
 
+#: Deterministic per-stratum sample rates (percent) — Knuth multiplicative
+#: hash on the id keeps the selection portable across engines (no RNG).
+SAMPLE_RATES = {"en": 20, "es": 50, "de": 50}
+SAMPLE_DEFAULT = 80
+_KNUTH = 2654435761
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling (per-language rates) with a
+    DETERMINISTIC selector: keep iff (id * knuth) % 100 < rate[stratum].
+    The training-data shape of sampling — reproducible across runs and
+    engines, no seed bookkeeping; selection is uniform because the
+    multiplicative hash scrambles sequential ids."""
+    d = _docs(spark, sf_dir)
+    rate = F.lit(SAMPLE_DEFAULT)
+    for lang, r in SAMPLE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    bucket = (F.col("doc_id") * F.lit(_KNUTH)) % 100
+    return (
+        d.withColumn("__keep", bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_sampled"),
+        )
+    )
+
+
+_RATE_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
+) + f" ELSE {SAMPLE_DEFAULT} END"
+
+DOCS_STRATIFIED_SAMPLE_SQL = f"""SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN (doc_id * {_KNUTH}) % 100 < {_RATE_CASE}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang"""
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus screening: volume, mean quality score, mean token
+    count, language-ID agreement rate — the go/no-go table a data-curation
+    pipeline produces per crawl source."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    per_doc = d.select(
+        "source",
+        T.quality_score(toks, F.col("text")).alias("q"),
+        T.n_tokens(toks).alias("nt"),
+        (T.predicted_lang(toks) == F.col("lang")).cast("int").alias("lang_ok"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("q").alias("avg_quality"),
+        F.avg("nt").alias("avg_tokens"),
+        F.avg("lang_ok").alias("lang_id_agreement"),
+    )
+
+
+_Q_EXPR = f"""(CASE WHEN len({_TOKS}) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+  + least(coalesce(len(list_distinct({_TOKS})) * 1.0 / nullif(len({_TOKS}), 0), 0.0) * 2.0, 1.0) * 0.4
+  + (0.2 - least(coalesce((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 * 1.0 / nullif(length(text), 0), 0.0) * 2.0, 1.0) * 0.2)"""
+
+SOURCE_QUALITY_REPORT_SQL = f"""SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  AVG(q) AS avg_quality,
+  AVG(nt) AS avg_tokens,
+  AVG(lang_ok) AS lang_id_agreement
+FROM (
+  SELECT source, {_Q_EXPR} AS q, len({_TOKS}) AS nt,
+         CASE WHEN ({T.DD_LANG_CASE.replace("s_en", "sc_en").replace("s_es", "sc_es").replace("s_de", "sc_de")}) = lang
+              THEN 1 ELSE 0 END AS lang_ok
+  FROM (
+    SELECT source, lang, text,
+      {T.dd_lang_score(_TOKS, 'en')} AS sc_en,
+      {T.dd_lang_score(_TOKS, 'es')} AS sc_es,
+      {T.dd_lang_score(_TOKS, 'de')} AS sc_de
+    FROM documents
+  )
+) GROUP BY source"""
+
+
 QUERIES = {
     "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
     "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
+    "docs_stratified_sample": _q(docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),
+    "source_quality_report": _q(source_quality_report, SOURCE_QUALITY_REPORT_SQL),
     "doc_token_counts": _q(doc_token_counts, DOC_TOKEN_COUNTS_SQL),
     "doc_lang_id": _q(doc_lang_id, DOC_LANG_ID_SQL),
     "doc_fingerprints": _q(doc_fingerprints, DOC_FINGERPRINTS_SQL),
