@@ -46,8 +46,39 @@ WHERE region_desc IN ({_IN}) AND quantity > 10.0
 GROUP BY region_desc, fin_quarter"""
 
 
+AR_MIN_DUE = 400_000.0
+AR_TOP = 20
+
+
+def mongo_top_receivables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``db.receivables.find({...}).sort(...).limit(20)`` over the computed
+    AR aging collection (stats_suite.ar_aging_buckets feeds the frontend —
+    collections here are plans, not materialized copies)."""
+    from ..operators.mongo_query import mongo_find
+    from .stats_suite import ar_aging_buckets
+
+    recv = ar_aging_buckets(spark, sf_dir)
+    return mongo_find(
+        recv,
+        filter={"total_due": {"$gt": AR_MIN_DUE}},
+        projection={"customer_number": 1, "total_due": 1, "amt_current": 1},
+        sort={"total_due": -1, "customer_number": 1},
+        limit=AR_TOP,
+    )
+
+
+def _mongo_top_receivables_sql() -> str:
+    from .stats_suite import AR_AGING_BUCKETS_SQL
+
+    return f"""WITH recv AS ({AR_AGING_BUCKETS_SQL})
+SELECT customer_number, total_due, amt_current FROM recv
+WHERE total_due > {AR_MIN_DUE}
+ORDER BY total_due DESC, customer_number ASC LIMIT {AR_TOP}"""
+
+
 QUERIES = {
     "mongo_region_quarter_revenue": _q(
         mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL
     ),
+    "mongo_top_receivables": _q(mongo_top_receivables, _mongo_top_receivables_sql()),
 }
