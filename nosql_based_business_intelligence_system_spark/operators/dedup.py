@@ -402,11 +402,21 @@ def connected_components(
     truncates the growing lineage so round N doesn't replay rounds 1..N-1.
     Stops early when a round changes no label.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
-    )
+    # materialize the pair plan ONCE before mirroring it: the union needs
+    # both directions, and without this the (possibly expensive) candidate-
+    # generation plan executes once per direction and again per round
+    base = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=True)
+    edges = base.unionByName(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    # right-size the iteration: the edge set is usually orders of magnitude
+    # smaller than the corpus that produced it, and per-round task overhead
+    # at the corpus's shuffle width dominates tiny graphs. ~500k edges per
+    # partition; the count is cheap (it reads the materialized base).
+    n_part = max(1, min(int(base.count() * 2 / 500_000) + 1, 2048))
+    edges = edges.repartition(n_part, "v").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
