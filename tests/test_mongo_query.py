@@ -147,3 +147,31 @@ def test_lookup_unwind_fuses_to_plain_join(spark):
     assert "collect_list" not in plan  # fused: no array round-trip
     rows = {r.segment: r.revenue for r in df.collect()}
     assert rows == {"RETAIL": 30.0}  # unmatched order drops (Mongo unwind)
+
+
+def test_group_accumulator_variety(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {"$group": {
+                "_id": "$region",
+                "avg_p": {"$avg": "$price"},
+                "min_p": {"$min": "$price"},
+                "max_p": {"$max": "$price"},
+                "brands": {"$addToSet": "$brand"},
+            }},
+            {"$sort": {"_id": 1}},
+        ],
+    ).collect()
+    n = {r._id: r for r in out}
+    assert n["N"].avg_p == 20.0 and n["N"].min_p == 10.0 and n["N"].max_p == 30.0
+    assert n["N"].brands == ["a", "b"]  # $addToSet sorted for determinism
+    assert n["S"].brands == ["a"]
+
+
+def test_group_by_none_grand_total(spark):
+    row = mongo_pipeline(
+        _df(spark),
+        [{"$group": {"_id": None, "total": {"$sum": "$price"}, "n": {"$count": {}}}}],
+    ).collect()[0]
+    assert row.total == 100.0 and row.n == 4
