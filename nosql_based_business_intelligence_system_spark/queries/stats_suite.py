@@ -240,10 +240,76 @@ FROM (
 ) GROUP BY l_returnflag"""
 
 
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract validation across the star: orphan lineitems (anti join),
+    childless orders (anti join), duplicate order keys — the checks a
+    pipeline runs before promoting a snapshot. Three labeled counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(label).alias("check"), "n"
+        )
+
+    orphans = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    childless = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    )
+    dup_keys = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    return (
+        _count(orphans, "orphan_lineitems")
+        .unionByName(_count(childless, "childless_orders"))
+        .unionByName(_count(dup_keys, "duplicate_order_keys"))
+    )
+
+
+REFERENTIAL_INTEGRITY_AUDIT_SQL = """SELECT 'orphan_lineitems' AS check,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'childless_orders', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+UNION ALL
+SELECT 'duplicate_order_keys', CAST(COUNT(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)"""
+
+
+HIST_BUCKET = 25_000.0
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width order-value histogram (floor-bucket -> grouped count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(HIST_BUCKET)).cast("bigint")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket_lo", F.col("bucket") * F.lit(HIST_BUCKET))
+    )
+
+
+ORDER_PRICE_HISTOGRAM_SQL = f"""SELECT bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  bucket * CAST({HIST_BUCKET} AS DOUBLE) AS bucket_lo
+FROM (SELECT CAST(floor(o_totalprice / {HIST_BUCKET}) AS BIGINT) AS bucket FROM orders)
+GROUP BY bucket"""
+
+
 QUERIES = {
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
     "lineitem_profile": _q(lineitem_profile, LINEITEM_PROFILE_SQL),
     "price_outlier_counts": _q(price_outlier_counts, PRICE_OUTLIER_COUNTS_SQL),
+    "referential_integrity_audit": _q(
+        referential_integrity_audit, REFERENTIAL_INTEGRITY_AUDIT_SQL
+    ),
+    "order_price_histogram": _q(order_price_histogram, ORDER_PRICE_HISTOGRAM_SQL),
     "returnflag_cube": _q(returnflag_cube, RETURNFLAG_CUBE_SQL),
     "region_quarter_pivot": _q(region_quarter_pivot, REGION_QUARTER_PIVOT_SQL),
     "order_value_percentiles": _q(order_value_percentiles, ORDER_VALUE_PERCENTILES_SQL),
