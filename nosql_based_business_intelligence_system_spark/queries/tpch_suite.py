@@ -434,6 +434,69 @@ WHERE p.p_brand = 'Brand#1'
   )"""
 
 
+def top_return_loss_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: top-20 customers by revenue lost to returned items
+    (returnflag='R'). Fact-fact shuffle join + broadcast dim + TakeOrdered
+    with a key tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "lost_revenue"
+            )
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+TOP_RETURN_LOSS_CUSTOMERS_SQL = """SELECT c_custkey, c_name, c_acctbal,
+  SUM(l_extendedprice * (1 - l_discount)) AS lost_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20"""
+
+
+def above_segment_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-flavored correlated scalar subquery, per GROUP: customers whose
+    balance beats their own market segment's average. Decorrelated as a
+    window average over the segment (one shuffle; the subquery form would
+    re-aggregate per probe row)."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    seg_avg = F.avg("c_acctbal").over(Window.partitionBy("c_mktsegment"))
+    return (
+        cust.withColumn("seg_avg", seg_avg)
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+ABOVE_SEGMENT_AVG_CUSTOMERS_SQL = """SELECT c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  SUM(c_acctbal) AS total_balance
+FROM customer c
+WHERE c_acctbal > (
+  SELECT AVG(c_acctbal) FROM customer i WHERE i.c_mktsegment = c.c_mktsegment
+)
+GROUP BY c_mktsegment"""
+
+
 def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19-shaped disjunctive multi-column predicate: three OR'd brand x
     size x quantity bands evaluated in one scan+join pass. Catalyst
@@ -480,6 +543,12 @@ QUERIES = {
     "small_quantity_revenue": _q(small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
     "disjunctive_promo_revenue": _q(
         disjunctive_promo_revenue, DISJUNCTIVE_PROMO_REVENUE_SQL
+    ),
+    "top_return_loss_customers": _q(
+        top_return_loss_customers, TOP_RETURN_LOSS_CUSTOMERS_SQL
+    ),
+    "above_segment_avg_customers": _q(
+        above_segment_avg_customers, ABOVE_SEGMENT_AVG_CUSTOMERS_SQL
     ),
     "top_building_orders": _q(top_building_orders, TOP_BUILDING_ORDERS_SQL),
     "regional_revenue": _q(regional_revenue, REGIONAL_REVENUE_SQL),

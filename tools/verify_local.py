@@ -54,8 +54,10 @@ def table_digest(rows, colnames) -> tuple[int, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--determinism"]
+    determinism = "--determinism" in sys.argv[1:]
+    sf_dir = args[0] if args else DEFAULT_SF
+    only = set(args[1:])
 
     from nosql_based_business_intelligence_system_spark.session import get_spark
     from nosql_based_business_intelligence_system_spark.queries import QUERIES
@@ -83,6 +85,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
             continue
+        if determinism:
+            # rerun the Spark side: a hash drift here means the query's
+            # output depends on partitioning/scheduling (rand, unordered
+            # limits, nondeterministic tiebreaks) — the driver compares
+            # hashes, so this MUST be stable.
+            sdf2 = q.fn(spark, sf_dir)
+            _, sh2 = table_digest([tuple(r) for r in sdf2.collect()], sdf2.columns)
+            if sh2 != sh:
+                print(f"FAIL  {name}: NONDETERMINISTIC spark h={sh} then h={sh2}")
+                failures.append(name)
+                continue
         if q.oracle is None:
             print(f"rows  {name}: {sn} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
