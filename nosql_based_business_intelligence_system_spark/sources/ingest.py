@@ -126,6 +126,25 @@ def ingest_csv(
     return clean_frame(normalize_names(df), measure_cols, date_cols)
 
 
+def observe_quality(df: DataFrame, name: str = "ingest"):
+    """Attach zero-cost pipeline metrics to a frame: row count plus a
+    null-count per measure column present. Returns (df, Observation);
+    after any action on ``df``, ``observation.get`` holds the metrics —
+    the production pattern for emitting ingest counters without a second
+    pass over the data.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in MEASURE_COLUMNS:
+        if c in df.columns:
+            metrics.append(
+                F.sum(F.col(c).isNull().cast("int")).alias(f"n_null_{c}")
+            )
+    return df.observe(obs, *metrics), obs
+
+
 def ingest_jsonl(
     spark: SparkSession,
     path: str,

@@ -132,3 +132,31 @@ def test_jsonl_roundtrip_through_ingest(spark):
         got = {r.fin_month_label for r in back.select("fin_month_label").collect()}
         want = {r.fin_month_label for r in enriched.select("fin_month_label").collect()}
         assert got == want
+
+
+def test_observe_quality_metrics(spark):
+    """Observation metrics ride the same action — no second scan."""
+    with tempfile.TemporaryDirectory() as d:
+        df = ingest.ingest_csv(spark, _write_csv(d))
+        observed, obs = ingest.observe_quality(df)
+        observed.write.format("noop").mode("overwrite").save()
+        m = obs.get
+        assert m["n_rows"] == 4
+        assert m["n_null_total_line_price"] == 1  # the 'garbage' coerce
+        assert m["n_null_quantity"] == 1
+
+
+def test_ingest_jsonl_surfaces_corrupt_records(spark):
+    """A malformed JSONL line must not kill the read (PERMISSIVE mode);
+    good rows survive and the corruption is countable."""
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "data.jsonl")
+        with open(p, "w") as f:
+            f.write('{"doc_number": "D1", "quantity": 2}\n')
+            f.write("{THIS IS NOT JSON\n")
+            f.write('{"doc_number": "D2", "quantity": 3}\n')
+        back = ingest.ingest_jsonl(spark, p)
+        assert back.filter(F.col("doc_number").isNotNull()).count() == 2
+        # spark's _corrupt_record column, snake_cased by normalize_names
+        assert "corrupt_record" in back.columns
+        assert back.filter(F.col("corrupt_record").isNotNull()).count() == 1
