@@ -155,8 +155,13 @@ def test_ingest_jsonl_surfaces_corrupt_records(spark):
             f.write('{"doc_number": "D1", "quantity": 2}\n')
             f.write("{THIS IS NOT JSON\n")
             f.write('{"doc_number": "D2", "quantity": 3}\n')
-        back = ingest.ingest_jsonl(spark, p)
-        assert back.filter(F.col("doc_number").isNotNull()).count() == 2
-        # spark's _corrupt_record column, snake_cased by normalize_names
-        assert "corrupt_record" in back.columns
-        assert back.filter(F.col("corrupt_record").isNotNull()).count() == 1
+        # cache first: Spark refuses queries that reference ONLY the internal
+        # corrupt-record column against the raw file scan
+        back = ingest.ingest_jsonl(spark, p).cache()
+        try:
+            assert back.filter(F.col("doc_number").isNotNull()).count() == 2
+            # spark's _corrupt_record column, snake_cased by normalize_names
+            assert "corrupt_record" in back.columns
+            assert back.filter(F.col("corrupt_record").isNotNull()).count() == 1
+        finally:
+            back.unpersist()
