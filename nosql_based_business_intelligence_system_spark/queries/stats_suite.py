@@ -302,6 +302,51 @@ FROM (SELECT CAST(floor(o_totalprice / {HIST_BUCKET}) AS BIGINT) AS bucket FROM 
 GROUP BY bucket"""
 
 
+def weekday_revenue_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue seasonality by ship weekday (ISO day number + name — the
+    date-part extraction family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = F.to_date("l_shipdate")
+    return (
+        li.groupBy(
+            F.dayofweek(d).alias("dow"),
+            F.date_format(d, "EEEE").alias("day_name"),
+        )
+        .agg(
+            F.sum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# DuckDB dayofweek: Sun=0..Sat=6; Spark dayofweek: Sun=1..Sat=7 -> +1.
+WEEKDAY_REVENUE_PATTERN_SQL = """SELECT
+  CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INTEGER) AS dow,
+  dayname(CAST(l_shipdate AS DATE)) AS day_name,
+  SUM(l_extendedprice) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY 1, 2"""
+
+
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume/value by hour of day per type — the time-of-day load
+    profile (hour extraction + two-key agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").alias("hour_of_day"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+EVENTS_HOURLY_PROFILE_SQL = """SELECT
+  CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  AVG(value) AS avg_value
+FROM events GROUP BY 1, 2"""
+
+
 QUERIES = {
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
     "lineitem_profile": _q(lineitem_profile, LINEITEM_PROFILE_SQL),
@@ -310,6 +355,10 @@ QUERIES = {
         referential_integrity_audit, REFERENTIAL_INTEGRITY_AUDIT_SQL
     ),
     "order_price_histogram": _q(order_price_histogram, ORDER_PRICE_HISTOGRAM_SQL),
+    "weekday_revenue_pattern": _q(
+        weekday_revenue_pattern, WEEKDAY_REVENUE_PATTERN_SQL
+    ),
+    "events_hourly_profile": _q(events_hourly_profile, EVENTS_HOURLY_PROFILE_SQL),
     "returnflag_cube": _q(returnflag_cube, RETURNFLAG_CUBE_SQL),
     "region_quarter_pivot": _q(region_quarter_pivot, REGION_QUARTER_PIVOT_SQL),
     "order_value_percentiles": _q(order_value_percentiles, ORDER_VALUE_PERCENTILES_SQL),
