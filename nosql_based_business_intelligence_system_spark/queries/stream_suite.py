@@ -182,8 +182,42 @@ def _payments_sql() -> str:
     )
 
 
+def weekly_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week (cohort) x
+    each later week they were active -> user counts. Two grouped passes
+    (first-touch per user, then distinct user-weeks) joined on user —
+    the standard retention triangle, no per-week self-joins."""
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+WEEKLY_RETENTION_MATRIX_SQL = """WITH weeks AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, week FROM weeks
+)
+SELECT cohort_week, week, CAST(COUNT(DISTINCT active.user_id) AS BIGINT) AS n_users
+FROM active JOIN cohort ON active.user_id = cohort.user_id
+GROUP BY cohort_week, week"""
+
+
 QUERIES = {
     "conversion_funnel": _q(conversion_funnel, CONVERSION_FUNNEL_SQL),
+    "weekly_retention_matrix": _q(
+        weekly_retention_matrix, WEEKLY_RETENTION_MATRIX_SQL
+    ),
     "payments_by_fiscal_month": _q(payments_by_fiscal_month, _payments_sql()),
     "events_tumbling_hourly": _q(events_tumbling_hourly, EVENTS_TUMBLING_HOURLY_SQL),
     "events_sliding_hourly": _q(events_sliding_hourly, EVENTS_SLIDING_HOURLY_SQL),
