@@ -175,3 +175,17 @@ def test_group_by_none_grand_total(spark):
         [{"$group": {"_id": None, "total": {"$sum": "$price"}, "n": {"$count": {}}}}],
     ).collect()[0]
     assert row.total == 100.0 and row.n == 4
+
+
+def test_match_pushes_to_parquet_scan(spark, sf_smoke):
+    """$match through the frontend must reach the scan as PushedFilters —
+    the frontend is a plan builder, not an interpreter."""
+    from nosql_based_business_intelligence_system_spark.plans.inspect import has_pushed_filters
+    from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+
+    out = mongo_pipeline(
+        load_table(spark, sf_smoke, "orders"),
+        [{"$match": {"o_orderstatus": "O", "o_totalprice": {"$gt": 1000.0}}},
+         {"$group": {"_id": "$o_orderpriority", "n": {"$sum": 1}}}],
+    )
+    assert has_pushed_filters(out, "o_orderstatus", "o_totalprice")
