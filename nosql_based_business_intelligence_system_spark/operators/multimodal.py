@@ -219,4 +219,7 @@ def synth_media(spark: SparkSession, n: int = 60) -> DataFrame:
                 {"image": "jpeg", "audio": "wav", "video": "mp4"}[kind],
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # few partitions on purpose: mapInPandas forks one Python worker per
+    # partition, and 32 workers for a few hundred local rows is pure
+    # startup overhead (real media tables arrive partitioned from storage)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
