@@ -467,6 +467,39 @@ GROUP BY c_custkey, c_name, c_acctbal
 ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20"""
 
 
+def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-side mirror of the revenue rollups: discounted revenue,
+    volume, and avg discount per supplier nation (two chained broadcast
+    dims off the fact — supplier then nation)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("supplier_nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.avg("l_discount").alias("avg_discount"),
+        )
+    )
+
+
+SUPPLIER_NATION_REVENUE_SQL = """SELECT n_name AS supplier_nation,
+  SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  AVG(l_discount) AS avg_discount
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name"""
+
+
 def above_segment_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q22-flavored correlated scalar subquery, per GROUP: customers whose
     balance beats their own market segment's average. Decorrelated as a
@@ -546,6 +579,9 @@ QUERIES = {
     ),
     "top_return_loss_customers": _q(
         top_return_loss_customers, TOP_RETURN_LOSS_CUSTOMERS_SQL
+    ),
+    "supplier_nation_revenue": _q(
+        supplier_nation_revenue, SUPPLIER_NATION_REVENUE_SQL
     ),
     "above_segment_avg_customers": _q(
         above_segment_avg_customers, ABOVE_SEGMENT_AVG_CUSTOMERS_SQL
