@@ -38,6 +38,40 @@ def sum0(c: Column) -> Column:
     return F.coalesce(F.sum(c), F.lit(0.0))
 
 
+#: Decimal type used by the order-independent money sums below. Scale 6 keeps
+#: micro-cent precision; precision 38 holds ~10^32 — no overflow at any SF.
+MONEY_DEC = "decimal(38,6)"
+
+
+def dsum(c: Column) -> Column:
+    """Order-independent money sum: cast each summand to DECIMAL(38,6), then
+    SUM. Decimal addition is exact and associative, so the result is identical
+    no matter how Spark's partial/final aggregation (or a window frame) orders
+    the additions — unlike double sums, which drift in the last ulp vs any
+    other engine's accumulation order. Output type: DECIMAL(38,6).
+
+    Use for any SUM over >~10k double rows that an external oracle will hash.
+    The DuckDB twin is :func:`dd_dsum`.
+    """
+    return F.sum(c.cast(MONEY_DEC))
+
+
+def dsum0(c: Column) -> Column:
+    """:func:`dsum` with pandas' all-NULL -> 0 semantics (decimal zero)."""
+    return F.coalesce(dsum(c), F.lit(0).cast(MONEY_DEC))
+
+
+def dd_dsum(expr: str) -> str:
+    """DuckDB twin of :func:`dsum` (verified: identical Decimal repr,
+    including round-half-away ties on the double->decimal cast)."""
+    return f"SUM(CAST({expr} AS DECIMAL(38,6)))"
+
+
+def dd_dsum0(expr: str) -> str:
+    """DuckDB twin of :func:`dsum0`."""
+    return f"coalesce({dd_dsum(expr)}, CAST(0 AS DECIMAL(38,6)))"
+
+
 def flag(pred: Column) -> Column:
     """§2.10(c): pandas ``NaN < 0`` is False; Spark ``NULL < 0`` is NULL.
 

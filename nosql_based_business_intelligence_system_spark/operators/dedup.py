@@ -395,12 +395,16 @@ def connected_components(
 
     Iterative label propagation (the iterative-algorithm case of the driver
     contract — not SQL-expressible): each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(log(longest path)) rounds for typical dup clusters because labels
-    jump through the current minimum, not one hop at a time. Each round is
-    one join + one grouped min (both shuffle on node); ``localCheckpoint``
-    truncates the growing lineage so round N doesn't replay rounds 1..N-1.
-    Stops early when a round changes no label.
+    smallest label among itself and its neighbors (one hop), then
+    *shortcuts* by adopting its current label's own label (pointer
+    jumping). The hop alone moves the minimum one edge per round — Θ(D)
+    rounds on a diameter-D chain; the shortcut roughly doubles the reach
+    per round, giving O(log D) once the min is inside the component's
+    label tree. Each round is two joins + one grouped min (shuffles on
+    node); ``localCheckpoint`` truncates the growing lineage so round N
+    doesn't replay rounds 1..N-1. Stops early when a round changes no
+    label; raises RuntimeError if ``max_iterations`` rounds still left
+    labels changing — a silently-partial closure is a wrong answer.
     """
     # materialize the pair plan ONCE before mirroring it: the union needs
     # both directions, and without this the (possibly expensive) candidate-
@@ -422,26 +426,48 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        hop = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+            (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
+                "__chg"
+            ),
+        )
+        # pointer jump: comp <- label(comp). Every comp value is a node id,
+        # so the self-join always matches; coalesce guards the general case.
+        parents = hop.select(
+            F.col("node").alias("__pnode"), F.col("comp").alias("__pcomp")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            hop.join(parents, hop.comp == parents.__pnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("__pcomp"), F.col("comp"))
                 ).alias("comp"),
-                (F.coalesce(F.col("nbr_comp"), F.col("comp")) < F.col("comp")).alias(
-                    "__chg"
-                ),
+                (
+                    F.col("__chg")
+                    | (F.coalesce(F.col("__pcomp"), F.col("comp")) < F.col("comp"))
+                ).alias("__chg"),
             )
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("__chg")).limit(1).count()
         labels = updated.drop("__chg")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds; "
+            "labels are still propagating (very long chain?). Re-run with a "
+            "higher max_iterations."
+        )
     return labels

@@ -14,8 +14,10 @@ Supported stages (the analytical core of the language):
 $exists), ``$project`` (include/exclude/rename), ``$addFields``/``$set``
 (arithmetic: $add/$subtract/$multiply/$divide, $cond, $ifNull, literals),
 ``$group`` (_id scalar/compound/None; $sum/$avg/$min/$max/$count/$first
-/$last/$push/$addToSet), ``$sort``, ``$limit``, ``$skip`` is rejected
-(unstable without order), ``$unwind``, ``$count``.
+/$last/$push/$addToSet/$stdDevPop/$stdDevSamp), ``$sort``, ``$limit``,
+``$skip`` is rejected (unstable without order), ``$unwind`` (including
+``preserveNullAndEmptyArrays``), ``$count``, ``$lookup`` (fused with a
+following ``$unwind`` into a single join), ``$unionWith``.
 
 Unsupported constructs raise ``MongoTranslateError`` eagerly — a silent
 wrong answer is worse than a loud unsupported one.
@@ -153,6 +155,8 @@ _ACCUM = {
     "$push": lambda a: F.collect_list(a),
     "$addToSet": lambda a: F.array_sort(F.collect_set(a)),
     "$count": lambda a: F.count(F.lit(1)),
+    "$stdDevPop": lambda a: F.stddev_pop(a),
+    "$stdDevSamp": lambda a: F.stddev_samp(a),
 }
 
 
@@ -213,13 +217,44 @@ def mongo_find(
     return mongo_pipeline(df, pipeline)
 
 
-def _apply_lookup(df: DataFrame, spec: dict, unwound: bool) -> DataFrame:
+def _unwind_spec(spec: Any) -> tuple[str, bool]:
+    """Parse a $unwind spec -> (field path, preserveNullAndEmptyArrays).
+
+    Unknown keys (notably ``includeArrayIndex``) raise — the module's
+    policy is a loud unsupported, never a silently-different answer.
+    """
+    if isinstance(spec, str):
+        path, preserve = spec, False
+    elif isinstance(spec, dict):
+        unknown = set(spec) - {"path", "preserveNullAndEmptyArrays"}
+        if unknown:
+            raise MongoTranslateError(
+                f"unsupported $unwind options {sorted(unknown)!r}"
+            )
+        if "path" not in spec:
+            raise MongoTranslateError("$unwind dict spec requires 'path'")
+        path = spec["path"]
+        preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+    else:
+        raise MongoTranslateError(f"unsupported $unwind spec {spec!r}")
+    if not (isinstance(path, str) and path.startswith("$")):
+        raise MongoTranslateError(f"$unwind path must be a '$field' string: {path!r}")
+    return path[1:], preserve
+
+
+def _apply_lookup(
+    df: DataFrame, spec: dict, unwound: bool, preserve: bool = False
+) -> DataFrame:
     """$lookup: left outer equi-join against another collection.
 
     Mongo semantics put the matches in an ARRAY field (``as``); when the
     pipeline immediately ``$unwind``s that field, the compiler fuses the
     pair into a plain join — no collect_list/explode round-trip, which is
-    the difference between one shuffle and two at scale.
+    the difference between one shuffle and two at scale. The fused join is
+    inner for Mongo's default unwind (rows with empty match arrays
+    disappear) and left outer when ``preserveNullAndEmptyArrays`` is true
+    (unmatched rows survive with a NULL struct — same shape explode_outer
+    yields over an empty match array).
     """
     for k in ("from", "localField", "foreignField", "as"):
         if k not in spec:
@@ -230,13 +265,12 @@ def _apply_lookup(df: DataFrame, spec: dict, unwound: bool) -> DataFrame:
     local, foreign, out = spec["localField"], spec["foreignField"], spec["as"]
     rcols = [c for c in other.columns if c != foreign]
     if unwound:
-        # fused $lookup+$unwind: inner-ness matches Mongo's default unwind
-        # (rows with empty match arrays disappear)
         right = other.select(
             F.col(foreign).alias("__fk"),
             F.struct(*[F.col(c) for c in rcols]).alias(out),
         )
-        return df.join(right, F.col(local) == F.col("__fk"), "inner").drop("__fk")
+        how = "left" if preserve else "inner"
+        return df.join(right, F.col(local) == F.col("__fk"), how).drop("__fk")
     right = (
         other.groupBy(F.col(foreign).alias("__fk"))
         .agg(F.collect_list(F.struct(*[F.col(c) for c in rcols])).alias(out))
@@ -266,12 +300,11 @@ def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
         (op, spec), = stage.items()
         if op == "$lookup":
             nxt = pipeline[i + 1] if i + 1 < len(pipeline) else None
-            unwind_field = None
+            unwind_field, preserve = None, False
             if isinstance(nxt, dict) and "$unwind" in nxt:
-                uspec = nxt["$unwind"]
-                unwind_field = uspec["path"] if isinstance(uspec, dict) else uspec
-            fused = unwind_field == f"${spec.get('as')}"
-            df = _apply_lookup(df, spec, unwound=fused)
+                unwind_field, preserve = _unwind_spec(nxt["$unwind"])
+            fused = unwind_field == spec.get("as")
+            df = _apply_lookup(df, spec, unwound=fused, preserve=preserve)
             i += 2 if fused else 1
             continue
         df = _apply_stage(df, op, spec)
@@ -307,8 +340,31 @@ def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
     if op == "$limit":
         return df.limit(int(spec))
     if op == "$unwind":
-        field = spec["path"] if isinstance(spec, dict) else spec
-        return df.withColumn(field[1:], F.explode(F.col(field[1:])))
+        field, preserve = _unwind_spec(spec)
+        exploder = F.explode_outer if preserve else F.explode
+        return df.withColumn(field, exploder(F.col(field)))
+    if op == "$unionWith":
+        # {"$unionWith": {"coll": df, "pipeline": [...]}} or a bare DataFrame.
+        # Mongo appends the other collection's (piped) docs; missing fields
+        # become null -> unionByName(allowMissingColumns=True).
+        if isinstance(spec, DataFrame):
+            other = spec
+        elif isinstance(spec, dict):
+            unknown = set(spec) - {"coll", "pipeline"}
+            if unknown:
+                raise MongoTranslateError(
+                    f"unsupported $unionWith options {sorted(unknown)!r}"
+                )
+            other = spec.get("coll")
+            if not isinstance(other, DataFrame):
+                raise MongoTranslateError(
+                    "$unionWith 'coll' must be a DataFrame collection"
+                )
+            if spec.get("pipeline"):
+                other = mongo_pipeline(other, spec["pipeline"])
+        else:
+            raise MongoTranslateError(f"unsupported $unionWith spec {spec!r}")
+        return df.unionByName(other, allowMissingColumns=True)
     if op == "$count":
         return df.agg(F.count(F.lit(1)).alias(str(spec)))
     raise MongoTranslateError(f"unsupported stage {op!r}")

@@ -75,15 +75,100 @@ def fake_decode_image(payload: bytes) -> dict:
 
 
 def real_decode_image(payload: bytes) -> dict:  # pragma: no cover - env-gated
-    """Real decode backend — requires PIL, absent from this container."""
+    """Compressed-format decode backend — requires PIL, absent from this
+    container. For a real, dependency-free backend that exercises the same
+    seam, see :func:`bmp_decode_image` (pure-stdlib BMP parse)."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL/Pillow; use fake_decode_image or "
-            "install a codec backend"
+            "image decode requires PIL/Pillow; use bmp_decode_image for "
+            "uncompressed BMP or install a codec backend"
         ) from e
     raise NotImplementedError("wire PIL decode here when the library exists")
+
+
+def bmp_decode_image(payload: bytes) -> dict:
+    """REAL decode backend: uncompressed 24-bit BMP, pure stdlib.
+
+    Proves the ``decode_backend`` seam with an actual byte-level codec (not
+    a hash fake): parses the BITMAPFILEHEADER/BITMAPINFOHEADER, walks the
+    bottom-up padded pixel rows, and emits a 16-bin luminance histogram as
+    the feature vector. Same return contract as :func:`fake_decode_image`,
+    so it drops into :func:`decode_images` unchanged.
+    """
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP DIB header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    hist = [0] * FEATURE_DIM
+    n_px = max(width * height, 1)
+    for r in range(height):
+        src_row = (height - 1 - r) if bottom_up else r
+        base = data_offset + src_row * row_size
+        row = payload[base : base + width * 3]
+        for x in range(width):
+            b, g, rd = row[x * 3], row[x * 3 + 1], row[x * 3 + 2]
+            # integer Rec.601 luma; bucket into FEATURE_DIM bins
+            luma = (77 * rd + 150 * g + 29 * b) >> 8
+            hist[(luma * FEATURE_DIM) >> 8] += 1
+    return {
+        "dec_width": width,
+        "dec_height": height,
+        "n_channels": 3,
+        "features": [h / n_px for h in hist],
+    }
+
+
+def wav_audio_features(payload: bytes, window_ms: int = 25) -> dict:
+    """REAL audio backend: PCM WAV via the stdlib ``wave`` module.
+
+    Parses the RIFF container, derives the window count from the *actual*
+    frame count and sample rate (not metadata columns), and emits per-
+    segment RMS energy over FEATURE_DIM equal slices of the signal as the
+    feature vector. Same return contract as the fake path in
+    :func:`extract_audio_features`.
+    """
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_frames = w.getnframes()
+        rate = w.getframerate()
+        sampwidth = w.getsampwidth()
+        n_ch = w.getnchannels()
+        raw = w.readframes(n_frames)
+    if sampwidth != 2:
+        raise ValueError(f"only 16-bit PCM WAV supported (sampwidth={sampwidth})")
+    samples = struct.unpack(f"<{n_frames * n_ch}h", raw)
+    if n_ch > 1:  # average channels to mono
+        samples = [
+            sum(samples[i : i + n_ch]) / n_ch for i in range(0, len(samples), n_ch)
+        ]
+    n = max(len(samples), 1)
+    seg = max(n // FEATURE_DIM, 1)
+    feats = []
+    for i in range(FEATURE_DIM):
+        chunk = samples[i * seg : (i + 1) * seg] or (0,)
+        feats.append((sum(s * s for s in chunk) / len(chunk)) ** 0.5 / 32768.0)
+    duration_ms = int(n_frames * 1000 / rate) if rate else 0
+    return {
+        "n_windows": max(duration_ms // window_ms, 1),
+        "mfcc_like": feats,
+    }
 
 
 DECODED_IMAGE_SCHEMA = StructType(
@@ -175,10 +260,17 @@ AUDIO_FEATURE_SCHEMA = StructType(
 
 
 def extract_audio_features(
-    media: DataFrame, window_ms: int = 25
+    media: DataFrame,
+    window_ms: int = 25,
+    feature_backend: Callable[[bytes], dict] | None = None,
 ) -> DataFrame:
-    """Windowed audio featurization plumbing (FAKE features; real backend:
-    librosa/torchaudio MFCC). Window count derives from real metadata."""
+    """Windowed audio featurization via Arrow-batched mapInPandas.
+
+    Default backend is the deterministic FAKE (hash-seeded features, window
+    count from the metadata column); pass ``feature_backend=``
+    :func:`wav_audio_features` to decode real PCM WAV payloads instead
+    (stdlib-only — window count and RMS features from the actual signal).
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,6 +278,12 @@ def extract_audio_features(
             for mid, payload, dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                if feature_backend is not None:
+                    d = feature_backend(bytes(payload))
+                    rows["media_id"].append(mid)
+                    rows["n_windows"].append(d["n_windows"])
+                    rows["mfcc_like"].append(d["mfcc_like"])
+                    continue
                 seed = _content_seed(bytes(payload))
                 rows["media_id"].append(mid)
                 rows["n_windows"].append(max(int(dur or 0) // window_ms, 1))

@@ -118,35 +118,61 @@ def lsh_topk(
     )
 
 
+#: Hard cap on :func:`cosine_pairs` input — it is the O(n^2) *verification
+#: baseline*; past this size the caller wants :func:`embedding_cosine_dupes`.
+COSINE_PAIRS_MAX_ROWS = 100_000
+
+#: Candidate slack: numpy's SIMD-pairwise dot accumulates in a different
+#: order than the emitted fold-expression score, so candidates are found at
+#: ``threshold - EPS`` and the exact filter happens on the fold score.
+_CAND_EPS = 1e-9
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = COSINE_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Exact cosine near-dup pairs (id_a < id_b, score >= threshold) —
     the verification baseline for :func:`embedding_cosine_dupes`. O(n^2)
     scoring by construction; bound the input (e.g. one dedup shard or an
-    id range) before calling at scale.
+    id range) before calling at scale — inputs past ``max_rows`` raise.
 
     Shape: the bounded input is materialized driver-side as a numpy matrix
     and broadcast (it IS the broadcast relation — same thing Spark does
     for a broadcast join side), then ONE ``mapInPandas`` pass streams the
-    same rows and scores each Arrow batch against the matrix with a numpy
+    same rows and finds candidate pairs per Arrow batch with a numpy
     matmul. Alternatives measured at (1000 vecs, 64 dims): non-equi self-
     join with fold-expression cosine 29s (Catalyst inlines the interpreted
     fold into the nested-loop join condition), join + Arrow pair-dot UDF
     12s (ships both vectors per PAIR); this matmul path ~1s (ships each
     vector once per side).
+
+    The matmul only *selects* candidates (at ``threshold - 1e-9``); the
+    emitted score — and the final threshold cut — use the left-to-right
+    fold expression :func:`~..functions.vectors.cosine`, which accumulates
+    in the same order as a sequential engine, so results are bit-stable
+    regardless of numpy's SIMD summation order.
     """
     import numpy as np
 
-    rows = df.select(F.col(id_col), V.as_double(F.col(vec_col))).collect()
+    rows = df.select(F.col(id_col), V.as_double(F.col(vec_col))).limit(
+        max_rows + 1
+    ).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"cosine_pairs input exceeds max_rows={max_rows}: it is the "
+            "bounded O(n^2) verification baseline. For full-corpus near-dup "
+            "detection use embedding_cosine_dupes (sign-LSH candidates)."
+        )
     ids = np.array([r[0] for r in rows], dtype="int64")
     mat = np.array([r[1] for r in rows], dtype="float64")
     nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
     sc = df.sparkSession.sparkContext
     b = sc.broadcast((ids, mat, nrm))
+    cand_cut = threshold - _CAND_EPS
 
     def gen(batches):
         import pandas as pd
@@ -160,14 +186,29 @@ def cosine_pairs(
             an = np.sqrt(np.einsum("ij,ij->i", a, a))
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = (a @ bmat.T) / np.outer(an, bnrm)
-            ia, ib = np.where((s >= threshold) & (aid[:, None] < bids[None, :]))
+            ia, ib = np.where((s >= cand_cut) & (aid[:, None] < bids[None, :]))
             yield pd.DataFrame(
-                {"id_a": aid[ia], "id_b": bids[ib], "score": s[ia, ib]}
+                {
+                    "id_a": aid[ia],
+                    "id_b": bids[ib],
+                    # object dtype: Arrow rejects a numpy-backed column of
+                    # lists for array<double>
+                    "va": pd.Series([a[i].tolist() for i in ia], dtype=object),
+                    "vb": pd.Series([bmat[j].tolist() for j in ib], dtype=object),
+                }
             )
 
-    return df.select(
+    cands = df.select(
         F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
-    ).mapInPandas(gen, "id_a long, id_b long, score double")
+    ).mapInPandas(
+        gen, "id_a long, id_b long, va array<double>, vb array<double>"
+    )
+    return (
+        cands.select(
+            "id_a", "id_b", V.cosine(F.col("va"), F.col("vb")).alias("score")
+        )
+        .filter(F.col("score") >= threshold)
+    )
 
 
 def embedding_cosine_dupes(

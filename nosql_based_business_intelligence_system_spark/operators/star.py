@@ -71,13 +71,13 @@ def enriched_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (
         li.join(orders, li.doc_number == orders.o_orderkey, "inner")
         .drop("o_orderkey")
-        .join(F.broadcast(customer), F.col("customer_number") == customer.c_custkey)
+        .join(customer, F.col("customer_number") == customer.c_custkey)
         .drop("c_custkey")
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .drop("c_nationkey", "n_nationkey")
         .join(F.broadcast(region), F.col("n_regionkey") == region.region_code)
         .drop("n_regionkey")
-        .join(F.broadcast(part), li.l_partkey == part.product_code)
+        .join(part, li.l_partkey == part.product_code)
         .drop("l_partkey")
     )
     df = with_sales_metrics(df)

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import fiscal
-from ..functions.cleaning import sum0
+from ..functions.cleaning import dd_dsum0, dsum0, sum0
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from ..sources.tables import load_table
 
@@ -146,7 +146,7 @@ def ar_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", F.col("r_name").alias("region_desc")
     )
     df = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -178,12 +178,16 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project.py:275-287,407-418 — the Excel summary sheet scalars.
 
     Exact countDistinct (matches pandas .nunique), not approx.
+
+    total_revenue is a decimal sum (dsum0): a 60k-row double SUM accumulates
+    in partial-agg order and hash-diverges from any sequential oracle in the
+    last ulp; decimal addition is exact, so the result is order-independent.
     """
     return enriched_sales(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("row_count"),
         F.min("event_date").alias("min_date"),
         F.max("event_date").alias("max_date"),
-        sum0(F.col("total_line_price")).alias("total_revenue"),
+        dsum0(F.col("total_line_price")).alias("total_revenue"),
         F.countDistinct("fin_month_label").alias("n_fiscal_months"),
     )
 
@@ -192,7 +196,7 @@ SUMMARY_STATS_SQL = f"""WITH {DD_SALES_CTE}
 SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
        MIN(event_date) AS min_date,
        MAX(event_date) AS max_date,
-       coalesce(SUM(total_line_price), 0.0) AS total_revenue,
+       {dd_dsum0('total_line_price')} AS total_revenue,
        CAST(COUNT(DISTINCT fin_month_label) AS BIGINT) AS n_fiscal_months
 FROM sales"""
 

@@ -96,7 +96,7 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
@@ -115,21 +115,33 @@ GROUP BY c_mktsegment"""
 
 
 def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moment statistics + correlation (qty vs price) per return flag."""
+    """Moment statistics + correlation (qty vs price) per return flag.
+
+    Engines merge moment aggregates in different orders, so the raw doubles
+    differ in the last ulps; decimal sums don't help here because casting a
+    full-precision double product (~1e9, ulp 2.4e-7) to DECIMAL(38,6)
+    itself rounds differently across engines. Instead the outputs are
+    rounded identically on both sides, with per-column digit budgets sized
+    so the cross-engine drift (<~1e-6 absolute) is orders of magnitude
+    smaller than the rounding quantum: stddev/covar (≈3e4) keep 4 decimals,
+    variance (≈9e8) keeps 0, corr (≈1e-3, drift ~1e-17) keeps 10.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_extendedprice").alias("price_stddev"),
-        F.var_samp("l_extendedprice").alias("price_var"),
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_extendedprice"), 0).alias("price_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 10).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
     )
 
 
 LINEITEM_PRICE_STATS_SQL = """SELECT l_returnflag,
-  stddev_samp(l_extendedprice) AS price_stddev,
-  var_samp(l_extendedprice) AS price_var,
-  corr(l_quantity, l_extendedprice) AS qty_price_corr,
-  covar_samp(l_quantity, l_extendedprice) AS qty_price_covar
+  ROUND(stddev_samp(l_extendedprice), 4) AS price_stddev,
+  ROUND(var_samp(l_extendedprice), 0) AS price_var,
+  ROUND(corr(l_quantity, l_extendedprice), 10) AS qty_price_corr,
+  ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
 FROM lineitem GROUP BY l_returnflag"""
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import dd_dsum, dsum
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 from .base import Query as _q
@@ -79,7 +80,7 @@ def price_tier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("revenue"),
+            dsum(F.col("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -90,7 +91,7 @@ _TIER_VALUES = ", ".join(
 
 PRICE_TIER_TOTALS_SQL = f"""SELECT tier,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  SUM(o_totalprice) AS revenue
+  {dd_dsum('o_totalprice')} AS revenue
 FROM orders
 JOIN (VALUES {_TIER_VALUES}) t(tier, lo, hi)
   ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)

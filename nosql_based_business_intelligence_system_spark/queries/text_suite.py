@@ -285,7 +285,7 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = (
         tok.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     )
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+    scored = tf.join(dfreq, "term").withColumn(
         "tfidf", F.col("tf") * F.log(F.lit(float(TFIDF_DOC_BOUND)) / F.col("df"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import dd_dsum, dsum
 from ..sources.tables import load_table
 from .base import Query as _q
 
@@ -93,18 +94,20 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         _orders(spark, sf_dir)
         .filter(F.to_date("o_orderdate") < F.lit("1998-01-01"))
         .select("o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("o_date"))
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
     )
     li = (
         _li(spark, sf_dir)
         .filter(F.to_date("l_shipdate") > F.lit("1998-01-01"))
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
+    # revenue is a decimal sum (dsum): order-independent, so the hash — and
+    # the top-k cut itself — can't drift vs the oracle on summation order.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_date")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -112,9 +115,9 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOP_BUILDING_ORDERS_SQL = """SELECT l_orderkey AS orderkey,
+TOP_BUILDING_ORDERS_SQL = f"""SELECT l_orderkey AS orderkey,
        CAST(o_orderdate AS DATE) AS orderdate,
-       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+       {dd_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -153,9 +156,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -312,7 +315,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_extendedprice", "l_discount")
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         (
             F.lit(100.0)
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
@@ -334,27 +337,35 @@ WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
 
 def segment_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment order value stats with a HAVING clause and an exact
-    count-distinct of customers (two-phase distinct aggregation)."""
+    count-distinct of customers (two-phase distinct aggregation).
+
+    total_value is an exact decimal sum (order-independent vs the oracle);
+    avg_value divides that exact sum by the count in double — both engines
+    then perform one identical IEEE division on identical operands. Customer
+    is a scaling dimension, so the join is threshold/AQE-decided (broadcast
+    at fixture scale, shuffle at 100 TB) — no forced hint.
+    """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _orders(spark, sf_dir).select("o_custkey", "o_totalprice")
+    total = dsum(F.col("o_totalprice"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("total_value"),
-            F.avg("o_totalprice").alias("avg_value"),
+            total.alias("total_value"),
+            (total.cast("double") / F.count(F.lit(1))).alias("avg_value"),
         )
         .filter(F.col("n_orders") > 50)
     )
 
 
-SEGMENT_VALUE_SUMMARY_SQL = """SELECT c_mktsegment,
+SEGMENT_VALUE_SUMMARY_SQL = f"""SELECT c_mktsegment,
        CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       SUM(o_totalprice) AS total_value,
-       AVG(o_totalprice) AS avg_value
+       {dd_dsum('o_totalprice')} AS total_value,
+       CAST({dd_dsum('o_totalprice')} AS DOUBLE) / COUNT(*) AS avg_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 HAVING COUNT(*) > 50"""
@@ -415,22 +426,29 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#1"
     ).select("p_partkey")
+    # The per-part mean and the final sum are both decimal-exact so neither
+    # the qty cutoff (a FILTER boundary) nor the output can drift with
+    # partial-agg order; the /count and /7.0 happen in double identically
+    # on both sides (one IEEE division over identical operands).
     avg_qty = li.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * F.lit(0.2)).alias("qty_cut")
+        ((dsum(F.col("l_quantity")).cast("double") / F.count(F.lit(1)))
+         * F.lit(0.2)).alias("qty_cut")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg((F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((dsum(F.col("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
-SMALL_QUANTITY_REVENUE_SQL = """SELECT SUM(l_extendedprice) / 7.0 AS avg_yearly
+SMALL_QUANTITY_REVENUE_SQL = f"""SELECT
+  CAST({dd_dsum('l_extendedprice')} AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand = 'Brand#1'
   AND l.l_quantity < (
-    SELECT 0.2 * AVG(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey
+    SELECT CAST({dd_dsum('l_quantity')} AS DOUBLE) / COUNT(*) * 0.2
+    FROM lineitem WHERE l_partkey = l.l_partkey
   )"""
 
 
@@ -445,10 +463,10 @@ def top_return_loss_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "lost_revenue"
             )
         )
@@ -457,8 +475,8 @@ def top_return_loss_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOP_RETURN_LOSS_CUSTOMERS_SQL = """SELECT c_custkey, c_name, c_acctbal,
-  SUM(l_extendedprice * (1 - l_discount)) AS lost_revenue
+TOP_RETURN_LOSS_CUSTOMERS_SQL = f"""SELECT c_custkey, c_name, c_acctbal,
+  {dd_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -477,7 +495,7 @@ def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("supplier_nation"))
         .agg(
@@ -538,7 +556,7 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     forces three separate passes."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     band = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -557,13 +575,13 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(band).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
-DISJUNCTIVE_PROMO_REVENUE_SQL = """SELECT
-  SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+DISJUNCTIVE_PROMO_REVENUE_SQL = f"""SELECT
+  {dd_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)

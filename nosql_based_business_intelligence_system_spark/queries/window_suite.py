@@ -17,21 +17,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import sum0
+from ..functions.cleaning import dd_dsum0, dsum0, sum0
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from .base import Query as _q
 
 
 def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue + MoM growth per fiscal month (runs on the ~80-row
-    aggregate, not the fact table)."""
+    aggregate, not the fact table).
+
+    Revenue and the cumulative window sum are decimal (dsum0): decimal
+    addition is exact, so neither the per-month partial-agg order nor the
+    window accumulation can drift vs the oracle. The growth ratio divides
+    after casting the exact decimals to double — one identical IEEE division
+    on both sides.
+    """
     monthly = (
         enriched_sales(spark, sf_dir)
         .groupBy("fin_month_label")
-        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+        .agg(dsum0(F.col("total_line_price")).alias("revenue"))
     )
     w = Window.orderBy("fin_month_label")
     prev = F.lag("revenue").over(w)
+    prev_d = prev.cast("double")
+    rev_d = F.col("revenue").cast("double")
     return monthly.select(
         "fin_month_label",
         "revenue",
@@ -39,13 +48,13 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("cumulative_revenue"),
         prev.alias("prev_revenue"),
-        F.when(prev > 0, (F.col("revenue") - prev) / prev).alias("mom_growth"),
+        F.when(prev > 0, (rev_d - prev_d) / prev_d).alias("mom_growth"),
     )
 
 
 MONTHLY_REVENUE_RUNNING_SQL = f"""WITH {DD_SALES_CTE},
 monthly AS (
-  SELECT fin_month_label, coalesce(SUM(total_line_price), 0.0) AS revenue
+  SELECT fin_month_label, {dd_dsum0('total_line_price')} AS revenue
   FROM sales GROUP BY fin_month_label
 )
 SELECT fin_month_label, revenue,
@@ -54,8 +63,10 @@ SELECT fin_month_label, revenue,
     AS cumulative_revenue,
   LAG(revenue) OVER (ORDER BY fin_month_label) AS prev_revenue,
   CASE WHEN LAG(revenue) OVER (ORDER BY fin_month_label) > 0
-       THEN (revenue - LAG(revenue) OVER (ORDER BY fin_month_label))
-            / LAG(revenue) OVER (ORDER BY fin_month_label) END AS mom_growth
+       THEN (CAST(revenue AS DOUBLE)
+             - CAST(LAG(revenue) OVER (ORDER BY fin_month_label) AS DOUBLE))
+            / CAST(LAG(revenue) OVER (ORDER BY fin_month_label) AS DOUBLE)
+       END AS mom_growth
 FROM monthly"""
 
 
@@ -156,25 +167,32 @@ def quarter_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         enriched_sales(spark, sf_dir)
         .groupBy("fin_quarter", "region_desc")
-        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+        .agg(dsum0(F.col("total_line_price")).alias("revenue"))
     )
     w = Window.partitionBy("fin_quarter")
+    # revenue and the per-quarter window total are decimal-exact; the share
+    # divides after a cast to double (one identical IEEE division per row on
+    # both sides) rather than in decimal, whose quotient scale rules differ
+    # between engines.
     return per.select(
         "fin_quarter",
         "region_desc",
         "revenue",
-        (F.col("revenue") / F.sum("revenue").over(w)).alias("share_of_quarter"),
+        (F.col("revenue").cast("double")
+         / F.sum("revenue").over(w).cast("double")).alias("share_of_quarter"),
     )
 
 
 QUARTER_REVENUE_SHARE_SQL = f"""WITH {DD_SALES_CTE},
 per AS (
   SELECT fin_quarter, region_desc,
-         coalesce(SUM(total_line_price), 0.0) AS revenue
+         {dd_dsum0('total_line_price')} AS revenue
   FROM sales GROUP BY fin_quarter, region_desc
 )
 SELECT fin_quarter, region_desc, revenue,
-       revenue / SUM(revenue) OVER (PARTITION BY fin_quarter) AS share_of_quarter
+       CAST(revenue AS DOUBLE)
+         / CAST(SUM(revenue) OVER (PARTITION BY fin_quarter) AS DOUBLE)
+         AS share_of_quarter
 FROM per"""
 
 

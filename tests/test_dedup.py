@@ -3,6 +3,7 @@ not SQL-expressible, so they're verified by internal invariants instead)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from nosql_based_business_intelligence_system_spark.operators import dedup
@@ -114,3 +115,30 @@ def test_connected_components_agrees_with_keep_min_on_fixture(spark, sf_smoke):
         for r in dedup.dedup_connected_keep_min(pairs, docs.select("doc_id")).collect()
     }
     assert minima <= kept
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node path needs >>20 one-hop rounds; pointer jumping must close
+    it within the default budget (the docstring's O(log D) claim)."""
+    from pyspark.sql import Row
+
+    from nosql_based_business_intelligence_system_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(59)]
+    )
+    labels = connected_components(pairs, max_iterations=12)
+    comps = {r.comp for r in labels.collect()}
+    assert comps == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    from pyspark.sql import Row
+
+    from nosql_based_business_intelligence_system_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(59)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2)

@@ -189,3 +189,69 @@ def test_match_pushes_to_parquet_scan(spark, sf_smoke):
          {"$group": {"_id": "$o_orderpriority", "n": {"$sum": 1}}}],
     )
     assert has_pushed_filters(out, "o_orderstatus", "o_totalprice")
+
+
+def test_unwind_preserve_null_and_empty(spark):
+    """preserveNullAndEmptyArrays -> explode_outer: rows with empty/null
+    arrays survive with a NULL element (was a silent inner-drop before)."""
+    df = spark.createDataFrame(
+        [Row(k=1, xs=[10, 20]), Row(k=2, xs=[]), Row(k=3, xs=None)]
+    )
+    out = mongo_pipeline(
+        df,
+        [{"$unwind": {"path": "$xs", "preserveNullAndEmptyArrays": True}}],
+    ).collect()
+    got = sorted((r.k, r.xs) for r in out)
+    assert got == [(1, 10), (1, 20), (2, None), (3, None)]
+    # default unwind still drops them
+    strict = mongo_pipeline(df, [{"$unwind": "$xs"}]).collect()
+    assert sorted((r.k, r.xs) for r in strict) == [(1, 10), (1, 20)]
+
+
+def test_unwind_unknown_option_raises(spark):
+    df = spark.createDataFrame([Row(k=1, xs=[1])])
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(
+            df, [{"$unwind": {"path": "$xs", "includeArrayIndex": "idx"}}]
+        )
+
+
+def test_lookup_unwind_preserve_fuses_to_left_join(spark):
+    """Fused $lookup+$unwind honors preserveNullAndEmptyArrays: unmatched
+    rows survive with a NULL struct (left join), and the plan still has no
+    collect_list round-trip."""
+    df = mongo_pipeline(
+        spark.createDataFrame(ORDERS),
+        [
+            {"$lookup": {"from": spark.createDataFrame(CUSTS),
+                         "localField": "cust", "foreignField": "cid", "as": "c"}},
+            {"$unwind": {"path": "$c", "preserveNullAndEmptyArrays": True}},
+        ],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    by_key = {r.okey: r.c for r in df.collect()}
+    assert by_key[1].segment == "RETAIL"
+    assert by_key[3] is None  # unmatched survives as NULL struct
+
+
+def test_union_with_pipeline_and_missing_columns(spark):
+    a = spark.createDataFrame([Row(k=1, v=10.0)])
+    b = spark.createDataFrame([Row(k=2, v=5.0, extra="x"), Row(k=3, v=50.0, extra="y")])
+    out = mongo_pipeline(
+        a,
+        [{"$unionWith": {"coll": b, "pipeline": [{"$match": {"v": {"$gt": 20.0}}}]}}],
+    ).collect()
+    got = sorted((r.k, r.v, r.extra) for r in out)
+    assert got == [(1, 10.0, None), (3, 50.0, "y")]
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(a, [{"$unionWith": {"coll": b, "let": {}}}])
+
+
+def test_stddev_accumulators(spark):
+    out = mongo_pipeline(
+        spark.createDataFrame([Row(g="a", x=1.0), Row(g="a", x=3.0)]),
+        [{"$group": {"_id": "$g", "sd": {"$stdDevSamp": "$x"},
+                     "sdp": {"$stdDevPop": "$x"}}}],
+    ).collect()[0]
+    assert abs(out.sd - 2.0 ** 0.5) < 1e-12 and abs(out.sdp - 1.0) < 1e-12

@@ -7,6 +7,7 @@ from __future__ import annotations
 import pytest
 
 from nosql_based_business_intelligence_system_spark.operators import multimodal as M
+from nosql_based_business_intelligence_system_spark.operators.multimodal import MEDIA_SCHEMA
 
 
 @pytest.fixture(scope="module")
@@ -65,3 +66,76 @@ def test_real_backend_gated_not_import_error(spark, media):
 def test_narrow_no_shuffle(spark, media):
     plan = M.decode_images(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # mapInPandas must stay narrow
+
+
+def _bmp_bytes(width, height, rows_rgb):
+    """Build an uncompressed 24-bit BMP (bottom-up) from rows of (r,g,b)."""
+    import struct
+
+    row_size = (width * 3 + 3) & ~3
+    pixel_data = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        raw = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        pixel_data += raw + b"\x00" * (row_size - len(raw))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + dib + pixel_data
+
+
+def test_bmp_backend_decodes_real_pixels(spark):
+    """The decode_backend seam proven with a REAL byte-level codec: a
+    stdlib-parsed BMP flows through the same mapInPandas path as the fake."""
+    from nosql_based_business_intelligence_system_spark.operators.multimodal import (
+        bmp_decode_image,
+        decode_images,
+    )
+
+    white = [(255, 255, 255)] * 4
+    black = [(0, 0, 0)] * 4
+    payload = _bmp_bytes(4, 2, [white, black])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 4, 2, None, None, "bmp")], MEDIA_SCHEMA
+    )
+    row = decode_images(media, decode_backend=bmp_decode_image).collect()[0]
+    assert (row.dec_width, row.dec_height, row.n_channels) == (4, 2, 3)
+    feats = list(row.features)
+    assert abs(feats[0] - 0.5) < 1e-6   # black half -> luma bin 0
+    assert abs(feats[15] - 0.5) < 1e-6  # white half -> luma bin 15
+    assert abs(sum(feats) - 1.0) < 1e-6
+
+
+def test_bmp_backend_rejects_non_bmp():
+    from nosql_based_business_intelligence_system_spark.operators.multimodal import bmp_decode_image
+
+    with pytest.raises(ValueError, match="BM"):
+        bmp_decode_image(b"\x89PNG not a bmp")
+
+
+def test_wav_backend_real_signal(spark):
+    """RMS features and window count derive from the actual PCM signal, not
+    metadata: constant-amplitude 16-bit mono -> every segment RMS = A/32768."""
+    import io
+    import struct
+    import wave
+
+    from nosql_based_business_intelligence_system_spark.operators.multimodal import (
+        extract_audio_features,
+        wav_audio_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<8000h", *([16384] * 8000)))
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(7, "audio", bytearray(payload), None, None, 8000, None, "wav")],
+        MEDIA_SCHEMA,
+    )
+    row = extract_audio_features(media, feature_backend=wav_audio_features).collect()[0]
+    assert row.n_windows == 40  # 1000 ms of real signal / 25 ms windows
+    assert all(abs(f - 0.5) < 1e-3 for f in row.mfcc_like)

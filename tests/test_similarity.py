@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import Row
 
 from nosql_based_business_intelligence_system_spark.operators import similarity
@@ -119,3 +120,17 @@ def test_embedding_lsh_no_false_positives_above_threshold(spark, sf_smoke):
     for r in pairs:
         assert r.score >= 0.3
         assert abs(exact[(r.id_a, r.id_b)] - r.score) < 1e-9
+
+
+def test_cosine_pairs_input_cap_raises(spark):
+    from pyspark.sql import Row
+
+    from nosql_based_business_intelligence_system_spark.operators.similarity import cosine_pairs
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, float(i)]) for i in range(12)]
+    )
+    with pytest.raises(ValueError, match="embedding_cosine_dupes"):
+        cosine_pairs(df, threshold=0.9, max_rows=10)
+    # within the cap it still works
+    assert cosine_pairs(df, threshold=0.99, max_rows=100).count() > 0

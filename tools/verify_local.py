@@ -3,9 +3,10 @@
 Runs every ``queries()`` entry at a given sf_dir on Spark and, where an
 ``oracle_sql()`` entry exists, the same SQL on DuckDB over the same Parquet —
 then compares row count, column names, and an order-insensitive value hash
-(floats rounded). Queries without an oracle get a rows-only report.
+(floats at full precision; ``--sig6`` for the loose diagnostic mode).
+Queries without an oracle get a rows-only report.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--sig6] [--determinism] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -24,7 +25,13 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_SF = "/root/testdata/sf0.01"
 
-FLOAT_SIG = 6  # significant digits kept when hashing floats
+# Floats hash at FULL precision (repr) by default, matching the driver's
+# strictness — round-1 shipped FLOAT_SIG=6 rounding, which hid exactly the
+# class of bug the gate exists to catch (last-ulp summation-order drift that
+# the driver flagged on summary_stats / segment_value_summary /
+# monthly_revenue_running). Pass --sig6 to get the old loose mode as a
+# diagnostic ("is this a precision-only mismatch or a real one?").
+FLOAT_SIG = None  # None -> full precision; int -> significant digits
 
 
 def _norm_cell(v):
@@ -35,7 +42,9 @@ def _norm_cell(v):
             return "\x00NaN"
         if v == 0:
             return "0"
-        return f"{v:.{FLOAT_SIG}e}"
+        if FLOAT_SIG is not None:
+            return f"{v:.{FLOAT_SIG}e}"
+        return repr(v)
     if isinstance(v, bool):
         return "T" if v else "F"
     return str(v)
@@ -54,7 +63,10 @@ def table_digest(rows, colnames) -> tuple[int, str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--determinism"]
+    global FLOAT_SIG
+    if "--sig6" in sys.argv[1:]:
+        FLOAT_SIG = 6
+    args = [a for a in sys.argv[1:] if a not in ("--determinism", "--sig6")]
     determinism = "--determinism" in sys.argv[1:]
     sf_dir = args[0] if args else DEFAULT_SF
     only = set(args[1:])
