@@ -282,29 +282,11 @@ def embedding_cosine_dupes(
     ).filter(F.col("score") >= threshold)
 
 
-def ivf_assign(
-    corpus: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: centroids = deterministic corpus sample
-    (lowest ids), each vector assigned to its nearest centroid cell.
-
-    Returns (assignments, centroids). At scale the assignment is one
-    broadcast join + argmin over K centroids; repartitioning the output by
-    ``cell`` colocates each cell for probe-time scans.
-    """
-    centroids = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(
-            F.col(id_col).alias("cell"), V.as_double(F.col(vec_col)).alias("centroid")
-        )
-    )
-    c = corpus.select(
-        F.col(id_col), V.as_double(F.col(vec_col)).alias("v")
-    )
+def _nearest_cell(
+    c: DataFrame, centroids: DataFrame, id_col: str
+) -> DataFrame:
+    """Assign each vector (id, v) to its nearest centroid: broadcast the
+    K centroids, argmin via per-id window."""
     scored = c.crossJoin(F.broadcast(centroids)).select(
         id_col,
         "v",
@@ -312,11 +294,62 @@ def ivf_assign(
         V.euclidean(F.col("v"), F.col("centroid")).alias("dist"),
     )
     w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cell"))
-    assignments = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(id_col, "cell", "v")
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: deterministic hash-stratified seed centroids
+    refined by ``refine_iterations`` Lloyd steps, then each vector assigned
+    to its nearest centroid cell.
+
+    Seeds are the ``n_cells`` rows with the smallest md5(id) — a
+    deterministic pseudo-random spread over the corpus (the previous
+    lowest-id seeds clustered in insertion order and cost recall). Each
+    Lloyd step recomputes centroids as the element-wise mean of their
+    members: one posexplode + two grouped aggs — no UDF, no collect.
+
+    Returns (assignments, centroids). At scale the assignment is one
+    broadcast join + argmin over K centroids; repartitioning the output by
+    ``cell`` colocates each cell for probe-time scans.
+    """
+    c = corpus.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("v"))
+    # orderBy+limit plans TakeOrderedAndProject (distributed top-k); the
+    # row_number window then runs on just the K seed rows.
+    seeds = (
+        c.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(n_cells)
+    )
+    wseed = Window.orderBy("__h", id_col)
+    centroids = seeds.select(
+        (F.row_number().over(wseed) - 1).alias("cell"),
+        F.col("v").alias("centroid"),
+    )
+    for _ in range(max(refine_iterations, 0)):
+        members = _nearest_cell(c, centroids, id_col)
+        centroids = (
+            members.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+        )
+    assignments = _nearest_cell(c, centroids, id_col)
     return assignments, centroids
 
 
@@ -328,10 +361,13 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iterations: int = 1,
 ) -> DataFrame:
     """IVF-Flat search: probe the ``n_probe`` nearest cells per query, exact
     cosine within probed cells only."""
-    assignments, centroids = ivf_assign(corpus, n_cells, id_col, vec_col)
+    assignments, centroids = ivf_assign(
+        corpus, n_cells, id_col, vec_col, refine_iterations
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     )

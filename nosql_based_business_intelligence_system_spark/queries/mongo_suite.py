@@ -76,9 +76,100 @@ WHERE total_due > {AR_MIN_DUE}
 ORDER BY total_due DESC, customer_number ASC LIMIT {AR_TOP}"""
 
 
+RECV_PAY_MIN_DUE = 300_000.0
+RECV_PAY_TOP = 25
+
+
+def mongo_receivables_with_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cross-collection dashboard join (its three exported
+    collections share customer_number, Project.py:367-395): receivables
+    ``$lookup`` per-customer payment totals, ``$unwind`` with
+    ``preserveNullAndEmptyArrays`` (customers with zero payments keep their
+    receivable row), then a net-balance projection. The lookup's ``from``
+    side is itself a pipeline — collections here are plans, so the fused
+    left join + grouped payments compile into ONE Catalyst plan.
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+    from .stats_suite import ar_aging_buckets
+
+    recv = ar_aging_buckets(spark, sf_dir)
+    payments = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("customer_number"),
+        F.col("value").alias("tot_payment"),
+    )
+    pay_per_cust = mongo_pipeline(
+        payments,
+        [
+            {
+                "$group": {
+                    "_id": "$customer_number",
+                    "total_paid": {"$sum": "$tot_payment"},
+                    "n_payments": {"$count": {}},
+                }
+            }
+        ],
+    )
+    return mongo_pipeline(
+        recv,
+        [
+            {"$match": {"total_due": {"$gt": RECV_PAY_MIN_DUE}}},
+            {
+                "$lookup": {
+                    "from": pay_per_cust,
+                    "localField": "customer_number",
+                    "foreignField": "_id",
+                    "as": "p",
+                }
+            },
+            {"$unwind": {"path": "$p", "preserveNullAndEmptyArrays": True}},
+            {
+                "$addFields": {
+                    "total_paid": {"$ifNull": ["$p.total_paid", 0.0]},
+                    "n_payments": {"$ifNull": ["$p.n_payments", 0]},
+                }
+            },
+            {
+                "$project": {
+                    "customer_number": 1,
+                    "total_due": 1,
+                    "total_paid": 1,
+                    "n_payments": 1,
+                    "balance_after": {"$subtract": ["$total_due", "$total_paid"]},
+                }
+            },
+            {"$sort": {"total_due": -1, "customer_number": 1}},
+            {"$limit": RECV_PAY_TOP},
+        ],
+    )
+
+
+def _mongo_receivables_with_payments_sql() -> str:
+    from .stats_suite import AR_AGING_BUCKETS_SQL
+
+    return f"""WITH recv AS ({AR_AGING_BUCKETS_SQL}),
+pay AS (
+  SELECT user_id AS customer_number, SUM(value) AS total_paid,
+         CAST(COUNT(*) AS BIGINT) AS n_payments
+  FROM events GROUP BY 1
+)
+SELECT r.customer_number, r.total_due,
+       coalesce(p.total_paid, 0.0) AS total_paid,
+       CAST(coalesce(p.n_payments, 0) AS BIGINT) AS n_payments,
+       r.total_due - coalesce(p.total_paid, 0.0) AS balance_after
+FROM recv r LEFT JOIN pay p ON r.customer_number = p.customer_number
+WHERE r.total_due > {RECV_PAY_MIN_DUE}
+ORDER BY r.total_due DESC, r.customer_number ASC
+LIMIT {RECV_PAY_TOP}"""
+
+
 QUERIES = {
     "mongo_region_quarter_revenue": _q(
         mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL
     ),
     "mongo_top_receivables": _q(mongo_top_receivables, _mongo_top_receivables_sql()),
+    "mongo_receivables_with_payments": _q(
+        mongo_receivables_with_payments, _mongo_receivables_with_payments_sql()
+    ),
 }

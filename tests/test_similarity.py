@@ -64,7 +64,9 @@ def test_ivf_recall_on_fixture(spark, sf_smoke):
     queries = emb.filter("vec_id < 5")
     exact = similarity.brute_force_topk(emb, queries, k=10).collect()
     approx = similarity.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=4).collect()
-    assert _recall(approx, exact) >= 0.3, "IVF recall collapsed"
+    # hash-stratified seeds + one Lloyd step measure 0.68 here (0.82 at
+    # sf0.01); the old lowest-id seeds sat at 0.3
+    assert _recall(approx, exact) >= 0.6, "IVF recall collapsed"
 
 
 def test_ivf_assignment_covers_corpus(spark, sf_smoke):
