@@ -60,3 +60,29 @@ def test_fiscal_expressions_have_no_python_boundary(spark):
         assert "BatchEvalPython" not in plan, q
         assert "ArrowEvalPython" not in plan, q
         assert "mapInPandas" not in plan.lower(), q
+
+
+def test_no_forced_broadcast_of_scaling_dimensions():
+    """Explicit F.broadcast() hints override the size threshold, so they are
+    reserved for relations whose cardinality does NOT grow with scale factor
+    (region/nation/fiscal-calendar/tier dims, centroid sets, bounded query
+    sets, detected hot-key lists). customer/part/supplier/orders/lineitem
+    grow with SF: a forced hint OOMs the build side at 100x — those joins
+    must stay threshold/AQE-decided."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "nosql_based_business_intelligence_system_spark"
+    )
+    allowed = {
+        "nation", "region", "dim", "tiers", "centroids", "hot", "q",
+        "queries", "dfreq",
+    }
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            for arg in re.findall(r"F\.broadcast\((\w+)", line):
+                if arg not in allowed:
+                    offenders.append(f"{path.name}:{i} broadcast({arg})")
+    assert not offenders, offenders
