@@ -15,9 +15,10 @@ $exists), ``$project`` (include/exclude/rename), ``$addFields``/``$set``
 (arithmetic: $add/$subtract/$multiply/$divide, $cond, $ifNull, literals),
 ``$group`` (_id scalar/compound/None; $sum/$avg/$min/$max/$count/$first
 /$last/$push/$addToSet/$stdDevPop/$stdDevSamp), ``$sort``, ``$limit``,
-``$skip`` is rejected (unstable without order), ``$unwind`` (including
+``$skip`` (only directly after ``$sort`` — unordered skip is
+nondeterministic and raises), ``$unwind`` (including
 ``preserveNullAndEmptyArrays``), ``$count``, ``$lookup`` (fused with a
-following ``$unwind`` into a single join), ``$unionWith``.
+following ``$unwind`` into a single join), ``$unionWith``, ``$facet``.
 
 Unsupported constructs raise ``MongoTranslateError`` eagerly — a silent
 wrong answer is worse than a loud unsupported one.
@@ -293,6 +294,7 @@ def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     """
     pipeline = list(pipeline)
     i = 0
+    prev_op = None
     while i < len(pipeline):
         stage = pipeline[i]
         if not (isinstance(stage, dict) and len(stage) == 1):
@@ -305,9 +307,21 @@ def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
                 unwind_field, preserve = _unwind_spec(nxt["$unwind"])
             fused = unwind_field == spec.get("as")
             df = _apply_lookup(df, spec, unwound=fused, preserve=preserve)
+            prev_op = "$lookup"
             i += 2 if fused else 1
             continue
-        df = _apply_stage(df, op, spec)
+        if op == "$skip":
+            # deterministic only over an ordered stream: require $sort
+            # immediately before (Mongo's .sort().skip().limit() idiom)
+            if prev_op != "$sort":
+                raise MongoTranslateError(
+                    "$skip is only supported directly after $sort (an "
+                    "unordered skip returns arbitrary rows)"
+                )
+            df = df.offset(int(spec))
+        else:
+            df = _apply_stage(df, op, spec)
+        prev_op = op
         i += 1
     return df
 
@@ -367,4 +381,36 @@ def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
         return df.unionByName(other, allowMissingColumns=True)
     if op == "$count":
         return df.agg(F.count(F.lit(1)).alias(str(spec)))
+    if op == "$facet":
+        return _apply_facet(df, spec)
     raise MongoTranslateError(f"unsupported stage {op!r}")
+
+
+def _apply_facet(df: DataFrame, spec: dict) -> DataFrame:
+    """$facet: run each named sub-pipeline over the same input; output is
+    ONE document whose fields are arrays of each facet's result docs.
+
+    Each facet compiles through :func:`mongo_pipeline` (so the input scan
+    is shared by Catalyst across facets where possible), collapses to a
+    single array-of-structs row, and the single-row frames cross-join —
+    a cheap plan because every side is exactly one row. Facet arrays only
+    have a defined order if the sub-pipeline ends with $sort (same caveat
+    as Mongo); the coalesce(1) before collect_list preserves that order.
+    """
+    if not (isinstance(spec, dict) and spec):
+        raise MongoTranslateError("$facet requires a non-empty dict of pipelines")
+    import functools
+
+    ones = []
+    for name, stages in spec.items():
+        if not isinstance(stages, list):
+            raise MongoTranslateError(f"$facet field {name!r} must be a pipeline")
+        sub = mongo_pipeline(df, stages)
+        ones.append(
+            sub.coalesce(1).agg(
+                F.collect_list(
+                    F.struct(*[F.col(c) for c in sub.columns])
+                ).alias(name)
+            )
+        )
+    return functools.reduce(lambda a, b: a.crossJoin(b), ones)

@@ -151,17 +151,38 @@ def summary_sheet_inputs(enriched: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def write_excel_report(sheets: dict[str, DataFrame], path: str) -> bool:
-    """S5 presentation step. Returns False (skipped) when no Excel writer
-    library is available — the data side lives in summary_sheet_inputs."""
+def write_excel_report(
+    sheets: dict[str, DataFrame],
+    path: str,
+    charts: dict[str, tuple[DataFrame, str, str]] | None = None,
+) -> bool:
+    """S5+S6 presentation step. Returns False (skipped) when no Excel
+    writer library is available — the data side lives in
+    summary_sheet_inputs, and the chart PNGs themselves come from the
+    stdlib renderer (sources/charts.py), so only the workbook *embedding*
+    is xlsxwriter-gated (reference embeds matplotlib PNGs,
+    Project.py:312-324).
+
+    ``charts`` maps sheet name -> (aggregated df, label_col, value_col).
+    """
     try:
         import pandas as pd  # noqa: F401
         import xlsxwriter  # noqa: F401
     except ImportError:
         return False
+    import io
+
     import pandas as pd
+
+    from .charts import chart_png
 
     with pd.ExcelWriter(path, engine="xlsxwriter") as xw:
         for name, df in sheets.items():
             df.limit(10000).toPandas().to_excel(xw, sheet_name=name[:31], index=False)
+        for name, (df, label_col, value_col) in (charts or {}).items():
+            png = chart_png(df, label_col, value_col)
+            ws = xw.book.add_worksheet(name[:31])
+            ws.insert_image(
+                "B2", f"{name}.png", {"image_data": io.BytesIO(png)}
+            )
     return True

@@ -255,3 +255,37 @@ def test_stddev_accumulators(spark):
                      "sdp": {"$stdDevPop": "$x"}}}],
     ).collect()[0]
     assert abs(out.sd - 2.0 ** 0.5) < 1e-12 and abs(out.sdp - 1.0) < 1e-12
+
+
+def test_skip_requires_sort_and_offsets(spark):
+    df = _df(spark)
+    out = mongo_pipeline(
+        df,
+        [{"$sort": {"price": 1}}, {"$skip": 1}, {"$limit": 2}],
+    ).collect()
+    assert [r.price for r in out] == [20.0, 30.0]
+    with pytest.raises(MongoTranslateError, match=r"\$skip"):
+        mongo_pipeline(df, [{"$skip": 1}])
+
+
+def test_facet_multi_pipeline_one_document(spark):
+    row = mongo_pipeline(
+        _df(spark),
+        [
+            {"$facet": {
+                "by_region": [
+                    {"$group": {"_id": "$region", "n": {"$sum": 1}}},
+                    {"$sort": {"_id": 1}},
+                ],
+                "top_prices": [
+                    {"$sort": {"price": -1}},
+                    {"$limit": 2},
+                    {"$project": {"brand": 1, "price": 1}},
+                ],
+            }},
+        ],
+    ).collect()[0]
+    assert [(f._id, f.n) for f in row.by_region] == [("N", 2), ("S", 2)]
+    assert [(f.brand, f.price) for f in row.top_prices] == [("a", 40.0), ("b", 30.0)]
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(_df(spark), [{"$facet": {}}])
