@@ -180,6 +180,37 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def word_shingles_all(toks: Column, n: int = 3) -> Column:
+    """ALL n-word shingles (duplicates kept — the denominator for
+    repetition ratios; :func:`word_shingles` is the distinct variant)."""
+    shingled = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_ratio(toks: Column, n: int = 3) -> Column:
+    """Repeated n-gram ratio: 1 - distinct/total shingles (0 when the doc
+    is too short to shingle). The Rae et al. (Gopher) repetition signal,
+    as a pure column expression."""
+    all_sh = word_shingles_all(toks, n)
+    total = F.size(all_sh)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(all_sh)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_count(toks: Column) -> Column:
+    """Number of stopword occurrences (Gopher's >=2-stopwords rule input)."""
+    return F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    ).cast("bigint")
+
+
 # --- DuckDB twins -----------------------------------------------------------
 
 DD_TOKENS = "list_filter(string_split({text}, ' '), t -> t <> '')"
@@ -194,6 +225,32 @@ def dd_shingles(toks: str, n: int = 3) -> str:
     return (
         f"list_distinct([array_to_string(({toks})[i:i+{n - 1}], ' ') "
         f"for i in range(1, greatest(len({toks}) - {n - 1}, 0) + 1)])"
+    )
+
+
+def dd_shingles_all(toks: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles_all` (duplicates kept)."""
+    return (
+        f"[array_to_string(({toks})[i:i+{n - 1}], ' ') "
+        f"for i in range(1, greatest(len({toks}) - {n - 1}, 0) + 1)]"
+    )
+
+
+def dd_dup_ngram_ratio(toks: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`dup_ngram_ratio`."""
+    all_sh = dd_shingles_all(toks, n)
+    return (
+        f"CASE WHEN len({all_sh}) > 0 THEN 1.0 - "
+        f"len(list_distinct({all_sh})) / CAST(len({all_sh}) AS DOUBLE) "
+        f"ELSE 0.0 END"
+    )
+
+
+def dd_stopword_count(toks: str) -> str:
+    """DuckDB twin of :func:`stopword_count`."""
+    return (
+        f"CAST(len(list_filter({toks}, t -> lower(t) IN {DD_STOPWORDS})) "
+        f"AS BIGINT)"
     )
 
 

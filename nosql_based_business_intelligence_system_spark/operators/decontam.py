@@ -1,0 +1,72 @@
+"""Benchmark decontamination: flag training documents sharing any n-word
+shingle with an evaluation/benchmark corpus (the standard 13-gram-overlap
+rule used by large-scale LM training pipelines).
+
+North-star scope — not in the reference (a pandas BI script,
+``Project.py``); this is part of the training-data-pipeline extension
+surface SURVEY.md §2.9 prescribes.
+
+Scale stance: contamination detection is a key-partitioned join on the
+64-bit shingle hash, never an all-pairs comparison. The eval side of the
+join is the (tiny) benchmark corpus — at 100 TB of training data the eval
+shingle set is still only millions of rows, so the size-threshold/AQE
+broadcast picks it up automatically; we deliberately do NOT force a
+broadcast hint so a pathologically large eval set degrades to a shuffle
+join instead of an executor OOM (same policy as operators/star.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """(doc_id, n_shared_ngrams, n_eval_docs) for every CONTAMINATED
+    training doc — one sharing at least one n-word shingle with any eval
+    doc.
+
+    Plan: codegen shingling on both sides (:func:`~.dedup.shingle_rows`,
+    hashed 64-bit keys), distinct eval shingles, hash-key equi-join,
+    one grouped agg per training doc. Shuffle is bounded by the match
+    count; the eval side broadcasts when small (threshold/AQE decided).
+    """
+    tr = shingle_rows(train, content_col, id_col, n).select(
+        F.col("doc").alias(id_col), "shingle"
+    )
+    ev = shingle_rows(eval_docs, content_col, id_col, n).select(
+        F.col("doc").alias("__eval_doc"), "shingle"
+    )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("__eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_shared: int = 0,
+) -> DataFrame:
+    """Training docs SURVIVING decontamination (shared n-grams <=
+    ``max_shared``; default 0 = any overlap disqualifies). Left-anti join
+    against the contaminated set — the write-the-clean-corpus step."""
+    hits = ngram_contamination(
+        train, eval_docs, content_col, id_col, n
+    ).filter(F.col("n_shared_ngrams") > max_shared)
+    return train.join(hits.select(id_col), [id_col], "left_anti")

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import dedup
+from ..operators import decontam, dedup
 from ..sources.tables import load_table
 from .base import Query as _q
 
@@ -398,8 +398,182 @@ FROM (
 ) GROUP BY source"""
 
 
+# --- Gopher-style quality filter --------------------------------------------
+
+#: Rule thresholds (Rae et al. "Scaling Language Models" repetition/quality
+#: rules, adapted to this corpus's 10-99-token documents so every rule is
+#: exercised: min-token and stopword rules fail a meaningful fraction at
+#: sf0.01; word-length and symbol rules are permissive but present).
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_WORD_LEN = 3.0
+GOPHER_MAX_WORD_LEN = 10.0
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_DUP3 = 0.1
+GOPHER_MAX_SYMBOL = 0.1
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher-style quality rules -> per-rule pass flags + keep.
+
+    Pure column expressions (no UDF): token bounds, mean word length,
+    stopword floor, repeated-3-gram ceiling, symbol-ratio ceiling."""
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    nt = T.n_tokens(toks)
+    awl = T.avg_token_len(toks)
+    sw = T.stopword_count(toks)
+    dup3 = T.dup_ngram_ratio(toks)
+    sym = T.punct_ratio(F.col("text"))
+    ok_len = (nt >= GOPHER_MIN_TOKENS) & (nt <= GOPHER_MAX_TOKENS)
+    ok_wl = (awl >= GOPHER_MIN_WORD_LEN) & (awl <= GOPHER_MAX_WORD_LEN)
+    ok_sw = sw >= GOPHER_MIN_STOPWORDS
+    ok_rep = dup3 <= GOPHER_MAX_DUP3
+    ok_sym = sym <= GOPHER_MAX_SYMBOL
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        dup3.alias("dup_3gram_ratio"),
+        ok_len.cast("int").alias("ok_token_count"),
+        ok_wl.cast("int").alias("ok_word_len"),
+        ok_sw.cast("int").alias("ok_stopwords"),
+        ok_rep.cast("int").alias("ok_repetition"),
+        ok_sym.cast("int").alias("ok_symbol"),
+        (ok_len & ok_wl & ok_sw & ok_rep & ok_sym).cast("int").alias("keep"),
+    )
+
+
+_AWL = f"list_aggregate([length(t) for t in {_TOKS}], 'sum') * 1.0 / len({_TOKS})"
+_DUP3 = T.dd_dup_ngram_ratio(_TOKS)
+_SW_CNT = T.dd_stopword_count(_TOKS)
+_SYM = (
+    "coalesce((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))"
+    " * 1.0 / nullif(length(text), 0), 0.0)"
+)
+
+DOC_QUALITY_FILTER_SQL = f"""SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+  {_DUP3} AS dup_3gram_ratio,
+  CAST(CASE WHEN len({_TOKS}) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+       THEN 1 ELSE 0 END AS INT) AS ok_token_count,
+  CAST(CASE WHEN {_AWL} BETWEEN {GOPHER_MIN_WORD_LEN} AND {GOPHER_MAX_WORD_LEN}
+       THEN 1 ELSE 0 END AS INT) AS ok_word_len,
+  CAST(CASE WHEN {_SW_CNT} >= {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS INT)
+    AS ok_stopwords,
+  CAST(CASE WHEN {_DUP3} <= {GOPHER_MAX_DUP3} THEN 1 ELSE 0 END AS INT)
+    AS ok_repetition,
+  CAST(CASE WHEN {_SYM} <= {GOPHER_MAX_SYMBOL} THEN 1 ELSE 0 END AS INT)
+    AS ok_symbol,
+  CAST(CASE WHEN len({_TOKS}) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+        AND {_AWL} BETWEEN {GOPHER_MIN_WORD_LEN} AND {GOPHER_MAX_WORD_LEN}
+        AND {_SW_CNT} >= {GOPHER_MIN_STOPWORDS}
+        AND {_DUP3} <= {GOPHER_MAX_DUP3}
+        AND {_SYM} <= {GOPHER_MAX_SYMBOL}
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents"""
+
+
+def gopher_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row filter funnel: corpus size, survivors, per-rule fail counts
+    (a rule's fail count is independent of the other rules, as in a
+    filtering ablation report)."""
+    flags = doc_quality_filter(spark, sf_dir)
+    one = F.count(F.lit(1))
+    return flags.agg(
+        one.alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_keep"),
+        (one - F.sum("ok_token_count")).cast("bigint").alias("n_fail_token_count"),
+        (one - F.sum("ok_word_len")).cast("bigint").alias("n_fail_word_len"),
+        (one - F.sum("ok_stopwords")).cast("bigint").alias("n_fail_stopwords"),
+        (one - F.sum("ok_repetition")).cast("bigint").alias("n_fail_repetition"),
+        (one - F.sum("ok_symbol")).cast("bigint").alias("n_fail_symbol"),
+    )
+
+
+GOPHER_FILTER_SUMMARY_SQL = f"""SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(keep) AS BIGINT) AS n_keep,
+  CAST(COUNT(*) - SUM(ok_token_count) AS BIGINT) AS n_fail_token_count,
+  CAST(COUNT(*) - SUM(ok_word_len) AS BIGINT) AS n_fail_word_len,
+  CAST(COUNT(*) - SUM(ok_stopwords) AS BIGINT) AS n_fail_stopwords,
+  CAST(COUNT(*) - SUM(ok_repetition) AS BIGINT) AS n_fail_repetition,
+  CAST(COUNT(*) - SUM(ok_symbol) AS BIGINT) AS n_fail_symbol
+FROM ({DOC_QUALITY_FILTER_SQL})"""
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+#: Benchmark corpus = these sources; everything else is training data.
+DECONTAM_EVAL_SOURCES = ("src0", "src1")
+#: 13-gram overlap is the published decontamination rule; the fixture docs
+#: (10-99 tokens) do contain cross-doc 13-gram repeats, so the query is
+#: exercised at sf0.01.
+DECONTAM_N = 13
+
+
+def _decontam_split(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    is_eval = F.col("source").isin(*DECONTAM_EVAL_SOURCES)
+    return d.filter(~is_eval), d.filter(is_eval)
+
+
+def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated training docs: share >=1 13-gram with the benchmark
+    sources (operators/decontam.ngram_contamination — hashed-shingle
+    equi-join, never all-pairs)."""
+    train, ev = _decontam_split(spark, sf_dir)
+    return decontam.ngram_contamination(train, ev, n=DECONTAM_N)
+
+
+_EVAL_IN = "(" + ", ".join(f"'{s}'" for s in DECONTAM_EVAL_SOURCES) + ")"
+
+BENCHMARK_DECONTAM_SQL = f"""WITH sh0 AS (
+  SELECT doc_id, source, unnest({T.dd_shingles(_TOKS, DECONTAM_N)}) AS s
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, s FROM sh0
+), tr AS (
+  SELECT doc_id, s FROM sh WHERE source NOT IN {_EVAL_IN}
+), ev AS (
+  SELECT doc_id AS eval_doc, s FROM sh WHERE source IN {_EVAL_IN}
+)
+SELECT tr.doc_id,
+  CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n_shared_ngrams,
+  CAST(COUNT(DISTINCT ev.eval_doc) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev ON tr.s = ev.s
+GROUP BY tr.doc_id"""
+
+
+def decontam_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs SURVIVING 13-gram decontamination (left-anti join
+    against the contaminated set) — the write-the-clean-corpus step."""
+    train, ev = _decontam_split(spark, sf_dir)
+    return decontam.decontaminate(train, ev, n=DECONTAM_N).select(
+        "doc_id", "source"
+    )
+
+
+DECONTAM_KEEP_SQL = f"""WITH sh0 AS (
+  SELECT doc_id, source, unnest({T.dd_shingles(_TOKS, DECONTAM_N)}) AS s
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, s FROM sh0
+), contaminated AS (
+  SELECT DISTINCT tr.doc_id
+  FROM (SELECT doc_id, s FROM sh WHERE source NOT IN {_EVAL_IN}) tr
+  JOIN (SELECT s FROM sh WHERE source IN {_EVAL_IN}) ev ON tr.s = ev.s
+)
+SELECT doc_id, source FROM documents
+WHERE source NOT IN {_EVAL_IN}
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
 QUERIES = {
     "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
+    "doc_quality_filter": _q(doc_quality_filter, DOC_QUALITY_FILTER_SQL),
+    "gopher_filter_summary": _q(gopher_filter_summary, GOPHER_FILTER_SUMMARY_SQL),
+    "benchmark_decontam": _q(benchmark_decontam, BENCHMARK_DECONTAM_SQL),
+    "decontam_keep": _q(decontam_keep, DECONTAM_KEEP_SQL),
     "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
     "docs_stratified_sample": _q(docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),
     "source_quality_report": _q(source_quality_report, SOURCE_QUALITY_REPORT_SQL),
