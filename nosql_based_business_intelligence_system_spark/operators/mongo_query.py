@@ -383,7 +383,62 @@ def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(str(spec)))
     if op == "$facet":
         return _apply_facet(df, spec)
+    if op == "$sortByCount":
+        # Mongo: group by the expression, count, sort count desc. Ties are
+        # arbitrary in Mongo; we break them by _id asc so the result is
+        # deterministic (and hash-stable) across engines.
+        key = expr(spec).alias("_id")
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("count"))
+            .orderBy(F.desc("count"), F.asc("_id"))
+        )
+    if op == "$bucket":
+        return _apply_bucket(df, spec)
+    if op in ("$replaceRoot", "$replaceWith"):
+        # {"$replaceRoot": {"newRoot": "$struct_field"}} / {"$replaceWith": "$f"}
+        root = spec.get("newRoot") if isinstance(spec, dict) else spec
+        if not (isinstance(root, str) and root.startswith("$")):
+            raise MongoTranslateError(
+                f"{op} requires a '$field' newRoot (struct promotion): {spec!r}"
+            )
+        return df.select(F.col(root[1:] + ".*"))
     raise MongoTranslateError(f"unsupported stage {op!r}")
+
+
+def _apply_bucket(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucket: assign each doc to [b[i], b[i+1]) by ``groupBy`` value;
+    ``_id`` is the bucket's lower boundary, out-of-range docs go to
+    ``default`` (raise without one — Mongo errors there too). Compiles to
+    one CASE WHEN chain + one grouped agg; boundaries are literals, so the
+    chain is codegen'd and the only shuffle is the group itself."""
+    for k in ("groupBy", "boundaries"):
+        if k not in spec:
+            raise MongoTranslateError(f"$bucket requires {k!r}")
+    unknown = set(spec) - {"groupBy", "boundaries", "default", "output"}
+    if unknown:
+        raise MongoTranslateError(f"unsupported $bucket options {sorted(unknown)!r}")
+    bounds = spec["boundaries"]
+    if len(bounds) < 2 or sorted(bounds) != list(bounds):
+        raise MongoTranslateError("$bucket boundaries must be sorted, len >= 2")
+    val = expr(spec["groupBy"])
+    bucket = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        cond = (val >= F.lit(lo)) & (val < F.lit(hi))
+        bucket = F.when(cond, F.lit(lo)) if bucket is None else bucket.when(cond, F.lit(lo))
+    if "default" in spec:
+        bucket = bucket.otherwise(F.lit(spec["default"]))
+    # without a default, out-of-range rows fall out (Mongo raises per-doc;
+    # a distributed engine can't raise per-row cheaply — filter instead)
+    out = df.withColumn("__bucket", bucket)
+    if "default" not in spec:
+        out = out.filter(F.col("__bucket").isNotNull())
+    aggs = (
+        [_accumulator(k, v) for k, v in spec["output"].items()]
+        if spec.get("output")
+        else [F.count(F.lit(1)).alias("count")]
+    )
+    return out.groupBy(F.col("__bucket").alias("_id")).agg(*aggs)
 
 
 def _apply_facet(df: DataFrame, spec: dict) -> DataFrame:

@@ -164,7 +164,78 @@ ORDER BY r.total_due DESC, r.customer_number ASC
 LIMIT {RECV_PAY_TOP}"""
 
 
+#: $bucket boundaries over order value (decimal-cast upstream so the sums
+#: are order-independent — same policy as every money aggregate here).
+ORDER_VALUE_BOUNDS = (0, 50_000, 150_000, 300_000, 600_000)
+
+
+def mongo_order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$bucket`` histogram of order value + per-bucket totals. The
+    collection is a plan that pre-casts the measure to decimal(18,2) —
+    the engine-side prep a Mongo user's ETL would do — so SUM is exact
+    and hash-stable across engines."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    return mongo_pipeline(
+        orders,
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$price_dec",
+                    "boundaries": list(ORDER_VALUE_BOUNDS),
+                    "default": -1,
+                    "output": {
+                        "n_orders": {"$sum": 1},
+                        "total_value": {"$sum": "$price_dec"},
+                        "max_value": {"$max": "$price_dec"},
+                    },
+                }
+            }
+        ],
+    )
+
+
+_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN CAST(o_totalprice AS DECIMAL(18,2)) >= {lo} "
+    f"AND CAST(o_totalprice AS DECIMAL(18,2)) < {hi} THEN {lo}"
+    for lo, hi in zip(ORDER_VALUE_BOUNDS, ORDER_VALUE_BOUNDS[1:])
+) + " ELSE -1 END"
+
+MONGO_ORDER_VALUE_BUCKETS_SQL = f"""SELECT {_BUCKET_CASE} AS _id,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value,
+  MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_value
+FROM orders GROUP BY 1"""
+
+
+def mongo_priority_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$sortByCount`` on order priority — Mongo's one-liner frequency
+    table, compiled to groupBy + count + deterministic sort."""
+    from ..sources.tables import load_table
+
+    return mongo_pipeline(
+        load_table(spark, sf_dir, "orders"),
+        [{"$sortByCount": "$o_orderpriority"}],
+    )
+
+
+MONGO_PRIORITY_SORT_BY_COUNT_SQL = """SELECT o_orderpriority AS _id,
+  CAST(COUNT(*) AS BIGINT) AS count
+FROM orders GROUP BY 1 ORDER BY count DESC, _id ASC"""
+
+
 QUERIES = {
+    "mongo_order_value_buckets": _q(
+        mongo_order_value_buckets, MONGO_ORDER_VALUE_BUCKETS_SQL
+    ),
+    "mongo_priority_sort_by_count": _q(
+        mongo_priority_sort_by_count, MONGO_PRIORITY_SORT_BY_COUNT_SQL
+    ),
     "mongo_region_quarter_revenue": _q(
         mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL
     ),

@@ -289,3 +289,56 @@ def test_facet_multi_pipeline_one_document(spark):
     assert [(f.brand, f.price) for f in row.top_prices] == [("a", 40.0), ("b", 30.0)]
     with pytest.raises(MongoTranslateError):
         mongo_pipeline(_df(spark), [{"$facet": {}}])
+
+
+def test_sort_by_count(spark):
+    out = mongo_pipeline(_df(spark), [{"$sortByCount": "$brand"}]).collect()
+    assert [(r._id, r["count"]) for r in out] == [("a", 3), ("b", 1)]
+
+
+def test_bucket_with_default_and_output(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$price",
+                    "boundaries": [0.0, 15.0, 35.0],
+                    "default": -1.0,
+                    "output": {"n": {"$sum": 1}, "top": {"$max": "$price"}},
+                }
+            }
+        ],
+    ).collect()
+    got = {r._id: (r.n, r.top) for r in out}
+    assert got == {0.0: (1, 10.0), 15.0: (2, 30.0), -1.0: (1, 40.0)}
+
+
+def test_bucket_without_default_drops_out_of_range(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [{"$bucket": {"groupBy": "$price", "boundaries": [0.0, 35.0]}}],
+    ).collect()
+    assert [(r._id, r["count"]) for r in out] == [(0.0, 3)]
+
+
+def test_bucket_rejects_unsorted_boundaries(spark):
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(
+            _df(spark),
+            [{"$bucket": {"groupBy": "$price", "boundaries": [10.0, 0.0]}}],
+        )
+
+
+def test_replace_root_promotes_struct(spark):
+    from pyspark.sql import functions as F
+
+    df = _df(spark).select(F.struct("region", "qty").alias("inner"), "price")
+    out = mongo_pipeline(df, [{"$replaceRoot": {"newRoot": "$inner"}}])
+    assert sorted(out.columns) == ["qty", "region"]
+    assert out.count() == 4
+
+
+def test_replace_root_requires_field_ref(spark):
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(_df(spark), [{"$replaceWith": {"bad": 1}}])
