@@ -501,6 +501,76 @@ GOPHER_FILTER_SUMMARY_SQL = f"""SELECT
 FROM ({DOC_QUALITY_FILTER_SQL})"""
 
 
+# --- PII redaction -----------------------------------------------------------
+
+
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII scrub report over a corpus with PLANTED synthetic PII
+    (the fixture text is clean words, so the query deterministically embeds
+    an email + phone per doc and an IP in every third doc — exercising
+    detection counts and proving the redaction chain leaves zero residual
+    matches). All regexp column expressions, no UDF
+    (functions/redact.py)."""
+    from ..functions import redact as R
+
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid, F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" at 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    per_doc = d.select(
+        "source",
+        R.pii_count(planted, "email").alias("n_email"),
+        R.pii_count(planted, "phone").alias("n_phone"),
+        R.pii_count(planted, "ipv4").alias("n_ip"),
+        R.pii_total(R.redact_pii(planted)).alias("n_residual"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("n_emails"),
+        F.sum("n_phone").cast("bigint").alias("n_phones"),
+        F.sum("n_ip").cast("bigint").alias("n_ips"),
+        F.sum("n_residual").cast("bigint").alias("n_residual"),
+    )
+
+
+def _pii_sql() -> str:
+    from ..functions import redact as R
+
+    planted = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'"
+        " || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'"
+        " || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' at 10.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+    )
+    residual = " + ".join(
+        R.dd_pii_count(f"({R.dd_redact_pii('planted')})", k) for k in R.PII_PATTERNS
+    )
+    return f"""WITH p AS (SELECT source, {planted} AS planted FROM documents)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM({R.dd_pii_count('planted', 'email')}) AS BIGINT) AS n_emails,
+  CAST(SUM({R.dd_pii_count('planted', 'phone')}) AS BIGINT) AS n_phones,
+  CAST(SUM({R.dd_pii_count('planted', 'ipv4')}) AS BIGINT) AS n_ips,
+  CAST(SUM({residual}) AS BIGINT) AS n_residual
+FROM p GROUP BY source"""
+
+
+PII_REDACTION_REPORT_SQL = _pii_sql()
+
+
 # --- benchmark decontamination ----------------------------------------------
 
 #: Benchmark corpus = these sources; everything else is training data.
@@ -568,10 +638,55 @@ WHERE source NOT IN {_EVAL_IN}
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
 
 
+# --- corpus shard packing ----------------------------------------------------
+
+#: Token budget per training shard (calibrated so sf0.01's ~55-token docs
+#: yield several shards per language).
+SHARD_TOKEN_BUDGET = 2000
+
+
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: docs packed into fixed-token-budget shards
+    per language (operators/packing.shard_manifest — start-offset packing,
+    one window sort, no UDF)."""
+    from ..operators import packing
+
+    d = _docs(spark, sf_dir)
+    return packing.shard_manifest(
+        d,
+        tokens=T.bpe_token_count(F.col("text")),
+        order_col="doc_id",
+        budget=SHARD_TOKEN_BUDGET,
+        group_cols=("lang",),
+    )
+
+
+CORPUS_SHARD_PLAN_SQL = f"""WITH counted AS (
+  SELECT lang, doc_id,
+    CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS BIGINT) AS n_tokens
+  FROM documents
+), assigned AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST(floor(coalesce(SUM(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {SHARD_TOKEN_BUDGET}) AS BIGINT) AS shard_id
+  FROM counted
+)
+SELECT lang, shard_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+  MIN(doc_id) AS first_doc,
+  MAX(doc_id) AS last_doc
+FROM assigned GROUP BY lang, shard_id"""
+
+
 QUERIES = {
     "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
+    "corpus_shard_plan": _q(corpus_shard_plan, CORPUS_SHARD_PLAN_SQL),
     "doc_quality_filter": _q(doc_quality_filter, DOC_QUALITY_FILTER_SQL),
     "gopher_filter_summary": _q(gopher_filter_summary, GOPHER_FILTER_SUMMARY_SQL),
+    "pii_redaction_report": _q(pii_redaction_report, PII_REDACTION_REPORT_SQL),
     "benchmark_decontam": _q(benchmark_decontam, BENCHMARK_DECONTAM_SQL),
     "decontam_keep": _q(decontam_keep, DECONTAM_KEEP_SQL),
     "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
