@@ -192,16 +192,44 @@ def word_shingles_all(toks: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingle_hashes(toks: Column, n: int = 3) -> Column:
+    """ALL n-word shingles as 64-bit hashes (duplicates kept). ~6x cheaper
+    than the string-building :func:`word_shingles_all`: the lambda hashes
+    ``n`` array elements instead of slicing + concatenating substrings.
+    Multi-arg xxhash64 chains per token, so no separator ambiguity;
+    distinct-counts match string shingles up to ~2^-64 collisions.
+
+    The length guard matters: ``sequence(1, 0)`` in Spark infers step -1
+    and yields [1, 0] rather than an empty array, so an unguarded short
+    doc would produce phantom shingles."""
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    shingled = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)])
+    )
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def dup_ratio_from_shingles(sh: Column) -> Column:
+    """Repeated-shingle ratio given a PRE-MATERIALIZED shingle array column
+    (0 when too short to shingle). Keep the array in its own projection
+    (``withColumn``) so it is computed once per row — referencing a
+    shingling *expression* from several output columns re-evaluates it."""
+    total = F.size(sh)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)) / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def dup_ngram_ratio(toks: Column, n: int = 3) -> Column:
     """Repeated n-gram ratio: 1 - distinct/total shingles (0 when the doc
     is too short to shingle). The Rae et al. (Gopher) repetition signal,
-    as a pure column expression."""
-    all_sh = word_shingles_all(toks, n)
-    total = F.size(all_sh)
-    return F.when(
-        total > 0,
-        F.lit(1.0) - F.size(F.array_distinct(all_sh)) / total.cast("double"),
-    ).otherwise(F.lit(0.0))
+    as a pure column expression. For hot paths, materialize
+    :func:`word_shingle_hashes` in a projection and apply
+    :func:`dup_ratio_from_shingles` instead (single evaluation per row)."""
+    return dup_ratio_from_shingles(word_shingle_hashes(toks, n))
 
 
 def stopword_count(toks: Column) -> Column:
