@@ -86,3 +86,29 @@ def test_no_forced_broadcast_of_scaling_dimensions():
                 if arg not in allowed:
                     offenders.append(f"{path.name}:{i} broadcast({arg})")
     assert not offenders, offenders
+
+
+def test_quality_filter_is_shuffle_free_scan(spark):
+    """Per-doc quality flags are a pure projection: zero shuffles, no
+    Python boundary (the repetition ratio is hashed-shingle arithmetic)."""
+    df = _df(spark, "doc_quality_filter")
+    assert I.count_exchanges(df) == 0
+    assert "BatchEvalPython" not in I.explain_str(df, "simple")
+
+
+def test_decontam_is_keyed_join_not_cartesian(spark):
+    plan = I.explain_str(_df(spark, "benchmark_decontam"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shard_plan_single_sort_no_python(spark):
+    df = _df(spark, "corpus_shard_plan")
+    assert I.count_exchanges(df) <= 2  # window partition + manifest agg
+    assert "BatchEvalPython" not in I.explain_str(df, "simple")
+
+
+def test_pii_report_single_agg_shuffle(spark):
+    df = _df(spark, "pii_redaction_report")
+    assert I.count_exchanges(df) == 1
+    assert "BatchEvalPython" not in I.explain_str(df, "simple")
