@@ -395,6 +395,8 @@ def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
         )
     if op == "$bucket":
         return _apply_bucket(df, spec)
+    if op == "$bucketAuto":
+        return _apply_bucket_auto(df, spec)
     if op in ("$replaceRoot", "$replaceWith"):
         # {"$replaceRoot": {"newRoot": "$struct_field"}} / {"$replaceWith": "$f"}
         root = spec.get("newRoot") if isinstance(spec, dict) else spec
@@ -439,6 +441,49 @@ def _apply_bucket(df: DataFrame, spec: dict) -> DataFrame:
         else [F.count(F.lit(1)).alias("count")]
     )
     return out.groupBy(F.col("__bucket").alias("_id")).agg(*aggs)
+
+
+def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
+    """$bucketAuto: ~equal-count quantile buckets. Mongo only "attempts"
+    even distribution; we define it deterministically as
+    ``bucket = min(floor(percent_rank * N), N-1)`` — rank-based, so TIED
+    groupBy values always land in the same bucket (never split), which
+    keeps the result stable across engines and partitionings. ``_id`` is
+    flattened to ``_id_min``/``_id_max`` bounds (portable columns instead
+    of a struct).
+
+    Scale note: an exact global quantile needs a global sort (one
+    range-partitioned exchange — Spark sorts it distributed, not on one
+    node). At 100 TB prefer approx quantile boundaries + a $bucket stage.
+    ``granularity`` is unsupported and raises.
+    """
+    from pyspark.sql import Window
+
+    for k in ("groupBy", "buckets"):
+        if k not in spec:
+            raise MongoTranslateError(f"$bucketAuto requires {k!r}")
+    unknown = set(spec) - {"groupBy", "buckets", "output"}
+    if unknown:
+        raise MongoTranslateError(
+            f"unsupported $bucketAuto options {sorted(unknown)!r}"
+        )
+    n = int(spec["buckets"])
+    if n < 1:
+        raise MongoTranslateError("$bucketAuto buckets must be >= 1")
+    val = expr(spec["groupBy"])
+    pr = F.percent_rank().over(Window.orderBy(val))
+    bucket = F.least(F.floor(pr * n), F.lit(n - 1)).cast("bigint")
+    staged = df.withColumn("__val", val).withColumn("__bucket", bucket)
+    aggs = (
+        [_accumulator(k, v) for k, v in spec["output"].items()]
+        if spec.get("output")
+        else [F.count(F.lit(1)).alias("count")]
+    )
+    return (
+        staged.groupBy("__bucket")
+        .agg(F.min("__val").alias("_id_min"), F.max("__val").alias("_id_max"), *aggs)
+        .drop("__bucket")
+    )
 
 
 def _apply_facet(df: DataFrame, spec: dict) -> DataFrame:

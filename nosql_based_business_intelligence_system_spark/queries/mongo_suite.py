@@ -213,6 +213,41 @@ MONGO_ORDER_VALUE_BUCKETS_SQL = f"""SELECT {_BUCKET_CASE} AS _id,
 FROM orders GROUP BY 1"""
 
 
+AUTO_BUCKETS = 8
+
+
+def mongo_order_value_bucket_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$bucketAuto`` over order value: 8 ~equal-count quantile buckets
+    with min/max bounds. The rank-based bucket rule (ties never split) is
+    mirrored exactly by the oracle's PERCENT_RANK — both engines share the
+    IEEE arithmetic, so the assignment is hash-stable."""
+    from ..sources.tables import load_table
+
+    return mongo_pipeline(
+        load_table(spark, sf_dir, "orders"),
+        [
+            {
+                "$bucketAuto": {
+                    "groupBy": "$o_totalprice",
+                    "buckets": AUTO_BUCKETS,
+                    "output": {"n_orders": {"$sum": 1}},
+                }
+            }
+        ],
+    )
+
+
+MONGO_ORDER_VALUE_BUCKET_AUTO_SQL = f"""WITH ranked AS (
+  SELECT o_totalprice,
+    CAST(least(floor(PERCENT_RANK() OVER (ORDER BY o_totalprice)
+      * {AUTO_BUCKETS}), {AUTO_BUCKETS - 1}) AS BIGINT) AS b
+  FROM orders
+)
+SELECT MIN(o_totalprice) AS _id_min, MAX(o_totalprice) AS _id_max,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ranked GROUP BY b"""
+
+
 def mongo_priority_sort_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``$sortByCount`` on order priority — Mongo's one-liner frequency
     table, compiled to groupBy + count + deterministic sort."""
@@ -235,6 +270,9 @@ QUERIES = {
     ),
     "mongo_priority_sort_by_count": _q(
         mongo_priority_sort_by_count, MONGO_PRIORITY_SORT_BY_COUNT_SQL
+    ),
+    "mongo_order_value_bucket_auto": _q(
+        mongo_order_value_bucket_auto, MONGO_ORDER_VALUE_BUCKET_AUTO_SQL
     ),
     "mongo_region_quarter_revenue": _q(
         mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL

@@ -342,3 +342,35 @@ def test_replace_root_promotes_struct(spark):
 def test_replace_root_requires_field_ref(spark):
     with pytest.raises(MongoTranslateError):
         mongo_pipeline(_df(spark), [{"$replaceWith": {"bad": 1}}])
+
+
+def test_bucket_auto_equal_counts(spark):
+    rows = [Row(v=float(i)) for i in range(1, 13)]  # 12 distinct values
+    out = mongo_pipeline(
+        spark.createDataFrame(rows),
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 4}}],
+    ).orderBy("_id_min").collect()
+    assert [(r._id_min, r._id_max, r["count"]) for r in out] == [
+        (1.0, 3.0, 3), (4.0, 6.0, 3), (7.0, 9.0, 3), (10.0, 12.0, 3)
+    ]
+
+
+def test_bucket_auto_never_splits_ties(spark):
+    rows = [Row(v=1.0)] * 5 + [Row(v=2.0)] * 1
+    out = mongo_pipeline(
+        spark.createDataFrame(rows),
+        [{"$bucketAuto": {"groupBy": "$v", "buckets": 2}}],
+    ).orderBy("_id_min").collect()
+    # all five 1.0s share a percent_rank -> same bucket
+    assert [(r._id_min, r._id_max, r["count"]) for r in out] == [
+        (1.0, 1.0, 5), (2.0, 2.0, 1)
+    ]
+
+
+def test_bucket_auto_rejects_granularity(spark):
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(
+            _df(spark),
+            [{"$bucketAuto": {"groupBy": "$price", "buckets": 2,
+                              "granularity": "R5"}}],
+        )
