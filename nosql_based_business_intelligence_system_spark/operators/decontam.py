@@ -55,6 +55,59 @@ def ngram_contamination(
     )
 
 
+def eval_shingle_set(
+    eval_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """ONE-row frame holding the benchmark's distinct shingle hashes as a
+    sorted array — the broadcastable representation for the stateless
+    (stream-safe) contamination check. Eval/benchmark corpora are bounded
+    (they're test sets), so the array stays small; for a pathologically
+    large eval set use the exploded-join path (:func:`ngram_contamination`)
+    instead."""
+    return (
+        shingle_rows(eval_docs, content_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .agg(F.array_sort(F.collect_list("shingle")).alias("__eval_sh"))
+    )
+
+
+def flag_contaminated(
+    docs: DataFrame,
+    eval_sh: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> DataFrame:
+    """Per-doc contamination flag, STATELESS — no aggregation on ``docs``,
+    so the same plan runs batch or as a streaming query in append mode
+    (stream-static cross join against the 1-row eval set is supported;
+    Spark broadcasts the single-row side).
+
+    Shingles come from the in-row :func:`~..functions.text
+    .word_shingle_hashes` (no window — windows don't stream); the flag is
+    ``size(array_intersect(doc_shingles, eval_shingles)) > 0``.
+    """
+    from ..functions import text as T
+
+    toks = T.tokens(F.col(content_col))
+    staged = docs.withColumn("__sh", T.word_shingle_hashes(toks, n))
+    return (
+        staged.crossJoin(eval_sh)
+        .withColumn(
+            "n_shared_ngrams",
+            F.size(F.array_intersect(F.col("__sh"), F.col("__eval_sh"))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("is_contaminated", (F.col("n_shared_ngrams") > 0).cast("int"))
+        .drop("__sh", "__eval_sh")
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,

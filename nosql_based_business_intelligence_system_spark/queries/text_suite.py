@@ -413,18 +413,19 @@ GOPHER_MAX_DUP3 = 0.1
 GOPHER_MAX_SYMBOL = 0.1
 
 
-def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quality_flags(d: DataFrame) -> DataFrame:
     """Per-doc Gopher-style quality rules -> per-rule pass flags + keep.
 
     Pure column expressions (no UDF): token bounds, mean word length,
     stopword floor, repeated-3-gram ceiling, symbol-ratio ceiling.
+    STATELESS (projection only), so the identical plan runs batch or
+    streaming (tests/test_streaming.py proves parity).
 
     Staged projections on purpose: tokens and shingle hashes are
     materialized ONCE per row (withColumn), then every stat reads the
     array column. Referencing the tokenize/shingle *expressions* from
     each output column re-evaluates them per column — measured 6x slower
     on this very query (12s -> 2s at sf0.1)."""
-    d = _docs(spark, sf_dir)
     toks = F.col("__toks")
     staged = (
         d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
@@ -452,6 +453,10 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_sym.cast("int").alias("ok_symbol"),
         (ok_len & ok_wl & ok_sw & ok_rep & ok_sym).cast("int").alias("keep"),
     )
+
+
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_flags(_docs(spark, sf_dir))
 
 
 _AWL = f"list_aggregate([length(t) for t in {_TOKS}], 'sum') * 1.0 / len({_TOKS})"
@@ -625,6 +630,39 @@ FROM tr JOIN ev ON tr.s = ev.s
 GROUP BY tr.doc_id"""
 
 
+def doc_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc contamination flag via the STATELESS path
+    (decontam.flag_contaminated — in-row shingle hashes intersected with
+    the broadcast eval-shingle set; the same plan streams in append
+    mode). Distinct-shared-ngram counts must equal the join-based
+    benchmark_decontam — the oracle asserts exactly that."""
+    train, ev = _decontam_split(spark, sf_dir)
+    eval_sh = decontam.eval_shingle_set(ev, n=DECONTAM_N)
+    return decontam.flag_contaminated(train, eval_sh, n=DECONTAM_N).select(
+        "doc_id", "n_shared_ngrams", "is_contaminated"
+    )
+
+
+DOC_CONTAMINATION_FLAGS_SQL = f"""WITH sh0 AS (
+  SELECT doc_id, source, unnest({T.dd_shingles(_TOKS, DECONTAM_N)}) AS s
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, s FROM sh0
+), ev AS (
+  SELECT DISTINCT s FROM sh WHERE source IN {_EVAL_IN}
+), hits AS (
+  SELECT tr.doc_id, CAST(COUNT(DISTINCT tr.s) AS BIGINT) AS n
+  FROM (SELECT doc_id, s FROM sh WHERE source NOT IN {_EVAL_IN}) tr
+  JOIN ev ON tr.s = ev.s
+  GROUP BY tr.doc_id
+)
+SELECT d.doc_id,
+  coalesce(h.n, 0) AS n_shared_ngrams,
+  CAST(CASE WHEN h.n > 0 THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.source NOT IN {_EVAL_IN}"""
+
+
 def decontam_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training docs SURVIVING 13-gram decontamination (left-anti join
     against the contaminated set) — the write-the-clean-corpus step."""
@@ -699,6 +737,9 @@ QUERIES = {
     "gopher_filter_summary": _q(gopher_filter_summary, GOPHER_FILTER_SUMMARY_SQL),
     "pii_redaction_report": _q(pii_redaction_report, PII_REDACTION_REPORT_SQL),
     "benchmark_decontam": _q(benchmark_decontam, BENCHMARK_DECONTAM_SQL),
+    "doc_contamination_flags": _q(
+        doc_contamination_flags, DOC_CONTAMINATION_FLAGS_SQL
+    ),
     "decontam_keep": _q(decontam_keep, DECONTAM_KEEP_SQL),
     "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
     "docs_stratified_sample": _q(docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),

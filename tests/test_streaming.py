@@ -150,3 +150,55 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_smoke, events_dir):
     )
     assert got.count() == expected.count() > 0
     assert _sorted_rows(got, None) == _sorted_rows(expected, None)
+
+
+# --- streaming corpus curation (stateless LLM-pipeline ops) ------------------
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, sf_smoke):  # noqa: F811
+    from nosql_based_business_intelligence_system_spark.streaming import corpus as C
+
+    with tempfile.TemporaryDirectory() as d:
+        yield C.materialize_docs_dir(spark, sf_smoke, f"{d}/docs", n_files=4)
+
+
+def test_quality_filter_stream_equals_batch(spark, sf_smoke, docs_dir):
+    """quality_flags is a stateless projection: identical results via
+    readStream (append mode, no watermark) and batch."""
+    from nosql_based_business_intelligence_system_spark.queries.text_suite import (
+        quality_flags,
+    )
+    from nosql_based_business_intelligence_system_spark.streaming import corpus as C
+
+    stream = C.read_docs_stream(spark, docs_dir, max_files_per_trigger=2)
+    W.run_to_memory_sink(quality_flags(stream), "qf_stream", output_mode="append")
+    got = spark.table("qf_stream")
+    expected = quality_flags(load_table(spark, sf_smoke, "documents"))
+    assert _sorted_rows(got, None) == _sorted_rows(expected, None)
+    assert got.count() > 0
+
+
+def test_contamination_flags_stream_equals_batch(spark, sf_smoke, docs_dir):
+    """flag_contaminated is stateless (in-row shingles x broadcast eval
+    set): the stream-static cross join appends flags with no state."""
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.operators import decontam
+    from nosql_based_business_intelligence_system_spark.streaming import corpus as C
+
+    batch_docs = load_table(spark, sf_smoke, "documents")
+    ev = batch_docs.filter(F.col("source").isin("src0", "src1"))
+    eval_sh = decontam.eval_shingle_set(ev, n=5)
+
+    stream = C.read_docs_stream(spark, docs_dir)
+    flagged = decontam.flag_contaminated(
+        stream.filter(~F.col("source").isin("src0", "src1")), eval_sh, n=5
+    ).select("doc_id", "n_shared_ngrams", "is_contaminated")
+    W.run_to_memory_sink(flagged, "contam_stream", output_mode="append")
+    got = spark.table("contam_stream")
+
+    expected = decontam.flag_contaminated(
+        batch_docs.filter(~F.col("source").isin("src0", "src1")), eval_sh, n=5
+    ).select("doc_id", "n_shared_ngrams", "is_contaminated")
+    assert _sorted_rows(got, None) == _sorted_rows(expected, None)
