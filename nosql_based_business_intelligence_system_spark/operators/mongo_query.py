@@ -126,6 +126,23 @@ def match_filter(q: dict) -> Column:
         elif k.startswith("$"):
             raise MongoTranslateError(f"unsupported $match operator {k!r}")
         elif isinstance(v, dict):
+            if "$regex" in v:
+                unknown = set(v) - {"$regex", "$options"}
+                if unknown:
+                    raise MongoTranslateError(
+                        f"cannot mix $regex with {sorted(unknown)!r}"
+                    )
+                opts = v.get("$options", "")
+                bad = set(opts) - set("ims")
+                if bad:
+                    # 'x' (extended) has subtly different whitespace rules
+                    # in Java regex; refuse rather than silently differ
+                    raise MongoTranslateError(
+                        f"unsupported $regex options {sorted(bad)!r}"
+                    )
+                pattern = (f"(?{opts})" if opts else "") + v["$regex"]
+                parts.append(F.col(k).rlike(pattern))
+                continue
             for op, val in v.items():
                 if op not in _CMP:
                     raise MongoTranslateError(f"unsupported comparator {op!r}")
@@ -310,6 +327,13 @@ def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
             prev_op = "$lookup"
             i += 2 if fused else 1
             continue
+        if op in ("$out", "$merge"):
+            if i != len(pipeline) - 1:
+                raise MongoTranslateError(f"{op} must be the final stage")
+            df = _apply_out(df, spec) if op == "$out" else _apply_merge(df, spec)
+            prev_op = op
+            i += 1
+            continue
         if op == "$skip":
             # deterministic only over an ordered stream: require $sort
             # immediately before (Mongo's .sort().skip().limit() idiom)
@@ -441,6 +465,82 @@ def _apply_bucket(df: DataFrame, spec: dict) -> DataFrame:
         else [F.count(F.lit(1)).alias("count")]
     )
     return out.groupBy(F.col("__bucket").alias("_id")).agg(*aggs)
+
+
+def _apply_out(df: DataFrame, spec: Any) -> DataFrame:
+    """$out: replace the target collection with the pipeline result.
+
+    Collections here are storage paths: ``{"path": ..., "format":
+    "parquet"|"jsonl"}``. Unlike Mongo (whose $out yields an empty
+    cursor), this returns the result READ BACK from the sink — the
+    round-trip is the natural verification hook and keeps the stage
+    composable in tests."""
+    if not (isinstance(spec, dict) and "path" in spec):
+        raise MongoTranslateError(f"$out spec must be a dict with 'path': {spec!r}")
+    unknown = set(spec) - {"path", "format"}
+    if unknown:
+        raise MongoTranslateError(f"unsupported $out options {sorted(unknown)!r}")
+    fmt = spec.get("format", "parquet")
+    path = spec["path"]
+    spark = df.sparkSession
+    if fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        df.write.mode("overwrite").json(path)
+        return spark.read.schema(df.schema).json(path)
+    raise MongoTranslateError(f"unsupported $out format {fmt!r}")
+
+
+def _apply_merge(df: DataFrame, spec: dict) -> DataFrame:
+    """$merge: key-based upsert into a parquet target.
+
+    Supported: ``on`` (single key), ``whenMatched`` in
+    {"replace", "keepExisting"}, ``whenNotMatched`` in {"insert",
+    "discard"}. Compiled to anti/semi joins + a rewrite: this is the
+    filesystem fallback (write temp, swap) — on a real deployment point
+    the target at a transactional table format instead; the join logic is
+    identical. Missing target = plain write (everything is an insert)."""
+    import os
+    import shutil
+
+    for k in ("into", "on"):
+        if k not in spec:
+            raise MongoTranslateError(f"$merge requires {k!r}")
+    unknown = set(spec) - {"into", "on", "whenMatched", "whenNotMatched"}
+    if unknown:
+        raise MongoTranslateError(f"unsupported $merge options {sorted(unknown)!r}")
+    into = spec["into"]
+    if not (isinstance(into, dict) and into.get("format", "parquet") == "parquet"):
+        raise MongoTranslateError("$merge target must be {'path': ..., 'format': 'parquet'}")
+    path, key = into["path"], spec["on"]
+    when_matched = spec.get("whenMatched", "replace")
+    when_not = spec.get("whenNotMatched", "insert")
+    if when_matched not in ("replace", "keepExisting"):
+        raise MongoTranslateError(f"unsupported whenMatched {when_matched!r}")
+    if when_not not in ("insert", "discard"):
+        raise MongoTranslateError(f"unsupported whenNotMatched {when_not!r}")
+    spark = df.sparkSession
+    if not os.path.exists(path):
+        df.write.parquet(path)
+        return spark.read.parquet(path)
+    existing = spark.read.parquet(path)
+    if when_matched == "replace":
+        kept_existing = existing.join(df, [key], "left_anti")
+        new_rows = df if when_not == "insert" else df.join(existing, [key], "left_semi")
+    else:  # keepExisting
+        kept_existing = existing
+        new_rows = (
+            df.join(existing, [key], "left_anti")
+            if when_not == "insert"
+            else df.limit(0)
+        )
+    result = kept_existing.unionByName(new_rows)
+    tmp = path.rstrip("/") + "__merge_tmp"
+    result.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path)
 
 
 def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:

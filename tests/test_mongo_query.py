@@ -83,7 +83,7 @@ def test_unsupported_raises(spark):
     with pytest.raises(MongoTranslateError):
         mongo_pipeline(_df(spark), [{"$lookup": {}}])
     with pytest.raises(MongoTranslateError):
-        mongo_pipeline(_df(spark), [{"$match": {"price": {"$regex": "x"}}}])
+        mongo_pipeline(_df(spark), [{"$match": {"price": {"$type": "double"}}}])
 
 
 def test_sort_limit_plans_topk(spark):
@@ -374,3 +374,57 @@ def test_bucket_auto_rejects_granularity(spark):
             [{"$bucketAuto": {"groupBy": "$price", "buckets": 2,
                               "granularity": "R5"}}],
         )
+
+
+def test_match_regex(spark):
+    out = mongo_pipeline(
+        _df(spark), [{"$match": {"brand": {"$regex": "^A", "$options": "i"}}}]
+    )
+    assert out.count() == 3  # brand 'a' rows, case-insensitive
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(_df(spark), [{"$match": {"brand": {"$regex": "a", "$options": "x"}}}])
+
+
+def test_out_round_trip(spark, tmp_path):
+    p = str(tmp_path / "agg_out")
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {"$group": {"_id": "$region", "n": {"$sum": 1}}},
+            {"$out": {"path": p, "format": "parquet"}},
+        ],
+    )
+    assert {(r._id, r.n) for r in out.collect()} == {("N", 2), ("S", 2)}
+    # the sink really holds the result
+    assert {(r._id, r.n) for r in spark.read.parquet(p).collect()} == {("N", 2), ("S", 2)}
+
+
+def test_out_must_be_final_stage(spark, tmp_path):
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(
+            _df(spark),
+            [{"$out": {"path": str(tmp_path / "x")}}, {"$limit": 1}],
+        )
+
+
+def test_merge_upsert_replace_insert(spark, tmp_path):
+    p = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [Row(k=1, v="old1"), Row(k=2, v="old2")]
+    ).write.parquet(p)
+    out = mongo_pipeline(
+        spark.createDataFrame([Row(k=2, v="new2"), Row(k=3, v="new3")]),
+        [{"$merge": {"into": {"path": p}, "on": "k"}}],
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "old1"), (2, "new2"), (3, "new3")}
+
+
+def test_merge_keep_existing_discard(spark, tmp_path):
+    p = str(tmp_path / "tgt2")
+    spark.createDataFrame([Row(k=1, v="old1")]).write.parquet(p)
+    out = mongo_pipeline(
+        spark.createDataFrame([Row(k=1, v="new1"), Row(k=9, v="new9")]),
+        [{"$merge": {"into": {"path": p}, "on": "k",
+                     "whenMatched": "keepExisting", "whenNotMatched": "discard"}}],
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "old1")}
