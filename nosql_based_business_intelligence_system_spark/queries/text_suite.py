@@ -517,6 +517,56 @@ GOPHER_FILTER_SUMMARY_SQL = f"""SELECT
 FROM ({DOC_QUALITY_FILTER_SQL})"""
 
 
+# --- token rarity / familiarity ----------------------------------------------
+
+
+def doc_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-rarity profile against the corpus unigram table: how
+    'familiar' each doc's vocabulary is (the integer-exact cousin of a
+    unigram-LM logprob score — rare-token-heavy docs are the gibberish/
+    noise candidates a curation pipeline drops or down-weights).
+
+    Deliberately log-free: corpus term counts, hapax counts, and the
+    sum/min of per-occurrence frequencies are integers, and the one ratio
+    is a single int/int division — so the result is bit-identical across
+    engines (a logprob formulation drifts in the last ulp because libm
+    ``ln`` differs between engines).
+
+    Plan: explode -> one grouped count for the unigram table -> join back
+    on term (vocab side broadcasts under the threshold at fixture scale;
+    at 100 TB the join degrades gracefully to shuffle) -> per-doc agg.
+    """
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    unigram = tok.groupBy("term").agg(F.count(F.lit(1)).alias("term_tf"))
+    return (
+        tok.join(unigram, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.min("term_tf").alias("min_term_tf"),
+            F.sum(F.when(F.col("term_tf") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            (F.sum("term_tf") / F.count(F.lit(1))).alias("avg_term_tf"),
+        )
+    )
+
+
+DOC_RARITY_SCORES_SQL = f"""WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+), unigram AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS term_tf FROM tok GROUP BY term
+)
+SELECT tok.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  MIN(unigram.term_tf) AS min_term_tf,
+  CAST(SUM(CASE WHEN unigram.term_tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  SUM(unigram.term_tf) * 1.0 / COUNT(*) AS avg_term_tf
+FROM tok JOIN unigram ON tok.term = unigram.term
+GROUP BY tok.doc_id"""
+
+
 # --- PII redaction -----------------------------------------------------------
 
 
@@ -735,6 +785,7 @@ QUERIES = {
     "corpus_shard_plan": _q(corpus_shard_plan, CORPUS_SHARD_PLAN_SQL),
     "doc_quality_filter": _q(doc_quality_filter, DOC_QUALITY_FILTER_SQL),
     "gopher_filter_summary": _q(gopher_filter_summary, GOPHER_FILTER_SUMMARY_SQL),
+    "doc_rarity_scores": _q(doc_rarity_scores, DOC_RARITY_SCORES_SQL),
     "pii_redaction_report": _q(pii_redaction_report, PII_REDACTION_REPORT_SQL),
     "benchmark_decontam": _q(benchmark_decontam, BENCHMARK_DECONTAM_SQL),
     "doc_contamination_flags": _q(
