@@ -80,8 +80,77 @@ def expr(e: Any) -> Column:
             return F.coalesce(expr(args[0]), expr(args[1]))
         if op == "$literal":
             return F.lit(args)
+        if op in _UNARY:
+            return _UNARY[op](expr(args))
+        if op == "$concat":
+            return F.concat(*[expr(a) for a in args])
+        if op == "$substrCP":
+            # Mongo is 0-based; Spark substring is 1-based
+            return F.substring(
+                expr(args[0]), F.lit(int(args[1]) + 1), F.lit(int(args[2]))
+            )
+        if op == "$mod":
+            return expr(args[0]) % expr(args[1])
+        if op == "$round":
+            places = int(args[1]) if isinstance(args, list) and len(args) > 1 else 0
+            return F.round(expr(args[0] if isinstance(args, list) else args), places)
+        if op == "$dateToString":
+            return _date_to_string(args)
         raise MongoTranslateError(f"unsupported expression operator {op!r}")
     return F.lit(e)
+
+
+#: Single-argument expression operators (string/date/math/cast).
+_UNARY = {
+    "$toLower": F.lower,
+    "$toUpper": F.upper,
+    "$trim": lambda c: F.trim(c),
+    "$strLenCP": lambda c: F.length(c).cast("int"),
+    "$abs": F.abs,
+    "$ceil": lambda c: F.ceil(c).cast("bigint"),
+    "$floor": lambda c: F.floor(c).cast("bigint"),
+    "$year": lambda c: F.year(c).cast("int"),
+    "$month": lambda c: F.month(c).cast("int"),
+    "$dayOfMonth": lambda c: F.dayofmonth(c).cast("int"),
+    "$hour": lambda c: F.hour(c).cast("int"),
+    "$toString": lambda c: c.cast("string"),
+    "$toInt": lambda c: c.cast("int"),
+    "$toLong": lambda c: c.cast("bigint"),
+    "$toDouble": lambda c: c.cast("double"),
+}
+
+#: Mongo strftime-style tokens -> Spark datetime pattern (only the
+#: unambiguous subset; anything else raises rather than silently differs).
+_DATE_FMT = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm", "%S": "ss"}
+
+
+def _date_to_string(args: Any) -> Column:
+    if not (isinstance(args, dict) and "date" in args and "format" in args):
+        raise MongoTranslateError(
+            f"$dateToString requires {{format, date}}: {args!r}"
+        )
+    unknown = set(args) - {"date", "format"}
+    if unknown:
+        raise MongoTranslateError(
+            f"unsupported $dateToString options {sorted(unknown)!r}"
+        )
+    fmt = args["format"]
+    out = ""
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            tok = fmt[i : i + 2]
+            if tok not in _DATE_FMT:
+                raise MongoTranslateError(f"unsupported $dateToString token {tok!r}")
+            out += _DATE_FMT[tok]
+            i += 2
+        elif fmt[i].isalpha():
+            out += f"'{fmt[i]}'"  # literal letters must be quoted in Spark patterns
+            i += 1
+        else:
+            out += fmt[i]
+            i += 1
+    return F.date_format(expr(args["date"]), out)
 
 
 def predicate_expr(e: Any) -> Column:

@@ -213,6 +213,44 @@ MONGO_ORDER_VALUE_BUCKETS_SQL = f"""SELECT {_BUCKET_CASE} AS _id,
 FROM orders GROUP BY 1"""
 
 
+def mongo_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month order rollup through the pipeline's date expression
+    operators ($year/$month/$dateToString) — the standard dashboard
+    time-bucketing idiom. Measure pre-cast to decimal for exact sums."""
+    from pyspark.sql import functions as F
+
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    return mongo_pipeline(
+        orders,
+        [
+            {
+                "$group": {
+                    "_id": {
+                        "ym": {
+                            "$dateToString": {
+                                "format": "%Y-%m",
+                                "date": "$o_orderdate",
+                            }
+                        }
+                    },
+                    "n_orders": {"$sum": 1},
+                    "total_value": {"$sum": "$price_dec"},
+                }
+            },
+        ],
+    )
+
+
+MONGO_MONTHLY_ORDER_STATS_SQL = """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value
+FROM orders GROUP BY 1"""
+
+
 AUTO_BUCKETS = 8
 
 
@@ -273,6 +311,9 @@ QUERIES = {
     ),
     "mongo_order_value_bucket_auto": _q(
         mongo_order_value_bucket_auto, MONGO_ORDER_VALUE_BUCKET_AUTO_SQL
+    ),
+    "mongo_monthly_order_stats": _q(
+        mongo_monthly_order_stats, MONGO_MONTHLY_ORDER_STATS_SQL
     ),
     "mongo_region_quarter_revenue": _q(
         mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL

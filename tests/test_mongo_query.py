@@ -428,3 +428,43 @@ def test_merge_keep_existing_discard(spark, tmp_path):
                      "whenMatched": "keepExisting", "whenNotMatched": "discard"}}],
     )
     assert {(r.k, r.v) for r in out.collect()} == {(1, "old1")}
+
+
+def test_string_and_math_expr_operators(spark):
+    rows = mongo_pipeline(
+        _df(spark),
+        [{"$project": {
+            "up": {"$toUpper": "$brand"},
+            "lab": {"$concat": ["$region", {"$literal": "-"}, "$brand"]},
+            "head": {"$substrCP": ["$region", 0, 1]},
+            "pmod": {"$mod": ["$price", 7.0]},
+            "pr": {"$round": ["$price", -1]},
+            "pc": {"$ceil": "$price"},
+            "ln": {"$strLenCP": "$brand"},
+        }}],
+    ).collect()
+    r = {x.lab: x for x in rows}
+    assert r["N-a"].up == "A" and r["N-a"].head == "N" and r["N-a"].ln == 1
+    assert r["N-a"].pmod == 3.0 and r["N-a"].pr == 10.0 and r["N-a"].pc == 10
+
+
+def test_date_expr_operators(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [Row(k=1, d=datetime.datetime(2024, 3, 7, 14, 5, 9))]
+    )
+    r = mongo_pipeline(
+        df,
+        [{"$project": {
+            "y": {"$year": "$d"}, "m": {"$month": "$d"},
+            "dom": {"$dayOfMonth": "$d"}, "h": {"$hour": "$d"},
+            "s": {"$dateToString": {"format": "%Y-%m", "date": "$d"}},
+        }}],
+    ).collect()[0]
+    assert (r.y, r.m, r.dom, r.h, r.s) == (2024, 3, 7, 14, "2024-03")
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(
+            df,
+            [{"$project": {"bad": {"$dateToString": {"format": "%j", "date": "$d"}}}}],
+        )
