@@ -304,16 +304,17 @@ def mongo_find(
     return mongo_pipeline(df, pipeline)
 
 
-def _unwind_spec(spec: Any) -> tuple[str, bool]:
-    """Parse a $unwind spec -> (field path, preserveNullAndEmptyArrays).
-
-    Unknown keys (notably ``includeArrayIndex``) raise — the module's
+def _unwind_spec(spec: Any) -> tuple[str, bool, str | None]:
+    """Parse a $unwind spec -> (field path, preserveNullAndEmptyArrays,
+    includeArrayIndex name or None). Unknown keys raise — the module's
     policy is a loud unsupported, never a silently-different answer.
     """
     if isinstance(spec, str):
-        path, preserve = spec, False
+        path, preserve, idx = spec, False, None
     elif isinstance(spec, dict):
-        unknown = set(spec) - {"path", "preserveNullAndEmptyArrays"}
+        unknown = set(spec) - {
+            "path", "preserveNullAndEmptyArrays", "includeArrayIndex"
+        }
         if unknown:
             raise MongoTranslateError(
                 f"unsupported $unwind options {sorted(unknown)!r}"
@@ -322,11 +323,16 @@ def _unwind_spec(spec: Any) -> tuple[str, bool]:
             raise MongoTranslateError("$unwind dict spec requires 'path'")
         path = spec["path"]
         preserve = bool(spec.get("preserveNullAndEmptyArrays", False))
+        idx = spec.get("includeArrayIndex")
+        if idx is not None and not isinstance(idx, str):
+            raise MongoTranslateError(
+                f"includeArrayIndex must be a field name: {idx!r}"
+            )
     else:
         raise MongoTranslateError(f"unsupported $unwind spec {spec!r}")
     if not (isinstance(path, str) and path.startswith("$")):
         raise MongoTranslateError(f"$unwind path must be a '$field' string: {path!r}")
-    return path[1:], preserve
+    return path[1:], preserve, idx
 
 
 def _apply_lookup(
@@ -388,10 +394,11 @@ def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
         (op, spec), = stage.items()
         if op == "$lookup":
             nxt = pipeline[i + 1] if i + 1 < len(pipeline) else None
-            unwind_field, preserve = None, False
+            unwind_field, preserve, unwind_idx = None, False, None
             if isinstance(nxt, dict) and "$unwind" in nxt:
-                unwind_field, preserve = _unwind_spec(nxt["$unwind"])
-            fused = unwind_field == spec.get("as")
+                unwind_field, preserve, unwind_idx = _unwind_spec(nxt["$unwind"])
+            # an index request needs the real array positions -> no fusion
+            fused = unwind_field == spec.get("as") and unwind_idx is None
             df = _apply_lookup(df, spec, unwound=fused, preserve=preserve)
             prev_op = "$lookup"
             i += 2 if fused else 1
@@ -447,9 +454,19 @@ def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
     if op == "$limit":
         return df.limit(int(spec))
     if op == "$unwind":
-        field, preserve = _unwind_spec(spec)
-        exploder = F.explode_outer if preserve else F.explode
-        return df.withColumn(field, exploder(F.col(field)))
+        field, preserve, idx = _unwind_spec(spec)
+        if idx is None:
+            exploder = F.explode_outer if preserve else F.explode
+            return df.withColumn(field, exploder(F.col(field)))
+        # includeArrayIndex -> posexplode; Mongo's index is a long, null
+        # for the preserved null/empty rows
+        pos_exploder = F.posexplode_outer if preserve else F.posexplode
+        others = [c for c in df.columns if c != field]
+        return (
+            df.select(*others, pos_exploder(F.col(field)).alias("__pos", field))
+            .withColumn(idx, F.col("__pos").cast("long"))
+            .drop("__pos")
+        )
     if op == "$unionWith":
         # {"$unionWith": {"coll": df, "pipeline": [...]}} or a bare DataFrame.
         # Mongo appends the other collection's (piped) docs; missing fields

@@ -132,6 +132,45 @@ def bmp_decode_image(payload: bytes) -> dict:
     }
 
 
+def bmp_resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL resize backend: nearest-neighbor rescale of an uncompressed
+    24-bit BMP, emitting a VALID 24-bit BMP (round-trips through
+    :func:`bmp_decode_image`) — the preprocess-images-for-training step
+    with an actual pixel transform, pure stdlib."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    out_row_size = (out_w * 3 + 3) & ~3
+    out_rows = bytearray(out_row_size * out_h)
+    for oy in range(out_h):
+        sy = min(oy * height // out_h, height - 1)
+        src_y = (height - 1 - sy) if bottom_up else sy
+        # output stays bottom-up: output row oy (top-origin) stores at
+        # physical row (out_h - 1 - oy)
+        dst_base = (out_h - 1 - oy) * out_row_size
+        src_base = data_offset + src_y * row_size
+        for ox in range(out_w):
+            sx = min(ox * width // out_w, width - 1)
+            s = src_base + sx * 3
+            d = dst_base + ox * 3
+            out_rows[d : d + 3] = payload[s : s + 3]
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(out_rows), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, out_w, out_h, 1, 24, 0, len(out_rows), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(out_rows)
+
+
 def wav_audio_features(payload: bytes, window_ms: int = 25) -> dict:
     """REAL audio backend: PCM WAV via the stdlib ``wave`` module.
 
@@ -205,6 +244,49 @@ def decode_images(
 
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    resize_backend: Callable[[bytes, int, int], bytes] = bmp_resize_image,
+) -> DataFrame:
+    """Binary-in/binary-out image rescale via Arrow-batched mapInPandas —
+    the training-set preprocess step. One row per input image, narrow (no
+    shuffle); output payloads round-trip through the matching decode
+    backend. Swap ``resize_backend`` for a PIL-based one where codecs
+    exist (same seam policy as :func:`decode_images`)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "payload": [
+                        resize_backend(bytes(p), out_w, out_h)
+                        for p in pdf["payload"]
+                    ],
+                    "width": out_w,
+                    "height": out_h,
+                    "format": pdf["format"].values,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=RESIZED_IMAGE_SCHEMA
     )
 
 

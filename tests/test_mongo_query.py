@@ -211,9 +211,40 @@ def test_unwind_preserve_null_and_empty(spark):
 def test_unwind_unknown_option_raises(spark):
     df = spark.createDataFrame([Row(k=1, xs=[1])])
     with pytest.raises(MongoTranslateError):
-        mongo_pipeline(
-            df, [{"$unwind": {"path": "$xs", "includeArrayIndex": "idx"}}]
-        )
+        mongo_pipeline(df, [{"$unwind": {"path": "$xs", "arrayIndex": "idx"}}])
+
+
+def test_unwind_include_array_index(spark):
+    df = spark.createDataFrame(
+        [Row(k=1, xs=[10, 20]), Row(k=2, xs=[]), Row(k=3, xs=None)]
+    )
+    out = mongo_pipeline(
+        df, [{"$unwind": {"path": "$xs", "includeArrayIndex": "idx"}}]
+    ).collect()
+    assert sorted((r.k, r.xs, r.idx) for r in out) == [(1, 10, 0), (1, 20, 1)]
+    kept = mongo_pipeline(
+        df,
+        [{"$unwind": {"path": "$xs", "includeArrayIndex": "idx",
+                      "preserveNullAndEmptyArrays": True}}],
+    ).collect()
+    got = sorted(
+        (r.k, r.xs, r.idx) for r in kept
+    )
+    assert got == [(1, 10, 0), (1, 20, 1), (2, None, None), (3, None, None)]
+
+
+def test_lookup_unwind_with_index_not_fused_but_correct(spark):
+    out = mongo_pipeline(
+        spark.createDataFrame(ORDERS),
+        [
+            {"$lookup": {"from": spark.createDataFrame(CUSTS),
+                         "localField": "cust", "foreignField": "cid", "as": "c"}},
+            {"$unwind": {"path": "$c", "includeArrayIndex": "ci"}},
+        ],
+    ).collect()
+    assert sorted((r.okey, r.c.segment, r.ci) for r in out) == [
+        (1, "RETAIL", 0), (2, "RETAIL", 0)
+    ]
 
 
 def test_lookup_unwind_preserve_fuses_to_left_join(spark):

@@ -139,3 +139,47 @@ def test_wav_backend_real_signal(spark):
     row = extract_audio_features(media, feature_backend=wav_audio_features).collect()[0]
     assert row.n_windows == 40  # 1000 ms of real signal / 25 ms windows
     assert all(abs(f - 0.5) < 1e-3 for f in row.mfcc_like)
+
+
+def test_bmp_resize_round_trips_through_decode(spark):
+    """resize_images emits VALID BMPs: downscale a 4x4 checker, decode the
+    output with the real BMP backend, and check dims + pixel provenance."""
+    from nosql_based_business_intelligence_system_spark.operators.multimodal import (
+        bmp_decode_image,
+        bmp_resize_image,
+        resize_images,
+    )
+
+    white, black = (255, 255, 255), (0, 0, 0)
+    rows = [
+        [white, white, black, black],
+        [white, white, black, black],
+        [black, black, white, white],
+        [black, black, white, white],
+    ]
+    payload = _bmp_bytes(4, 4, rows)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 4, 4, None, None, "bmp")], MEDIA_SCHEMA
+    )
+    out = resize_images(media, 2, 2).collect()[0]
+    assert (out.width, out.height, out.format) == (2, 2, "bmp")
+    dec = bmp_decode_image(bytes(out.payload))
+    assert (dec["dec_width"], dec["dec_height"]) == (2, 2)
+    # nearest-neighbor of the checker: 2 white + 2 black pixels -> the
+    # luminance histogram has half mass in the darkest bin, half in the
+    # brightest
+    assert dec["features"][0] == pytest.approx(0.5)
+    assert dec["features"][-1] == pytest.approx(0.5)
+    # direct backend sanity: upscale back to 4x4 keeps only the 4 source colors
+    up = bmp_resize_image(bytes(out.payload), 4, 4)
+    dec_up = bmp_decode_image(up)
+    assert (dec_up["dec_width"], dec_up["dec_height"]) == (4, 4)
+
+
+def test_resize_plan_is_narrow(spark, media):
+    from nosql_based_business_intelligence_system_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    plan = resize_images(media, 8, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
