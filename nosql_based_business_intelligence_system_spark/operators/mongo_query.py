@@ -247,10 +247,36 @@ _ACCUM = {
 }
 
 
+def _top_bottom_n(op: str, arg: Any) -> Column:
+    """$topN/$bottomN: sortBy-defined extremes as an array (single sort
+    key; scalar outputs — the struct sort uses the output as tie-break,
+    which keeps the result deterministic). Collect-then-sort per group:
+    fine when n << group size and the collected pair is narrow."""
+    for k in ("n", "sortBy", "output"):
+        if not (isinstance(arg, dict) and k in arg):
+            raise MongoTranslateError(f"{op} requires {{n, sortBy, output}}")
+    if len(arg["sortBy"]) != 1:
+        raise MongoTranslateError(f"{op} supports a single sortBy key")
+    (field, direction), = arg["sortBy"].items()
+    n = int(arg["n"])
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(field).alias("k"), expr(arg["output"]).alias("v")))
+    )
+    if direction == -1:
+        pairs = F.reverse(pairs)
+    if op == "$topN":
+        chosen = F.slice(pairs, 1, n)
+    else:  # $bottomN: the LAST n in sort order, kept in sort order
+        chosen = F.reverse(F.slice(F.reverse(pairs), 1, n))
+    return F.transform(chosen, lambda s: s["v"])
+
+
 def _accumulator(name: str, spec: Any) -> Column:
     if not (isinstance(spec, dict) and len(spec) == 1):
         raise MongoTranslateError(f"accumulator for {name!r} must be one-op dict")
     (op, arg), = spec.items()
+    if op in ("$topN", "$bottomN"):
+        return _top_bottom_n(op, arg).alias(name)
     if op not in _ACCUM:
         raise MongoTranslateError(f"unsupported accumulator {op!r}")
     if op == "$sum" and not isinstance(arg, str) and not isinstance(arg, dict):

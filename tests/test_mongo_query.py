@@ -499,3 +499,23 @@ def test_date_expr_operators(spark):
             df,
             [{"$project": {"bad": {"$dateToString": {"format": "%j", "date": "$d"}}}}],
         )
+
+
+def test_topn_bottomn_accumulators(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [{"$group": {
+            "_id": None,
+            "top2": {"$topN": {"n": 2, "sortBy": {"price": -1}, "output": "$brand"}},
+            "cheap2": {"$bottomN": {"n": 2, "sortBy": {"price": -1}, "output": "$price"}},
+        }}],
+    ).collect()[0]
+    assert out.top2 == ["a", "b"]        # prices 40, 30
+    assert out.cheap2 == [20.0, 10.0]    # last two in desc order, kept in order
+    with pytest.raises(MongoTranslateError):
+        mongo_pipeline(
+            _df(spark),
+            [{"$group": {"_id": None,
+                         "bad": {"$topN": {"n": 1, "sortBy": {"a": 1, "b": 1},
+                                           "output": "$brand"}}}}],
+        )
