@@ -47,6 +47,33 @@ def assign_token_shards(
     )
 
 
+def write_shards(
+    df: DataFrame,
+    tokens: Column,
+    order_col: str,
+    budget: int,
+    out_dir: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Materialize the packed corpus as hive-partitioned parquet
+    (``.../group=x/shard_id=N/``) — one directory per training shard, so a
+    loader streams shard N without touching the rest (partition pruning),
+    and returns the manifest of what was written.
+
+    The write itself repartitions by the partition columns first so each
+    shard directory is produced by one task (no tiny-file explosion from
+    every task writing every partition)."""
+    assigned = assign_token_shards(df, tokens, order_col, budget, group_cols)
+    part_cols = [*group_cols, "shard_id"]
+    (
+        assigned.repartition(*[F.col(c) for c in part_cols])
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(out_dir)
+    )
+    return shard_manifest(df, tokens, order_col, budget, group_cols)
+
+
 def shard_manifest(
     df: DataFrame,
     tokens: Column,

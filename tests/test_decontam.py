@@ -64,3 +64,38 @@ def test_quality_filter_rules_fire_on_fixture(spark, sf_correctness):
     assert 0 < r.n_keep < r.n_docs
     assert r.n_fail_token_count > 0
     assert r.n_fail_stopwords > 0
+
+
+def test_dup_ratio_matches_python_reference(spark):
+    """Hypothesis: hashed-shingle repetition ratio equals the exact
+    string-shingle reference for arbitrary token streams (short docs,
+    all-identical tokens, unicode)."""
+    import pyspark.sql.functions as F
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nosql_based_business_intelligence_system_spark.functions import text as T
+
+    words = st.sampled_from(["a", "bb", "ccc", "δδ", "e"])
+
+    @settings(max_examples=12, deadline=None)
+    @given(docs=st.lists(st.lists(words, max_size=12), min_size=1, max_size=6))
+    def check(docs):
+        def ref(toks, n=3):
+            sh = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            return 1.0 - len(set(sh)) / len(sh) if sh else 0.0
+
+        df = spark.createDataFrame(
+            [(i, " ".join(d)) for i, d in enumerate(docs)], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: r.ratio
+            for r in df.select(
+                "doc_id",
+                T.dup_ngram_ratio(T.tokens(F.col("text")), 3).alias("ratio"),
+            ).collect()
+        }
+        for i, d in enumerate(docs):
+            assert got[i] == pytest.approx(ref([w for w in d if w])), (i, d)
+
+    check()

@@ -47,3 +47,52 @@ def test_manifest_partitions_docs_exactly_once(spark):
     )
     assert m.agg(F.sum("n_docs")).collect()[0][0] == len(ROWS)
     assert m.agg(F.sum("shard_tokens")).collect()[0][0] == sum(r.nt for r in ROWS)
+
+
+def test_write_shards_hive_layout_and_pruning(spark, tmp_path):
+    import os
+
+    out = str(tmp_path / "shards")
+    packing.write_shards(
+        spark.createDataFrame(ROWS), F.col("nt"), "doc_id", BUDGET, out, ("lang",)
+    )
+    # hive layout: lang=en/shard_id=0 ... exists
+    assert os.path.isdir(f"{out}/lang=en/shard_id=0")
+    assert os.path.isdir(f"{out}/lang=de/shard_id=2")
+    back = spark.read.parquet(out)
+    assert back.count() == len(ROWS)
+    # a one-shard read prunes to that partition's rows only
+    one = back.filter((F.col("lang") == "en") & (F.col("shard_id") == 0))
+    assert {r.doc_id for r in one.collect()} == {1, 2, 3}
+
+
+def test_packing_properties_vs_reference(spark):
+    """Hypothesis: shard assignment equals a sequential Python reference
+    for arbitrary token sizes and budgets (edge cases: empty group, one
+    doc, budget smaller than every doc)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        sizes=st.lists(st.integers(min_value=0, max_value=500), max_size=12),
+        budget=st.integers(min_value=1, max_value=400),
+    )
+    def check(sizes, budget):
+        rows = [Row(lang="x", doc_id=i, nt=s) for i, s in enumerate(sizes)]
+        expected = {}
+        cum = 0
+        for i, s in enumerate(sizes):
+            expected[i] = cum // budget
+            cum += s
+        if not rows:
+            return
+        got = {
+            r.doc_id: r.shard_id
+            for r in packing.assign_token_shards(
+                spark.createDataFrame(rows), F.col("nt"), "doc_id", budget, ("lang",)
+            ).collect()
+        }
+        assert got == expected
+
+    check()
