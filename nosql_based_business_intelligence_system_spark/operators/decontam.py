@@ -90,6 +90,13 @@ def flag_contaminated(
     Shingles come from the in-row :func:`~..functions.text
     .word_shingle_hashes` (no window — windows don't stream); the flag is
     ``size(array_intersect(doc_shingles, eval_shingles)) > 0``.
+
+    Cost model: array_intersect rebuilds the eval probe set PER ROW, so
+    each doc pays O(|eval shingles|) — measured 20.9s vs 1.9s for the
+    join path at sf0.1 with a 30k-shingle eval side. Use this for live
+    streams against modest benchmark sets; batch/backfill should use
+    :func:`ngram_contamination` (the registry's doc_contamination_flags
+    does, and tests/test_streaming.py proves the two paths agree).
     """
     from ..functions import text as T
 

