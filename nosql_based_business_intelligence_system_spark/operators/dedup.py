@@ -155,6 +155,49 @@ def ngram_jaccard_dupes(
     )
 
 
+def cross_corpus_dupes(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(new_doc, seen_doc, jaccard) near-dup pairs BETWEEN two corpora —
+    the incremental-crawl shape: dedupe today's batch against the corpus
+    already ingested, without re-pairing the existing corpus with itself.
+
+    Same shingle-key equi-join discipline as :func:`shingle_doc_pairs`,
+    but asymmetric: shuffle is bounded by cross-corpus shingle matches
+    only (the seen side's self-pairs never materialize). At 100 TB the
+    seen side's shingle table is the thing you keep materialized between
+    crawl batches.
+    """
+    new_sh = shingle_rows(new_docs, content_col, id_col, n)
+    seen_sh = shingle_rows(seen_docs, content_col, id_col, n)
+    a = new_sh.alias("a")
+    b = seen_sh.alias("b")
+    return (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.doc").alias("new_doc"),
+            F.col("b.doc").alias("seen_doc"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(
+            "new_doc",
+            "seen_doc",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str = "text",

@@ -235,6 +235,40 @@ WHERE doc_id NOT IN (SELECT doc_b FROM dupes)"""
 # --- fuzzy dedup (not SQL-portable -> rows-only) -----------------------------
 
 
+#: Incremental-dedup split: these sources are the already-ingested corpus;
+#: everything else is "today's crawl batch".
+SEEN_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs between the new crawl batch and the already-ingested
+    corpus (dedup.cross_corpus_dupes — asymmetric shingle join; the seen
+    side's self-pairs never materialize)."""
+    d = _docs(spark, sf_dir)
+    seen = F.col("source").isin(*SEEN_SOURCES)
+    return dedup.cross_corpus_dupes(
+        d.filter(~seen), d.filter(seen), n=3, threshold=0.5
+    )
+
+
+_SEEN_IN = "(" + ", ".join(f"'{s}'" for s in SEEN_SOURCES) + ")"
+
+DEDUP_CROSS_CORPUS_SQL = f"""WITH sh AS (
+  SELECT doc_id AS doc, source, len(sh_list) AS n_sh, unnest(sh_list) AS shingle
+  FROM (SELECT doc_id, source, {T.dd_shingles(_TOKS, 3)} AS sh_list FROM documents)
+), common AS (
+  SELECT a.doc AS new_doc, b.doc AS seen_doc, a.n_sh AS n_a, b.n_sh AS n_b,
+         COUNT(*) AS n_common
+  FROM (SELECT * FROM sh WHERE source NOT IN {_SEEN_IN}) a
+  JOIN (SELECT * FROM sh WHERE source IN {_SEEN_IN}) b ON a.shingle = b.shingle
+  GROUP BY 1, 2, 3, 4
+)
+SELECT new_doc, seen_doc,
+       n_common * 1.0 / (n_a + n_b - n_common) AS jaccard
+FROM common
+WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5"""
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dupes(
         _docs(spark, sf_dir), jaccard_threshold=0.5
@@ -812,6 +846,7 @@ QUERIES = {
     "dedup_ngram_jaccard": _q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_fuzzy_keep": _q(dedup_fuzzy_keep, DEDUP_FUZZY_KEEP_SQL),
     "dedup_clusters": _q(dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_cross_corpus": _q(dedup_cross_corpus, DEDUP_CROSS_CORPUS_SQL),
     "dedup_minhash": _q(dedup_minhash, None),
     "dedup_simhash": _q(dedup_simhash, None),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),

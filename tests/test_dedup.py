@@ -142,3 +142,27 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=2)
+
+
+def test_cross_corpus_asymmetric(spark):
+    """Incremental dedup pairs only new x seen — seen-side self-dups never
+    appear, new-side self-dups never appear."""
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog again today"),
+            Row(doc_id=11, text="totally novel content nothing like anything previously stored"),
+            Row(doc_id=12, text="totally novel content nothing like anything previously stored"),  # dup within new: must NOT pair
+        ]
+    )
+    seen = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again today"),  # dup within seen: must NOT pair
+            Row(doc_id=3, text="some other stored document about warehouse inventory levels"),
+        ]
+    )
+    pairs = dedup.cross_corpus_dupes(new, seen, n=3, threshold=0.5).collect()
+    got = sorted((r.new_doc, r.seen_doc) for r in pairs)
+    assert got == [(10, 1), (10, 2)]
+    for r in pairs:
+        assert r.jaccard == 1.0
