@@ -25,11 +25,15 @@ def asof_join(
     right_ts: str = "ts",
     direction: str = "backward",
     suffix: str = "_matched",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` (backward, inclusive — DuckDB ASOF semantics)
     or the least ``right_ts >= left_ts`` (forward) within the same ``on``
     key. Left-outer: unmatched left rows keep NULL right columns.
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity)
+    voids matches further than the bound — the row survives with NULLs,
+    it is not dropped.
 
     Right rows must be unique per (key, ts) for deterministic output —
     pre-aggregate the right side (e.g. ``max_by``) if they are not.
@@ -72,6 +76,15 @@ def asof_join(
         .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__is_left") == 1)
     )
+    if tolerance_seconds is not None:
+        if right_ts == on:
+            raise ValueError("tolerance needs the right ts carried in the match")
+        mts = F.col("__m").getField(right_ts).cast("long")
+        lts = F.col("__ts").cast("long")
+        delta = (lts - mts) if direction == "backward" else (mts - lts)
+        matched = matched.withColumn(
+            "__m", F.when(delta <= F.lit(int(tolerance_seconds)), F.col("__m"))
+        )
     taken = set(left.columns)
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     for c in rvals:

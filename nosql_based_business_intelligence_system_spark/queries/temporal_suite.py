@@ -64,6 +64,51 @@ ASOF LEFT JOIN (
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
+#: Attribution window: clicks older than this don't count.
+ASOF_TOLERANCE_S = 1800
+
+
+def purchase_recent_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of: the last click counts only within a
+    30-minute attribution window (pandas ``merge_asof(tolerance=...)``
+    semantics — out-of-window purchases keep their row with NULL click).
+    Same one-shuffle plan; the tolerance is a post-window predicate."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    out = asof_join(
+        purch, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance_seconds=ASOF_TOLERANCE_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("ts_matched").alias("click_ts"),
+        "click_value",
+    )
+
+
+PURCHASE_RECENT_CLICK_ASOF_SQL = f"""SELECT l.event_id, l.user_id, l.ts,
+  l.value AS purchase_value,
+  CASE WHEN date_diff('second', r.ts, l.ts) <= {ASOF_TOLERANCE_S}
+       THEN r.ts END AS click_ts,
+  CASE WHEN date_diff('second', r.ts, l.ts) <= {ASOF_TOLERANCE_S}
+       THEN r.click_value END AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max_by(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
 def price_tier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order counts/revenue per price tier: broadcast banded range join
     (non-equi ``lo <= x < hi`` against a 4-row tier dimension).
@@ -99,6 +144,9 @@ GROUP BY tier"""
 
 
 QUERIES = {
+    "purchase_recent_click_asof": _q(
+        purchase_recent_click_asof, PURCHASE_RECENT_CLICK_ASOF_SQL
+    ),
     "purchase_last_click_asof": _q(
         purchase_last_click_asof, PURCHASE_LAST_CLICK_ASOF_SQL
     ),

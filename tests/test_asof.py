@@ -61,3 +61,21 @@ def test_single_shuffle_no_cross_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tolerance_voids_stale_matches(spark):
+    """merge_asof(tolerance=...) parity: lid=2's nearest click is 5 days
+    back — a 1-day tolerance voids it (row kept, NULL match); lid=1's
+    same-instant match survives."""
+    out = asof_join(
+        spark.createDataFrame(LEFT),
+        spark.createDataFrame(RIGHT),
+        on="k",
+        tolerance_seconds=86400,
+    )
+    m = {r.lid: (r.ts_matched, r.px) for r in out.collect()}
+    assert m[1] == (_ts(10), 1.0)   # delta 0 <= tol
+    assert m[2] == (None, None)     # delta 5 days > tol -> voided, row kept
+    assert m[3] == (None, None)
+    assert m[4] == (None, None)
+    assert len(m) == len(LEFT)      # tolerance never drops rows
