@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import MONEY_DEC, dd_dsum
+from ..operators.rollup import multires_rollup
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from ..sources.tables import load_table
 from .base import Query as _q
@@ -359,8 +361,44 @@ EVENTS_HOURLY_PROFILE_SQL = """SELECT
 FROM events GROUP BY 1, 2"""
 
 
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: event counts/value at hour,
+    day, and month grain in one frame. Raw is scanned ONCE (the hourly
+    grain); day re-aggregates hourly, month re-aggregates daily — at
+    100 TB the raw scan dominates and the coarser grains are per-mille
+    of it (operators/rollup.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return multires_rollup(
+        ev,
+        ts="ts",
+        group_by=["event_type"],
+        measures=[
+            ("n_events", F.lit(1), "count"),
+            ("total_value", F.col("value").cast(MONEY_DEC), "sum"),
+            ("max_value", F.col("value"), "max"),
+        ],
+        resolutions=("hour", "day", "month"),
+    )
+
+
+_MRR_LEVEL = """SELECT '{res}' AS resolution,
+  date_trunc('{res}', ts) AS bucket_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {vsum} AS total_value,
+  MAX(value) AS max_value
+FROM events GROUP BY 2, 3"""
+
+EVENTS_MULTIRES_ROLLUP_SQL = "\nUNION ALL\n".join(
+    _MRR_LEVEL.format(res=res, vsum=dd_dsum("value"))
+    for res in ("hour", "day", "month")
+)
+
+
 QUERIES = {
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
+    "events_multires_rollup": _q(
+        events_multires_rollup, EVENTS_MULTIRES_ROLLUP_SQL
+    ),
     "lineitem_profile": _q(lineitem_profile, LINEITEM_PROFILE_SQL),
     "price_outlier_counts": _q(price_outlier_counts, PRICE_OUTLIER_COUNTS_SQL),
     "referential_integrity_audit": _q(

@@ -10,11 +10,12 @@ stats_suite compute the same thing fully inline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import dd_dsum, dsum
+from ..functions.cleaning import MONEY_DEC, dd_dsum, dsum
 from ..operators.asof import asof_join
+from ..operators.rangejoin import band_join, interval_join
 from ..sources.tables import load_table
 from .base import Query as _q
 
@@ -143,6 +144,149 @@ JOIN (VALUES {_TIER_VALUES}) t(tier, lo, hi)
 GROUP BY tier"""
 
 
+#: +-2h attribution band for purchase<->click proximity.
+CLICK_BAND_S = 7200
+
+
+def purchase_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: how many same-user clicks landed within +-2h,
+    and their total click value. Banded range join via the bin strategy
+    (operators/rangejoin.py) — equi-join on (user_id, time-bin), never a
+    nested-loop theta join. Left semantics composed on top: aggregate the
+    inner matches, join back to the full purchase set, zero-fill.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    pairs = band_join(
+        purch, clicks, left_ts="ts", right_ts="click_ts",
+        band_seconds=CLICK_BAND_S, on="user_id",
+    )
+    per_purchase = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dsum(F.col("click_value")).alias("click_value"),
+    )
+    return (
+        purch.join(per_purchase, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce(
+                "click_value", F.lit(0).cast(MONEY_DEC)
+            ).alias("click_value"),
+        )
+    )
+
+
+PURCHASE_NEARBY_CLICKS_SQL = f"""SELECT p.event_id, p.user_id, p.ts,
+  CAST(COUNT(c.ts) AS BIGINT) AS n_clicks,
+  COALESCE({dd_dsum('c.value')}, CAST(0 AS DECIMAL(38,6))) AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND abs(date_diff('second', c.ts, p.ts)) <= {CLICK_BAND_S}
+GROUP BY p.event_id, p.user_id, p.ts"""
+
+
+#: Session gap: a >12h silence starts a new session (events are sparse in
+#: the fixture — median same-user gap ~18h — so a web-style 30min gap
+#: would make every session a single event).
+SESSION_GAP_S = 43_200
+
+
+def session_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of click/view activity, then point-in-
+    interval join assigning each purchase to the session whose time span
+    contains it. Returns one row per session that captured >=1 purchase.
+
+    Plan shape: one window pass on user_id builds sessions (lag -> gap
+    flag -> running sum), then the binned interval join (1h bins; max
+    session span in fixtures ~44 bins) equi-joins purchases on
+    (user_id, bin). No theta join anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    act = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select("user_id", "ts")
+        .withColumn(
+            "__new",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                    > SESSION_GAP_S
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sessions = act.groupBy("user_id", "__sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_activity"),
+    ).drop("__sid")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    assigned = interval_join(
+        purch,
+        sessions,
+        point_ts="ts",
+        start_ts="session_start",
+        end_ts="session_end",
+        on="user_id",
+        bin_width_seconds=3600,
+    )
+    return assigned.groupBy(
+        "user_id", "session_start", "session_end", "n_activity"
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(F.col("purchase_value")).alias("purchase_value"),
+    )
+
+
+SESSION_PURCHASE_ATTRIBUTION_SQL = f"""WITH act AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                     ts) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE event_type IN ('click', 'view')
+), lab AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM act
+), sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_activity
+  FROM lab GROUP BY user_id, sid
+)
+SELECT s.user_id, s.session_start, s.session_end, s.n_activity,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {dd_dsum('p.value')} AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN sess s
+  ON p.user_id = s.user_id
+ AND p.ts BETWEEN s.session_start AND s.session_end
+GROUP BY s.user_id, s.session_start, s.session_end, s.n_activity"""
+
+
 QUERIES = {
     "purchase_recent_click_asof": _q(
         purchase_recent_click_asof, PURCHASE_RECENT_CLICK_ASOF_SQL
@@ -151,4 +295,10 @@ QUERIES = {
         purchase_last_click_asof, PURCHASE_LAST_CLICK_ASOF_SQL
     ),
     "price_tier_totals": _q(price_tier_totals, PRICE_TIER_TOTALS_SQL),
+    "purchase_nearby_clicks": _q(
+        purchase_nearby_clicks, PURCHASE_NEARBY_CLICKS_SQL
+    ),
+    "session_purchase_attribution": _q(
+        session_purchase_attribution, SESSION_PURCHASE_ATTRIBUTION_SQL
+    ),
 }
