@@ -14,7 +14,7 @@ let one shuffle carry the grouped aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import dd_dsum, dsum
@@ -589,7 +589,119 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50 AND l_quantity BETWEEN 20 AND 50)"""
 
 
+#: A supplier "dominates" a part when it shipped >= this share of its qty.
+DOMINANCE_SHARE = 0.15
+
+
+def part_supply_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped supply-concentration audit: for each part whose
+    top supplier shipped >= 15% of its total quantity, that supplier and
+    its share. The correlated-subquery formulation ("suppliers whose qty
+    exceeds a threshold of the part's total") is re-expressed Spark-first
+    as ONE grouped aggregation + ONE window pass over the same partition
+    key — no per-part subquery, no second scan of lineitem. Quantities
+    are integral doubles, so sums are order-exact and the share division
+    is bit-stable across engines.
+    """
+    li = _li(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    t = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("top_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    ranked = (
+        t.withColumn("total_qty", F.sum("top_qty").over(w))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                w.orderBy(F.desc("top_qty"), F.asc("l_suppkey"))
+            ),
+        )
+        .filter(
+            (F.col("rk") == 1)
+            & (F.col("top_qty") / F.col("total_qty") >= DOMINANCE_SHARE)
+        )
+    )
+    return ranked.join(sup, ranked.l_suppkey == sup.s_suppkey).select(
+        "l_partkey",
+        "s_name",
+        "top_qty",
+        "total_qty",
+        (F.col("top_qty") / F.col("total_qty")).alias("share"),
+    )
+
+
+PART_SUPPLY_CONCENTRATION_SQL = f"""WITH t AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS top_qty
+  FROM lineitem GROUP BY 1, 2
+), w AS (
+  SELECT l_partkey, l_suppkey, top_qty,
+         SUM(top_qty) OVER (PARTITION BY l_partkey) AS total_qty,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY top_qty DESC, l_suppkey) AS rk
+  FROM t
+)
+SELECT w.l_partkey, s.s_name, w.top_qty, w.total_qty,
+       w.top_qty / w.total_qty AS share
+FROM w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+WHERE w.rk = 1 AND w.top_qty / w.total_qty >= {DOMINANCE_SHARE}"""
+
+
+def sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped blame query: on multi-supplier orders where
+    exactly ONE supplier had a returned line, count such orders per
+    culprit supplier. Q21's EXISTS / NOT-EXISTS pair over lineitem
+    becomes one grouped agg (per order+supplier: any-returned flag) and
+    one window over the order (supplier count, returned-supplier count)
+    — lineitem is scanned once, and there is no correlated re-probe.
+    """
+    li = _li(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("returned")
+    )
+    w = Window.partitionBy("l_orderkey")
+    culprits = (
+        per_supp.withColumn("n_suppliers", F.count(F.lit(1)).over(w))
+        .withColumn("n_returned", F.sum("returned").over(w))
+        .filter(
+            (F.col("n_suppliers") >= 2)
+            & (F.col("n_returned") == 1)
+            & (F.col("returned") == 1)
+        )
+    )
+    return (
+        culprits.join(sup, culprits.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SOLE_RETURN_SUPPLIERS_SQL = """WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+  FROM lineitem GROUP BY 1, 2
+), flagged AS (
+  SELECT l_orderkey, l_suppkey, returned,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_suppliers,
+         SUM(returned) OVER (PARTITION BY l_orderkey) AS n_returned
+  FROM per_supp
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM flagged f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+WHERE f.n_suppliers >= 2 AND f.n_returned = 1 AND f.returned = 1
+GROUP BY s.s_name"""
+
+
 QUERIES = {
+    "part_supply_concentration": _q(
+        part_supply_concentration, PART_SUPPLY_CONCENTRATION_SQL
+    ),
+    "sole_return_suppliers": _q(
+        sole_return_suppliers, SOLE_RETURN_SUPPLIERS_SQL
+    ),
     "pricing_summary": _q(pricing_summary, PRICING_SUMMARY_SQL),
     "small_quantity_revenue": _q(small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
     "disjunctive_promo_revenue": _q(
