@@ -146,6 +146,20 @@ def md5_fingerprint(text: Column) -> Column:
     return F.md5(text)
 
 
+def md5_uniform_int(c: Column) -> Column:
+    """Portable deterministic uniform integer in [0, 2^60): the first 15
+    hex digits of md5. Unlike xxhash64 (engine-specific), this reproduces
+    bit-for-bit in any engine with md5 — DuckDB twin:
+    :func:`dd_md5_uniform_int`. Use as the RNG-free randomness source for
+    cross-engine-verifiable sampling."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def dd_md5_uniform_int(expr: str) -> str:
+    """DuckDB twin of :func:`md5_uniform_int`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def simhash64(toks: Column) -> Column:
     """64-bit SimHash over token xxhash64 values — pure columnar bit math.
 

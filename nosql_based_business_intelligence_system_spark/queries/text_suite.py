@@ -9,7 +9,7 @@ covered in tests/test_dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -375,6 +375,48 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("__keep").cast("int")).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+#: Docs kept per source by the weighted sampler.
+WEIGHTED_SAMPLE_K = 25
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-weighted corpus sampling, RNG-free: per source, keep the 25
+    docs with the smallest ``uniform_hash(doc_id) / n_chars`` priority —
+    longer docs get proportionally smaller priorities, so the sample
+    leans toward token-rich documents (the training-mix shape: sample by
+    token budget, not by document count). md5-derived randomness makes
+    the selection bit-identical in any engine (no seed bookkeeping, no
+    RNG state); ties are impossible in practice and doc_id tiebreaks the
+    rank anyway. One shuffle (by source) for the top-k window.
+    """
+    d = _docs(spark, sf_dir)
+    pri = (
+        T.md5_uniform_int(F.col("doc_id").cast("string"))
+        / F.col("n_chars")
+    )
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .select("source", "doc_id", "n_chars", "sample_rank")
+    )
+
+
+_DD_PRI = (
+    f"{T.dd_md5_uniform_int('CAST(doc_id AS VARCHAR)')} * 1.0 / n_chars"
+)
+
+CORPUS_WEIGHTED_SAMPLE_SQL = f"""SELECT source, doc_id, n_chars,
+  CAST(sample_rank AS INTEGER) AS sample_rank
+FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {_DD_PRI} ASC, doc_id ASC) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {WEIGHTED_SAMPLE_K}"""
 
 
 _RATE_CASE = "CASE " + " ".join(
@@ -837,6 +879,9 @@ QUERIES = {
     "decontam_keep": _q(decontam_keep, DECONTAM_KEEP_SQL),
     "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
     "docs_stratified_sample": _q(docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),
+    "corpus_weighted_sample": _q(
+        corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL
+    ),
     "source_quality_report": _q(source_quality_report, SOURCE_QUALITY_REPORT_SQL),
     "doc_token_counts": _q(doc_token_counts, DOC_TOKEN_COUNTS_SQL),
     "doc_lang_id": _q(doc_lang_id, DOC_LANG_ID_SQL),
