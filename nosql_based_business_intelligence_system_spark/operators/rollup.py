@@ -23,13 +23,14 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["multires_rollup", "RESOLUTION_ORDER"]
+__all__ = ["multires_rollup", "RESOLUTION_ORDER", "MEASURE_KINDS"]
 
 #: Supported grains, finest -> coarsest, as accepted by ``date_trunc``.
 RESOLUTION_ORDER = ("minute", "hour", "day", "week", "month", "quarter", "year")
 
-#: measure kind -> (leaf aggregate over raw, re-aggregate over finer level)
-_KINDS = {
+#: measure kind -> (leaf aggregate over raw, re-aggregate over finer level).
+#: Shared with the streaming continuous-aggregate sink (streaming/sinks.py).
+MEASURE_KINDS = {
     "sum": (F.sum, F.sum),
     "count": (lambda c: F.count(c), F.sum),
     "min": (F.min, F.min),
@@ -65,14 +66,14 @@ def multires_rollup(
     if idx != sorted(idx) or len(set(idx)) != len(idx):
         raise ValueError(f"resolutions must be finest->coarsest: {order}")
     for _, _, kind in measures:
-        if kind not in _KINDS:
+        if kind not in MEASURE_KINDS:
             raise ValueError(f"unknown measure kind {kind!r}")
 
     keys = list(group_by)
     finest = df.groupBy(
         F.date_trunc(order[0], F.col(ts)).alias("bucket_start"), *keys
     ).agg(
-        *[_KINDS[kind][0](col).alias(name) for name, col, kind in measures]
+        *[MEASURE_KINDS[kind][0](col).alias(name) for name, col, kind in measures]
     )
     if cache_finest and len(order) > 1:
         finest = finest.cache()
@@ -84,7 +85,7 @@ def multires_rollup(
             F.date_trunc(res, F.col("bucket_start")).alias("bucket_start"),
             *keys,
         ).agg(
-            *[_KINDS[kind][1](F.col(name)).alias(name) for name, _, kind in measures]
+            *[MEASURE_KINDS[kind][1](F.col(name)).alias(name) for name, _, kind in measures]
         )
         levels.append(cur.select(F.lit(res).alias("resolution"), "*"))
         prev = cur

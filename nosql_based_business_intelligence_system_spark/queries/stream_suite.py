@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming import windows as W
+from ..streaming.sinks import upsert_batch
 from .base import Query as _q
 
 
@@ -213,8 +214,37 @@ FROM active JOIN cohort ON active.user_id = cohort.user_id
 GROUP BY cohort_week, week"""
 
 
+def user_latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upsert sink's merge as a batch query: last-write-wins state per
+    user (streaming/sinks.py — version-wins keyed merge; the streamed
+    foreachBatch drain converges to exactly this frame,
+    tests/test_upsert_sink.py). (user_id, ts) is tie-free in the fixtures,
+    so max_by is deterministic."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    return upsert_batch(None, ev, ["user_id"], "ts").select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
+
+
+USER_LATEST_EVENT_STATE_SQL = """SELECT user_id,
+  max_by(ts, ts) AS last_ts,
+  max_by(event_id, ts) AS last_event_id,
+  max_by(event_type, ts) AS last_event_type,
+  max_by(value, ts) AS last_value
+FROM events GROUP BY user_id"""
+
+
 QUERIES = {
     "conversion_funnel": _q(conversion_funnel, CONVERSION_FUNNEL_SQL),
+    "user_latest_event_state": _q(
+        user_latest_event_state, USER_LATEST_EVENT_STATE_SQL
+    ),
     "weekly_retention_matrix": _q(
         weekly_retention_matrix, WEEKLY_RETENTION_MATRIX_SQL
     ),
