@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming import windows as W
+from ..operators.seqmatch import sequence_stages
 from ..streaming.sinks import upsert_batch
 from .base import Query as _q
 
@@ -240,8 +241,53 @@ USER_LATEST_EVENT_STATE_SQL = """SELECT user_id,
 FROM events GROUP BY user_id"""
 
 
+#: Funnel pattern for the sequence-NFA query.
+FUNNEL_PATTERN = ("signup", "click", "purchase")
+
+
+def funnel_sequence_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-subsequence funnel (ClickHouse sequenceMatch parity): per
+    user, the longest prefix of signup->click->purchase embeddable as a
+    strictly-increasing subsequence of their history — the general form
+    of conversion_funnel's first-touch heuristic (which misses a
+    signup->click chain whenever an earlier unrelated click exists). One
+    grouped pass + an expression-level NFA (operators/seqmatch.py); the
+    oracle is the greedy min-chain (earliest valid event per stage),
+    which is provably the same answer."""
+    return sequence_stages(
+        _events(spark, sf_dir), FUNNEL_PATTERN
+    )
+
+
+FUNNEL_SEQUENCE_STAGES_SQL = """WITH t1 AS (
+  SELECT user_id, MIN(ts) AS ts1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+  JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+  JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1
+)
+SELECT u.user_id,
+  CAST(CASE WHEN ts3 IS NOT NULL THEN 3
+            WHEN ts2 IS NOT NULL THEN 2
+            WHEN ts1 IS NOT NULL THEN 1
+            ELSE 0 END AS INTEGER) AS stages_completed,
+  (ts3 IS NOT NULL) AS completed
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN t1 USING (user_id)
+LEFT JOIN t2 USING (user_id)
+LEFT JOIN t3 USING (user_id)"""
+
+
 QUERIES = {
     "conversion_funnel": _q(conversion_funnel, CONVERSION_FUNNEL_SQL),
+    "funnel_sequence_stages": _q(
+        funnel_sequence_stages, FUNNEL_SEQUENCE_STAGES_SQL
+    ),
     "user_latest_event_state": _q(
         user_latest_event_state, USER_LATEST_EVENT_STATE_SQL
     ),
