@@ -18,7 +18,9 @@ $exists), ``$project`` (include/exclude/rename), ``$addFields``/``$set``
 ``$skip`` (only directly after ``$sort`` — unordered skip is
 nondeterministic and raises), ``$unwind`` (including
 ``preserveNullAndEmptyArrays``), ``$count``, ``$lookup`` (fused with a
-following ``$unwind`` into a single join), ``$unionWith``, ``$facet``.
+following ``$unwind`` into a single join), ``$unionWith``, ``$facet``,
+``$setWindowFields`` ($rank/$denseRank/$documentNumber/$shift + framed
+accumulators over ``documents`` windows -> Spark window functions).
 
 Unsupported constructs raise ``MongoTranslateError`` eagerly — a silent
 wrong answer is worse than a loud unsupported one.
@@ -117,6 +119,9 @@ _UNARY = {
     "$toInt": lambda c: c.cast("int"),
     "$toLong": lambda c: c.cast("bigint"),
     "$toDouble": lambda c: c.cast("double"),
+    # Mongo decimal128 -> the engine's money decimal; makes $sum windows
+    # order-independent (same reason as functions/cleaning.dsum)
+    "$toDecimal": lambda c: c.cast("decimal(38,6)"),
 }
 
 #: Mongo strftime-style tokens -> Spark datetime pattern (only the
@@ -452,9 +457,137 @@ def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     return df
 
 
+#: window ops that need sortBy and take no window spec
+_RANK_OPS = {
+    "$rank": F.rank,
+    "$denseRank": F.dense_rank,
+    "$documentNumber": F.row_number,
+}
+
+#: accumulators usable over a documents window
+_WINDOW_ACCUM = {
+    "$sum", "$avg", "$min", "$max", "$count", "$first", "$last",
+    "$push", "$stdDevPop", "$stdDevSamp",
+}
+
+
+def _window_bound(b: Any, side: str) -> int:
+    from pyspark.sql import Window as W
+
+    if b == "unbounded":
+        return W.unboundedPreceding if side == "lo" else W.unboundedFollowing
+    if b == "current":
+        return W.currentRow
+    if isinstance(b, int) and not isinstance(b, bool):
+        return b
+    raise MongoTranslateError(f"unsupported window bound {b!r}")
+
+
+def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
+    """``$setWindowFields`` -> Spark window functions.
+
+    partitionBy: '$field' (or list of them) / omitted = whole collection.
+    sortBy: {field: 1|-1}. output: rank ops ($rank/$denseRank/
+    $documentNumber), $shift {output, by, default}, or an accumulator with
+    an optional ``window: {documents: [lo, hi]}`` (Mongo's default window
+    is unbounded..unbounded; ``range`` windows are unsupported and raise).
+    """
+    from pyspark.sql import Window as W
+
+    unknown = set(spec) - {"partitionBy", "sortBy", "output"}
+    if unknown:
+        raise MongoTranslateError(
+            f"unsupported $setWindowFields options {sorted(unknown)!r}"
+        )
+    if "output" not in spec or not isinstance(spec["output"], dict):
+        raise MongoTranslateError("$setWindowFields requires an output dict")
+
+    parts = spec.get("partitionBy")
+    if parts is None:
+        part_cols = []
+    else:
+        parts = parts if isinstance(parts, list) else [parts]
+        part_cols = []
+        for p in parts:
+            if not (isinstance(p, str) and p.startswith("$")):
+                raise MongoTranslateError(
+                    f"partitionBy supports '$field' refs only, got {p!r}"
+                )
+            part_cols.append(F.col(p[1:]))
+    sort_cols = [
+        F.col(k).asc() if v == 1 else F.col(k).desc()
+        for k, v in (spec.get("sortBy") or {}).items()
+    ]
+    base = W.partitionBy(*part_cols)
+    ordered = base.orderBy(*sort_cols) if sort_cols else base
+
+    out_cols: dict[str, Column] = {}
+    for name, ospec in spec["output"].items():
+        if not (isinstance(ospec, dict) and ospec):
+            raise MongoTranslateError(f"output {name!r} must be an op dict")
+        wspec = ospec.get("window")
+        ops = {k: v for k, v in ospec.items() if k != "window"}
+        if len(ops) != 1:
+            raise MongoTranslateError(f"output {name!r} must have one operator")
+        (wop, arg), = ops.items()
+        if wop in _RANK_OPS:
+            if not sort_cols:
+                raise MongoTranslateError(f"{wop} requires sortBy")
+            if wspec is not None:
+                raise MongoTranslateError(f"{wop} takes no window spec")
+            out_cols[name] = _RANK_OPS[wop]().over(ordered)
+            continue
+        if wop == "$shift":
+            if not sort_cols:
+                raise MongoTranslateError("$shift requires sortBy")
+            if not (isinstance(arg, dict) and "output" in arg and "by" in arg):
+                raise MongoTranslateError("$shift requires {output, by}")
+            by = int(arg["by"])
+            default = F.lit(arg.get("default"))
+            col = expr(arg["output"])
+            out_cols[name] = (
+                F.lead(col, by, None).over(ordered)
+                if by >= 0
+                else F.lag(col, -by, None).over(ordered)
+            )
+            out_cols[name] = F.coalesce(out_cols[name], default)
+            continue
+        if wop not in _WINDOW_ACCUM:
+            raise MongoTranslateError(f"unsupported window operator {wop!r}")
+        if wspec is not None:
+            unknown_w = set(wspec) - {"documents"}
+            if unknown_w:
+                raise MongoTranslateError(
+                    f"unsupported window spec {sorted(unknown_w)!r} "
+                    "(range windows not supported)"
+                )
+            lo, hi = wspec["documents"]
+            frame = ordered.rowsBetween(
+                _window_bound(lo, "lo"), _window_bound(hi, "hi")
+            )
+        elif sort_cols:
+            # Mongo default: unbounded..unbounded even when sorted
+            frame = ordered.rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        else:
+            frame = base
+        if wop == "$count":
+            acc = F.count(F.lit(1))
+        elif wop == "$sum" and not isinstance(arg, (str, dict)):
+            # {"$sum": 1} -> running count
+            acc = F.count(F.lit(1)) if arg == 1 else F.count(F.lit(1)) * F.lit(arg)
+        else:
+            acc = _ACCUM[wop](expr(arg))
+        out_cols[name] = acc.over(frame)
+    return df.withColumns(out_cols)
+
+
 def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
     if op == "$match":
         return df.filter(match_filter(spec))
+    if op == "$setWindowFields":
+        return _apply_set_window_fields(df, spec)
     if op == "$project":
         includes = [k for k, v in spec.items() if v not in (0, False)]
         excludes = [k for k, v in spec.items() if v in (0, False)]

@@ -302,7 +302,75 @@ MONGO_PRIORITY_SORT_BY_COUNT_SQL = """SELECT o_orderpriority AS _id,
 FROM orders GROUP BY 1 ORDER BY count DESC, _id ASC"""
 
 
+#: $setWindowFields pipeline: per-priority monthly revenue with running
+#: total, month sequence, previous month, and a 3-month order-count MA.
+MONGO_RUNNING_PIPELINE = [
+    {
+        "$group": {
+            "_id": {
+                "ym": {
+                    "$dateToString": {"format": "%Y-%m", "date": "$o_orderdate"}
+                },
+                "pri": "$o_orderpriority",
+            },
+            "revenue": {"$sum": {"$toDecimal": "$o_totalprice"}},
+            "n_orders": {"$sum": 1},
+        }
+    },
+    {
+        "$setWindowFields": {
+            "partitionBy": "$pri",
+            "sortBy": {"ym": 1},
+            "output": {
+                "running_revenue": {
+                    "$sum": "$revenue",
+                    "window": {"documents": ["unbounded", "current"]},
+                },
+                "month_seq": {"$documentNumber": {}},
+                "prev_revenue": {"$shift": {"output": "$revenue", "by": -1}},
+                "avg_3m_orders": {
+                    "$avg": "$n_orders",
+                    "window": {"documents": [-2, "current"]},
+                },
+            },
+        }
+    },
+]
+
+
+def mongo_priority_monthly_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$setWindowFields`` — Mongo's window-function stage compiled to
+    Spark windows (rank / shift / framed accumulators in one pass). The
+    measure goes through ``$toDecimal`` so the running sum is
+    order-independent (same rationale as functions/cleaning.dsum)."""
+    from ..sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    return mongo_pipeline(orders, MONGO_RUNNING_PIPELINE)
+
+
+MONGO_PRIORITY_MONTHLY_RUNNING_SQL = """WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority AS pri,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT ym, pri, revenue, n_orders,
+  SUM(revenue) OVER w_cum AS running_revenue,
+  CAST(ROW_NUMBER() OVER w_ord AS INTEGER) AS month_seq,
+  LAG(revenue, 1) OVER w_ord AS prev_revenue,
+  AVG(n_orders) OVER w_3 AS avg_3m_orders
+FROM m
+WINDOW w_ord AS (PARTITION BY pri ORDER BY ym),
+       w_cum AS (PARTITION BY pri ORDER BY ym ROWS UNBOUNDED PRECEDING),
+       w_3 AS (PARTITION BY pri ORDER BY ym
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
+
+
 QUERIES = {
+    "mongo_priority_monthly_running": _q(
+        mongo_priority_monthly_running, MONGO_PRIORITY_MONTHLY_RUNNING_SQL
+    ),
     "mongo_order_value_buckets": _q(
         mongo_order_value_buckets, MONGO_ORDER_VALUE_BUCKETS_SQL
     ),

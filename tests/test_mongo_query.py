@@ -519,3 +519,71 @@ def test_topn_bottomn_accumulators(spark):
                          "bad": {"$topN": {"n": 1, "sortBy": {"a": 1, "b": 1},
                                            "output": "$brand"}}}}],
         )
+
+
+def test_set_window_fields_rank_shift_frames(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(g="a", t=1, v=10.0),
+            Row(g="a", t=2, v=20.0),
+            Row(g="a", t=3, v=30.0),
+            Row(g="b", t=1, v=5.0),
+        ]
+    )
+    out = mongo_pipeline(
+        docs,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$g",
+                    "sortBy": {"t": 1},
+                    "output": {
+                        "seq": {"$documentNumber": {}},
+                        "run": {
+                            "$sum": "$v",
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "prev": {"$shift": {"output": "$v", "by": -1}},
+                        "nxt": {"$shift": {"output": "$v", "by": 1, "default": -1.0}},
+                        "tot": {"$sum": "$v"},  # default window: whole partition
+                    },
+                }
+            }
+        ],
+    )
+    rows = {(r.g, r.t): r for r in out.collect()}
+    assert rows[("a", 2)].seq == 2
+    assert rows[("a", 2)].run == 30.0
+    assert rows[("a", 2)].prev == 10.0
+    assert rows[("a", 3)].nxt == -1.0  # default fills past the partition edge
+    assert rows[("a", 1)].tot == 60.0  # unbounded default even with sortBy
+    assert rows[("b", 1)].seq == 1 and rows[("b", 1)].tot == 5.0
+
+
+def test_set_window_fields_rejects_bad_specs(spark):
+    docs = spark.createDataFrame([Row(g="a", t=1, v=1.0)])
+    with pytest.raises(MongoTranslateError, match="requires sortBy"):
+        mongo_pipeline(
+            docs,
+            [{"$setWindowFields": {"partitionBy": "$g",
+                                   "output": {"r": {"$rank": {}}}}}],
+        )
+    with pytest.raises(MongoTranslateError, match="range windows"):
+        mongo_pipeline(
+            docs,
+            [{"$setWindowFields": {"sortBy": {"t": 1},
+                                   "output": {"s": {"$sum": "$v",
+                                                    "window": {"range": [0, 1]}}}}}],
+        )
+    with pytest.raises(MongoTranslateError, match="unsupported window operator"):
+        mongo_pipeline(
+            docs,
+            [{"$setWindowFields": {"sortBy": {"t": 1},
+                                   "output": {"s": {"$integral": "$v"}}}}],
+        )
+    with pytest.raises(MongoTranslateError, match="one operator"):
+        mongo_pipeline(
+            docs,
+            [{"$setWindowFields": {"sortBy": {"t": 1},
+                                   "output": {"s": {"$sum": "$v", "$avg": "$v"}}}}],
+        )
