@@ -20,7 +20,9 @@ nondeterministic and raises), ``$unwind`` (including
 ``preserveNullAndEmptyArrays``), ``$count``, ``$lookup`` (fused with a
 following ``$unwind`` into a single join), ``$unionWith``, ``$facet``,
 ``$setWindowFields`` ($rank/$denseRank/$documentNumber/$shift + framed
-accumulators over ``documents`` windows -> Spark window functions).
+accumulators over ``documents`` windows -> Spark window functions),
+``$graphLookup`` (BFS as one equi-join per level, cycle-safe,
+``maxDepth``-bounded or loud fixpoint cap).
 
 Unsupported constructs raise ``MongoTranslateError`` eagerly — a silent
 wrong answer is worse than a loud unsupported one.
@@ -583,11 +585,129 @@ def _apply_set_window_fields(df: DataFrame, spec: dict) -> DataFrame:
     return df.withColumns(out_cols)
 
 
+#: BFS round cap when $graphLookup has no maxDepth (loud, not silent).
+_GRAPH_LOOKUP_MAX_ROUNDS = 25
+
+
+def _apply_graph_lookup(df: DataFrame, spec: dict) -> DataFrame:
+    """``$graphLookup``: BFS from ``startWith`` through the ``from``
+    collection (edge: previous doc's ``connectFromField`` value -> next
+    doc's ``connectToField``), collecting every reached doc into ``as``
+    (+ optional ``depthField``).
+
+    Compiled as iterative equi-joins — one join per BFS level, frontier
+    and visited-set checkpointed per round (same discipline as
+    operators/dedup.connected_components; each level is a key-partitioned
+    join, never a recursive re-scan per document). Cycles terminate
+    because visited (doc, origin) pairs are never re-expanded. Both the
+    input docs and the ``from`` collection must carry a unique ``_id``
+    (Mongo documents always do). Without ``maxDepth`` the loop runs to
+    fixpoint and RAISES past ``_GRAPH_LOOKUP_MAX_ROUNDS`` rounds rather
+    than silently truncating. The ``as`` array is sorted by
+    (depth, _id) for deterministic output.
+    """
+    required = {"from", "startWith", "connectFromField", "connectToField", "as"}
+    unknown = set(spec) - required - {"maxDepth", "depthField"}
+    if unknown:
+        raise MongoTranslateError(
+            f"unsupported $graphLookup options {sorted(unknown)!r}"
+        )
+    for k in required:
+        if k not in spec:
+            raise MongoTranslateError(f"$graphLookup requires {k!r}")
+    other = spec["from"]
+    if not isinstance(other, DataFrame):
+        raise MongoTranslateError("$graphLookup 'from' must be a DataFrame")
+    if "_id" not in df.columns or "_id" not in other.columns:
+        raise MongoTranslateError(
+            "$graphLookup needs '_id' on both the input docs and 'from'"
+        )
+    start = spec["startWith"]
+    if not (isinstance(start, str) and start.startswith("$")):
+        raise MongoTranslateError("startWith supports '$field' refs only")
+    cfrom, cto, out = spec["connectFromField"], spec["connectToField"], spec["as"]
+    depth_field = spec.get("depthField")
+    max_depth = spec.get("maxDepth")
+
+    doc = F.struct(*[F.col(c) for c in other.columns]).alias("__doc")
+    nodes = other.select(
+        F.col(cto).alias("__to"),
+        F.col(cfrom).alias("__from"),
+        F.col("_id").alias("__nid"),
+        doc,
+    )
+
+    frontier = df.select(
+        F.col("_id").alias("__origin"), F.col(start[1:]).alias("__v")
+    ).dropDuplicates()
+    visited = None  # rows: (__origin, __nid, __doc, __depth)
+    depth = 0
+    while True:
+        if max_depth is not None and depth > int(max_depth):
+            break
+        if max_depth is None and depth >= _GRAPH_LOOKUP_MAX_ROUNDS:
+            raise MongoTranslateError(
+                f"$graphLookup did not converge in {_GRAPH_LOOKUP_MAX_ROUNDS}"
+                " rounds; pass maxDepth to bound the traversal"
+            )
+        matched = frontier.join(
+            nodes, frontier["__v"] == nodes["__to"], "inner"
+        ).select("__origin", "__nid", "__doc", "__from")
+        if visited is not None:
+            matched = matched.join(
+                visited.select("__origin", "__nid"),
+                on=["__origin", "__nid"],
+                how="left_anti",
+            )
+        matched = matched.localCheckpoint(eager=True)
+        if matched.isEmpty():
+            break
+        level = matched.select(
+            "__origin", "__nid", "__doc", F.lit(depth).alias("__depth")
+        )
+        visited = level if visited is None else visited.unionByName(level)
+        frontier = matched.select(
+            F.col("__origin"), F.col("__from").alias("__v")
+        ).dropDuplicates()
+        depth += 1
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    doc_type = other.select(doc).schema["__doc"].dataType
+    elem_fields = list(doc_type.fields)
+    if depth_field is not None:
+        elem_fields = elem_fields + [StructField(depth_field, LongType())]
+    out_type = ArrayType(StructType(elem_fields))
+
+    if visited is None:  # nothing reachable for any doc: typed empty arrays
+        return df.withColumn(out, F.array().cast(out_type))
+
+    elem = F.struct(F.col("__depth"), F.col("__nid"), F.col("__doc"))
+    collected = visited.groupBy("__origin").agg(
+        F.array_sort(F.collect_list(elem)).alias("__arr")
+    )
+    joined = df.join(
+        collected, df["_id"] == collected["__origin"], "left"
+    ).drop("__origin")
+    if depth_field is not None:
+        mk = lambda s: s["__doc"].withField(  # noqa: E731
+            depth_field, s["__depth"].cast("bigint")
+        )
+    else:
+        mk = lambda s: s["__doc"]  # noqa: E731
+    arr = F.transform(F.col("__arr"), mk)
+    return joined.withColumn(
+        out, F.coalesce(arr, F.array().cast(out_type))
+    ).drop("__arr")
+
+
 def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
     if op == "$match":
         return df.filter(match_filter(spec))
     if op == "$setWindowFields":
         return _apply_set_window_fields(df, spec)
+    if op == "$graphLookup":
+        return _apply_graph_lookup(df, spec)
     if op == "$project":
         includes = [k for k, v in spec.items() if v not in (0, False)]
         excludes = [k for k, v in spec.items() if v in (0, False)]

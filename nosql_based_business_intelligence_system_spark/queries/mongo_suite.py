@@ -8,6 +8,7 @@ native query: the frontend must not change semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.mongo_query import mongo_pipeline
 from ..operators.star import DD_SALES_CTE, enriched_sales
@@ -367,7 +368,80 @@ WINDOW w_ord AS (PARTITION BY pri ORDER BY ym),
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"""
 
 
+#: Customer-key bound for the hierarchy traversal query (keeps the
+#: unwound output compact; the traversal itself is unbounded-safe).
+CHAIN_MAX_CUSTKEY = 300
+
+
+def mongo_customer_region_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``$graphLookup`` over the dimension tree: customers start at their
+    nation node and walk parent links up to the region root; the chain is
+    unwound to one row per (customer, ancestor, depth). BFS compiles to
+    one equi-join per level (operators/mongo_query._apply_graph_lookup) —
+    the oracle is the equivalent static 2-level join union."""
+    from ..sources.tables import load_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nodes = nation.select(
+        (F.col("n_nationkey") + 100).alias("_id"),
+        F.col("n_name").alias("name"),
+        (F.col("n_regionkey") + 200).alias("parent"),
+    ).unionByName(
+        region.select(
+            (F.col("r_regionkey") + 200).alias("_id"),
+            F.col("r_name").alias("name"),
+            F.lit(None).cast("long").alias("parent"),
+        )
+    )
+    custs = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= CHAIN_MAX_CUSTKEY)
+        .select(
+            F.col("c_custkey").alias("_id"),
+            (F.col("c_nationkey") + 100).alias("start_node"),
+        )
+    )
+    out = mongo_pipeline(
+        custs,
+        [
+            {
+                "$graphLookup": {
+                    "from": nodes,
+                    "startWith": "$start_node",
+                    "connectFromField": "parent",
+                    "connectToField": "_id",
+                    "as": "ancestors",
+                    "depthField": "depth",
+                    "maxDepth": 3,
+                }
+            },
+            {"$unwind": "$ancestors"},
+        ],
+    )
+    return out.select(
+        F.col("_id").alias("customer_number"),
+        F.col("ancestors.name").alias("ancestor_name"),
+        F.col("ancestors.depth").alias("depth"),
+    )
+
+
+MONGO_CUSTOMER_REGION_CHAIN_SQL = f"""SELECT c_custkey AS customer_number,
+  n_name AS ancestor_name, CAST(0 AS BIGINT) AS depth
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_custkey <= {CHAIN_MAX_CUSTKEY}
+UNION ALL
+SELECT c_custkey, r_name, CAST(1 AS BIGINT)
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE c_custkey <= {CHAIN_MAX_CUSTKEY}"""
+
+
 QUERIES = {
+    "mongo_customer_region_chain": _q(
+        mongo_customer_region_chain, MONGO_CUSTOMER_REGION_CHAIN_SQL
+    ),
     "mongo_priority_monthly_running": _q(
         mongo_priority_monthly_running, MONGO_PRIORITY_MONTHLY_RUNNING_SQL
     ),

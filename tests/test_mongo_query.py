@@ -587,3 +587,85 @@ def test_set_window_fields_rejects_bad_specs(spark):
             [{"$setWindowFields": {"sortBy": {"t": 1},
                                    "output": {"s": {"$sum": "$v", "$avg": "$v"}}}}],
         )
+
+
+def _org(spark):
+    # chain: 1 -> 2 -> 3 -> 4 (reports-to), plus a 2-node cycle 10 <-> 11
+    return spark.createDataFrame(
+        [
+            Row(_id=1, name="ceo", mgr=None),
+            Row(_id=2, name="vp", mgr=1),
+            Row(_id=3, name="dir", mgr=2),
+            Row(_id=4, name="ic", mgr=3),
+            Row(_id=10, name="c10", mgr=11),
+            Row(_id=11, name="c11", mgr=10),
+        ]
+    )
+
+
+def test_graph_lookup_management_chain(spark):
+    org = _org(spark)
+    out = mongo_pipeline(
+        org,
+        [
+            {
+                "$graphLookup": {
+                    "from": org,
+                    "startWith": "$mgr",
+                    "connectFromField": "mgr",
+                    "connectToField": "_id",
+                    "as": "chain",
+                    "depthField": "lvl",
+                }
+            }
+        ],
+    )
+    rows = {r._id: r for r in out.collect()}
+    assert [(c.name, c.lvl) for c in rows[4].chain] == [
+        ("dir", 0), ("vp", 1), ("ceo", 2),
+    ]
+    assert [(c.name, c.lvl) for c in rows[2].chain] == [("ceo", 0)]
+    assert rows[1].chain == []  # the CEO reports to nobody
+    # cycle: both reached, traversal terminates
+    assert sorted(c.name for c in rows[10].chain) == ["c10", "c11"]
+
+
+def test_graph_lookup_max_depth_bounds_traversal(spark):
+    org = _org(spark)
+    out = mongo_pipeline(
+        org,
+        [
+            {
+                "$graphLookup": {
+                    "from": org,
+                    "startWith": "$mgr",
+                    "connectFromField": "mgr",
+                    "connectToField": "_id",
+                    "as": "chain",
+                    "maxDepth": 0,
+                }
+            }
+        ],
+    )
+    rows = {r._id: r for r in out.collect()}
+    assert [c.name for c in rows[4].chain] == ["dir"]  # depth 0 only
+    assert "lvl" not in (rows[4].chain[0].asDict() if rows[4].chain else {})
+
+
+def test_graph_lookup_requires_ids(spark):
+    no_id = spark.createDataFrame([(1, None)], "a int, mgr int")
+    with pytest.raises(MongoTranslateError, match="_id"):
+        mongo_pipeline(
+            no_id,
+            [
+                {
+                    "$graphLookup": {
+                        "from": no_id,
+                        "startWith": "$mgr",
+                        "connectFromField": "mgr",
+                        "connectToField": "a",
+                        "as": "x",
+                    }
+                }
+            ],
+        )
