@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.cleaning import MONEY_DEC, dd_dsum, dsum
 from ..operators.asof import asof_join
 from ..operators.rangejoin import band_join, interval_join
+from ..operators.scd import scd2_from_events
 from ..sources.tables import load_table
 from .base import Query as _q
 
@@ -287,7 +288,32 @@ JOIN sess s
 GROUP BY s.user_id, s.session_start, s.session_end, s.n_activity"""
 
 
+def user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from the event log: consecutive same-type runs
+    per user collapse into validity intervals (operators/scd.py — the
+    gaps-and-islands compression; one window pass, no self-join).
+    valid_to is NULL on each user's current state."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_from_events(ev, key="user_id", ts="ts", attrs=["event_type"])
+
+
+USER_STATE_HISTORY_SQL = """WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), starts AS (
+  SELECT user_id, ts, event_type FROM flagged WHERE chg = 1
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM starts"""
+
+
 QUERIES = {
+    "user_state_history": _q(user_state_history, USER_STATE_HISTORY_SQL),
     "purchase_recent_click_asof": _q(
         purchase_recent_click_asof, PURCHASE_RECENT_CLICK_ASOF_SQL
     ),
