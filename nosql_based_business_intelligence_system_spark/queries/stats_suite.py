@@ -394,8 +394,41 @@ EVENTS_MULTIRES_ROLLUP_SQL = "\nUNION ALL\n".join(
 )
 
 
+#: Quantiles probed by the sketch-accuracy query.
+SKETCH_QS = (0.5, 0.9, 0.99)
+
+
+def order_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile vs approx_percentile (Greenwald-Khanna sketch)
+    side by side per order priority. Exact percentile needs the full
+    sorted group — at 100 TB the mergeable sketch IS the path, and this
+    query quantifies what that buys/costs (worst absolute relative error
+    across the probed quantiles). Rows-only: the sketch is Spark-internal
+    (no DuckDB twin); the error bound is pytest-asserted instead."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = list(SKETCH_QS)
+    agg = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
+        ).alias("exact"),
+        F.percentile_approx("o_totalprice", qs, 10000).alias("approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    rel_err = F.zip_with(
+        "exact", "approx", lambda e, a: F.abs(a - e) / F.abs(e)
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n_orders",
+        *[F.col("exact")[i].alias(f"p{int(q * 100)}_exact") for i, q in enumerate(qs)],
+        *[F.col("approx")[i].alias(f"p{int(q * 100)}_approx") for i, q in enumerate(qs)],
+        F.array_max(rel_err).alias("max_rel_err"),
+    )
+
+
 QUERIES = {
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
+    "order_value_quantile_sketch": _q(order_value_quantile_sketch, None),
     "events_multires_rollup": _q(
         events_multires_rollup, EVENTS_MULTIRES_ROLLUP_SQL
     ),

@@ -37,3 +37,13 @@ def test_gapfill_months_fills_sparse_series(spark):
     )
     out = {r.fin_month_label: r.revenue for r in gapfill_months(sparse).collect()}
     assert out == {"2024-01": 10.0, "2024-02": 0.0, "2024-03": 0.0, "2024-04": 40.0}
+
+
+def test_quantile_sketch_error_bound(spark, sf_correctness):
+    from nosql_based_business_intelligence_system_spark.queries.stats_suite import order_value_quantile_sketch
+
+    rows = order_value_quantile_sketch(spark, sf_correctness).collect()
+    assert rows and all(r.n_orders > 0 for r in rows)
+    # GK sketch with accuracy=10000: relative rank error <= 1/10000; on
+    # this distribution the value-space relative error stays under 1%
+    assert max(r.max_rel_err for r in rows) < 0.01
