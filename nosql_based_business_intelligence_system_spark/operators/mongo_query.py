@@ -18,7 +18,8 @@ $exists), ``$project`` (include/exclude/rename), ``$addFields``/``$set``
 ``$skip`` (only directly after ``$sort`` — unordered skip is
 nondeterministic and raises), ``$unwind`` (including
 ``preserveNullAndEmptyArrays``), ``$count``, ``$lookup`` (fused with a
-following ``$unwind`` into a single join), ``$unionWith``, ``$facet``,
+following ``$unwind`` into a single join; uncorrelated ``pipeline``
+pre-shapes the build side before the join), ``$unionWith``, ``$facet``,
 ``$setWindowFields`` ($rank/$denseRank/$documentNumber/$shift + framed
 accumulators over ``documents`` windows -> Spark window functions),
 ``$graphLookup`` (BFS as one equi-join per level, cycle-safe,
@@ -385,10 +386,26 @@ def _apply_lookup(
     for k in ("from", "localField", "foreignField", "as"):
         if k not in spec:
             raise MongoTranslateError(f"$lookup requires {k!r}")
+    unknown = set(spec) - {"from", "localField", "foreignField", "as", "pipeline"}
+    if unknown:
+        raise MongoTranslateError(
+            f"unsupported $lookup options {sorted(unknown)!r} "
+            "(correlated 'let' lookups are not supported)"
+        )
     other: DataFrame = spec["from"]
     if not isinstance(other, DataFrame):
         raise MongoTranslateError("$lookup 'from' must be a DataFrame collection")
+    if spec.get("pipeline"):
+        # uncorrelated sub-pipeline: pre-filter/shape the joined collection
+        # (with localField/foreignField this is Mongo's "filtered lookup"
+        # idiom); compiles to stages on the build side BEFORE the join, so
+        # a $match here shrinks the shuffle/broadcast, not the output
+        other = mongo_pipeline(other, spec["pipeline"])
     local, foreign, out = spec["localField"], spec["foreignField"], spec["as"]
+    if foreign not in other.columns:
+        raise MongoTranslateError(
+            f"$lookup foreignField {foreign!r} missing after pipeline"
+        )
     rcols = [c for c in other.columns if c != foreign]
     if unwound:
         right = other.select(

@@ -669,3 +669,56 @@ def test_graph_lookup_requires_ids(spark):
                 }
             ],
         )
+
+
+def test_lookup_with_uncorrelated_pipeline(spark):
+    left = spark.createDataFrame([Row(k=1, n="l1"), Row(k=2, n="l2")])
+    right = spark.createDataFrame(
+        [Row(fk=1, v=5.0), Row(fk=1, v=50.0), Row(fk=2, v=7.0)]
+    )
+    out = mongo_pipeline(
+        left,
+        [
+            {
+                "$lookup": {
+                    "from": right,
+                    "localField": "k",
+                    "foreignField": "fk",
+                    "as": "m",
+                    "pipeline": [{"$match": {"v": {"$gte": 10.0}}}],
+                }
+            }
+        ],
+    )
+    rows = {r.k: [e.v for e in r.m] for r in out.collect()}
+    assert rows == {1: [50.0], 2: []}  # filtered build side; empty array kept
+    with pytest.raises(MongoTranslateError, match="let"):
+        mongo_pipeline(
+            left,
+            [
+                {
+                    "$lookup": {
+                        "from": right,
+                        "localField": "k",
+                        "foreignField": "fk",
+                        "as": "m",
+                        "let": {"x": "$k"},
+                    }
+                }
+            ],
+        )
+    with pytest.raises(MongoTranslateError, match="missing after pipeline"):
+        mongo_pipeline(
+            left,
+            [
+                {
+                    "$lookup": {
+                        "from": right,
+                        "localField": "k",
+                        "foreignField": "fk",
+                        "as": "m",
+                        "pipeline": [{"$project": {"v": 1}}],
+                    }
+                }
+            ],
+        )

@@ -119,3 +119,45 @@ def test_range_join_plans_are_equi_joins(spark):
         bin_width_seconds=300,
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_property_random(spark):
+    """Hypothesis: bin-join == theta-join for arbitrary interval layouts
+    (zero-length, nested, overlapping, bin-boundary-straddling) and any
+    bin width."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sec = st.integers(min_value=0, max_value=600)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        points=st.lists(sec, min_size=1, max_size=12),
+        spans=st.lists(st.tuples(sec, sec), min_size=1, max_size=8),
+        width=st.sampled_from([7, 60, 300]),
+    )
+    def check(points, spans, width):
+        t0 = dt.datetime(2024, 1, 1)
+        pts = spark.createDataFrame(
+            [Row(pid=i, t=t0 + dt.timedelta(seconds=s)) for i, s in enumerate(points)]
+        )
+        ivl = spark.createDataFrame(
+            [
+                Row(
+                    iid=i,
+                    s=t0 + dt.timedelta(seconds=min(a, b)),
+                    e=t0 + dt.timedelta(seconds=max(a, b)),
+                )
+                for i, (a, b) in enumerate(spans)
+            ]
+        )
+        got = interval_join(
+            pts, ivl, point_ts="t", start_ts="s", end_ts="e",
+            bin_width_seconds=width,
+        )
+        expect = pts.join(ivl).filter(F.col("t").between(F.col("s"), F.col("e")))
+        assert sorted((r.pid, r.iid) for r in got.collect()) == sorted(
+            (r.pid, r.iid) for r in expect.collect()
+        )
+
+    check()
