@@ -419,6 +419,109 @@ FROM (
 WHERE sample_rank <= {WEIGHTED_SAMPLE_K}"""
 
 
+#: train/val/test split in percent (deterministic hash buckets).
+SPLIT_PCT = (("train", 90), ("val", 5), ("test", 5))
+
+
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic holdout splitting — the step every training corpus
+    needs before anything touches it. Each doc's md5-derived bucket in
+    [0,100) maps to train/val/test by cumulative percent: no RNG, no
+    seed state, stable under re-runs/engines/partitioning, and a doc
+    never migrates between splits when the corpus grows (its bucket
+    depends only on its id). Output: per (source, split) doc and char
+    counts."""
+    d = _docs(spark, sf_dir)
+    bucket = T.md5_uniform_int(F.col("doc_id").cast("string")) % 100
+    edges, acc = [], 0
+    for name, pct in SPLIT_PCT:
+        acc += pct
+        edges.append((name, acc))
+    split = F.lit(edges[-1][0])
+    for name, hi in reversed(edges[:-1]):
+        split = F.when(bucket < hi, F.lit(name)).otherwise(split)
+    return (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+_DD_BUCKET = f"({T.dd_md5_uniform_int('CAST(doc_id AS VARCHAR)')} % 100)"
+_DD_SPLIT = "CASE " + " ".join(
+    f"WHEN {_DD_BUCKET} < {hi} THEN '{name}'"
+    for name, hi in [
+        (n, sum(p for _, p in SPLIT_PCT[: i + 1])) for i, (n, _) in enumerate(SPLIT_PCT)
+    ][:-1]
+) + f" ELSE '{SPLIT_PCT[-1][0]}' END"
+
+DOCS_SPLIT_ASSIGNMENT_SQL = f"""SELECT source, {_DD_SPLIT} AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1, 2"""
+
+
+#: Declared training-mixture shares by language (what the run should be
+#: made of) and the total char budget to fill at sf0.01-like scale.
+MIX_TARGETS = (("en", 0.40), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15))
+MIX_CHAR_BUDGET = 100_000
+
+
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: given declared per-language shares and
+    a char budget, compute what each language can actually contribute
+    (capped by availability) and the sampling rate that achieves it —
+    the arithmetic every data-mixing job runs before sampling. Pure
+    aggregate + deterministic double arithmetic (bigints < 2^53 convert
+    exactly; both engines evaluate the identical formula)."""
+    d = _docs(spark, sf_dir)
+    share = F.lit(0.0)
+    for lang, s in MIX_TARGETS:
+        share = F.when(F.col("lang") == lang, F.lit(s)).otherwise(share)
+    avail = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("available_chars"),
+        F.max(share).alias("target_share"),
+    )
+    want = F.col("target_share") * F.lit(float(MIX_CHAR_BUDGET))
+    planned = F.least(F.col("available_chars").cast("double"), want)
+    return avail.select(
+        "lang",
+        "n_docs",
+        "available_chars",
+        "target_share",
+        planned.alias("planned_chars"),
+        (planned / F.col("available_chars")).alias("sample_rate"),
+        (F.col("available_chars") < want).alias("short_of_target"),
+    )
+
+
+# CAST: DuckDB parses bare decimal literals as DECIMAL, Spark as DOUBLE —
+# without it target_share hashes as Decimal('0.40') vs 0.4
+_DD_SHARE = "CAST(CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in MIX_TARGETS
+) + " ELSE 0.0 END AS DOUBLE)"
+
+CORPUS_MIXTURE_PLAN_SQL = f"""WITH avail AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS available_chars,
+         MAX({_DD_SHARE}) AS target_share
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, available_chars, target_share,
+  LEAST(CAST(available_chars AS DOUBLE),
+        target_share * {float(MIX_CHAR_BUDGET)}) AS planned_chars,
+  LEAST(CAST(available_chars AS DOUBLE),
+        target_share * {float(MIX_CHAR_BUDGET)}) / available_chars
+    AS sample_rate,
+  (available_chars < target_share * {float(MIX_CHAR_BUDGET)})
+    AS short_of_target
+FROM avail"""
+
+
 _RATE_CASE = "CASE " + " ".join(
     f"WHEN lang = '{k}' THEN {v}" for k, v in SAMPLE_RATES.items()
 ) + f" ELSE {SAMPLE_DEFAULT} END"
@@ -882,6 +985,10 @@ QUERIES = {
     "corpus_weighted_sample": _q(
         corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL
     ),
+    "docs_split_assignment": _q(
+        docs_split_assignment, DOCS_SPLIT_ASSIGNMENT_SQL
+    ),
+    "corpus_mixture_plan": _q(corpus_mixture_plan, CORPUS_MIXTURE_PLAN_SQL),
     "source_quality_report": _q(source_quality_report, SOURCE_QUALITY_REPORT_SQL),
     "doc_token_counts": _q(doc_token_counts, DOC_TOKEN_COUNTS_SQL),
     "doc_lang_id": _q(doc_lang_id, DOC_LANG_ID_SQL),
