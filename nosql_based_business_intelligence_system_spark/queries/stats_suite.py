@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.cleaning import MONEY_DEC, dd_dsum
+from ..operators.fill import densify, fill_series
 from ..operators.rollup import multires_rollup
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from ..sources.tables import load_table
@@ -426,8 +427,68 @@ def order_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify + linear gap-fill (Mongo \\$densify/\\$fill, hypertable
+    time_bucket_gapfill+interpolate): hourly max event value per type,
+    expanded to every hour between each type's first and last
+    observation, holes interpolated between the surrounding points
+    (one-sided gaps take the nearest neighbor). Scaffold = per-key
+    sequence/explode; fill = two window passes (operators/fill.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(F.max("value").alias("value_filled"))
+    dense = densify(
+        hourly, ts="bucket_start", step_seconds=3600, keys=["event_type"]
+    ).withColumn("was_gap", F.col("value_filled").isNull())
+    return fill_series(
+        dense,
+        ts="bucket_start",
+        values=["value_filled"],
+        keys=["event_type"],
+        method="linear",
+    ).select("event_type", "bucket_start", "value_filled", "was_gap")
+
+
+EVENTS_HOURLY_INTERPOLATED_SQL = """WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, MAX(value) AS v
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM span
+), joined AS (
+  SELECT g.event_type, g.h, hv.v
+  FROM grid g LEFT JOIN hourly hv
+    ON g.event_type = hv.event_type AND g.h = hv.h
+), w AS (
+  SELECT event_type, h, v,
+    last_value(v IGNORE NULLS) OVER wb AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wb AS pt,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nt
+  FROM joined
+  WINDOW wb AS (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY event_type ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, h AS bucket_start,
+  CASE WHEN v IS NOT NULL THEN v
+       WHEN pv IS NULL THEN nv
+       WHEN nv IS NULL THEN pv
+       ELSE pv + (nv - pv) * ((epoch(h) - epoch(pt)) / (epoch(nt) - epoch(pt)))
+  END AS value_filled,
+  (v IS NULL) AS was_gap
+FROM w"""
+
+
 QUERIES = {
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
+    "events_hourly_interpolated": _q(
+        events_hourly_interpolated, EVENTS_HOURLY_INTERPOLATED_SQL
+    ),
     "order_value_quantile_sketch": _q(order_value_quantile_sketch, None),
     "events_multires_rollup": _q(
         events_multires_rollup, EVENTS_MULTIRES_ROLLUP_SQL
