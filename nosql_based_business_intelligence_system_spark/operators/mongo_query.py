@@ -23,7 +23,8 @@ pre-shapes the build side before the join), ``$unionWith``, ``$facet``,
 ``$setWindowFields`` ($rank/$denseRank/$documentNumber/$shift + framed
 accumulators over ``documents`` windows -> Spark window functions),
 ``$graphLookup`` (BFS as one equi-join per level, cycle-safe,
-``maxDepth``-bounded or loud fixpoint cap).
+``maxDepth``-bounded or loud fixpoint cap), ``$densify``/``$fill``
+(tick scaffold + locf/linear/constant gap-fill via operators/fill.py).
 
 Unsupported constructs raise ``MongoTranslateError`` eagerly — a silent
 wrong answer is worse than a loud unsupported one.
@@ -718,6 +719,77 @@ def _apply_graph_lookup(df: DataFrame, spec: dict) -> DataFrame:
     ).drop("__arr")
 
 
+#: $densify range units -> seconds (calendar units would need date math
+#: beyond a fixed step; they raise).
+_DENSIFY_UNITS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _apply_densify(df: DataFrame, spec: dict) -> DataFrame:
+    """``$densify`` -> operators/fill.densify: per-partition tick scaffold
+    over each partition's own [min, max] span (Mongo's
+    ``bounds: "partition"``; ``"full"``/explicit bounds unsupported)."""
+    from .fill import densify
+
+    unknown = set(spec) - {"field", "range", "partitionByFields"}
+    if unknown:
+        raise MongoTranslateError(f"unsupported $densify options {sorted(unknown)!r}")
+    if "field" not in spec or "range" not in spec:
+        raise MongoTranslateError("$densify requires field and range")
+    rng = spec["range"]
+    if rng.get("bounds", "partition") != "partition":
+        raise MongoTranslateError("$densify supports bounds: 'partition' only")
+    unit = rng.get("unit")
+    if unit not in _DENSIFY_UNITS:
+        raise MongoTranslateError(f"unsupported $densify unit {unit!r}")
+    step = int(rng["step"]) * _DENSIFY_UNITS[unit]
+    return densify(
+        df,
+        ts=spec["field"],
+        step_seconds=step,
+        keys=spec.get("partitionByFields", []),
+    )
+
+
+def _apply_fill(df: DataFrame, spec: dict) -> DataFrame:
+    """``$fill`` -> operators/fill.fill_series (methods locf/linear) or a
+    constant ``value`` fill. sortBy must be a single ascending field."""
+    from .fill import fill_series
+
+    unknown = set(spec) - {"sortBy", "partitionBy", "partitionByFields", "output"}
+    if unknown:
+        raise MongoTranslateError(f"unsupported $fill options {sorted(unknown)!r}")
+    if not isinstance(spec.get("output"), dict) or not spec["output"]:
+        raise MongoTranslateError("$fill requires an output dict")
+    keys = spec.get("partitionByFields")
+    if keys is None:
+        pb = spec.get("partitionBy")
+        if pb is not None and not (isinstance(pb, str) and pb.startswith("$")):
+            raise MongoTranslateError("partitionBy supports a '$field' ref only")
+        keys = [pb[1:]] if pb else []
+    sort = spec.get("sortBy") or {}
+    by_method: dict[str, list[str]] = {}
+    out = df
+    for field, fspec in spec["output"].items():
+        if not (isinstance(fspec, dict) and len(fspec) == 1):
+            raise MongoTranslateError(f"$fill output {field!r} must be one-key")
+        (kind, arg), = fspec.items()
+        if kind == "value":
+            out = out.withColumn(field, F.coalesce(F.col(field), expr(arg)))
+        elif kind == "method" and arg in ("locf", "linear"):
+            by_method.setdefault(arg, []).append(field)
+        else:
+            raise MongoTranslateError(f"unsupported $fill spec {fspec!r}")
+    if by_method:
+        if len(sort) != 1 or list(sort.values()) != [1]:
+            raise MongoTranslateError(
+                "$fill with method needs sortBy of one ascending field"
+            )
+        ts = next(iter(sort))
+        for method, fields in by_method.items():
+            out = fill_series(out, ts=ts, values=fields, keys=keys, method=method)
+    return out
+
+
 def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
     if op == "$match":
         return df.filter(match_filter(spec))
@@ -725,6 +797,10 @@ def _apply_stage(df: DataFrame, op: str, spec: Any) -> DataFrame:
         return _apply_set_window_fields(df, spec)
     if op == "$graphLookup":
         return _apply_graph_lookup(df, spec)
+    if op == "$densify":
+        return _apply_densify(df, spec)
+    if op == "$fill":
+        return _apply_fill(df, spec)
     if op == "$project":
         includes = [k for k, v in spec.items() if v not in (0, False)]
         excludes = [k for k, v in spec.items() if v in (0, False)]

@@ -722,3 +722,49 @@ def test_lookup_with_uncorrelated_pipeline(spark):
                 }
             ],
         )
+
+
+def test_densify_and_fill_stages(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    h = lambda i: dt.datetime(2024, 1, 1) + dt.timedelta(hours=i)  # noqa: E731
+    df = spark.createDataFrame(
+        [Row(k="a", ts=h(0), v=10.0), Row(k="a", ts=h(4), v=50.0)]
+    )
+    out = mongo_pipeline(
+        df,
+        [
+            {
+                "$densify": {
+                    "field": "ts",
+                    "partitionByFields": ["k"],
+                    "range": {"step": 1, "unit": "hour", "bounds": "partition"},
+                }
+            },
+            {
+                "$fill": {
+                    "partitionByFields": ["k"],
+                    "sortBy": {"ts": 1},
+                    "output": {"v": {"method": "linear"}},
+                }
+            },
+        ],
+    )
+    vals = [r.v for r in out.orderBy("ts").collect()]
+    assert vals == [10.0, 20.0, 30.0, 40.0, 50.0]
+    const = mongo_pipeline(
+        df.withColumn("v", F.when(F.col("v") > 20, F.col("v"))),
+        [{"$fill": {"output": {"v": {"value": 0.0}}}}],
+    )
+    assert sorted(r.v for r in const.collect()) == [0.0, 50.0]
+    with pytest.raises(MongoTranslateError, match="unit"):
+        mongo_pipeline(
+            df,
+            [{"$densify": {"field": "ts", "range": {"step": 1, "unit": "month"}}}],
+        )
+    with pytest.raises(MongoTranslateError, match="ascending"):
+        mongo_pipeline(
+            df, [{"$fill": {"output": {"v": {"method": "locf"}}}}]
+        )
