@@ -514,3 +514,127 @@ def connected_components(
             "higher max_iterations."
         )
     return labels
+
+
+# --- duplicated-span removal (Lee et al. 2021, chunk approximation) ----------
+
+
+def _span_rows(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """One row per non-overlapping k-token span: (doc, pos, span, nd, keep).
+
+    ``nd`` is the number of distinct docs the span's exact content occurs
+    in; ``keep`` is False only for repeated occurrences (the globally first
+    (doc, pos) occurrence of a cross-doc-duplicated span survives, matching
+    dedup-keeps-one-copy semantics rather than boilerplate-strip-all).
+
+    Scale shape: tokenize + chunk are narrow; the duplicate census is ONE
+    groupBy on the span's md5 (128-bit, collision-safe at 100 TB span
+    counts where 64-bit birthday-collides); flagging is a key-partitioned
+    join back on that hash. No self-join, no O(n^2) anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"), T.tokens(F.col(content_col)).alias("toks")
+    )
+    n_spans = F.ceil(F.size("toks") / F.lit(float(k))).cast("int")
+    # sequence(0, -1) would infer step -1 for empty docs -> guard explicitly.
+    idx = F.when(F.size("toks") > 0, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunked = toks.withColumn(
+        "chunks",
+        F.transform(
+            idx, lambda i: F.array_join(F.slice("toks", i * k + 1, k), " ")
+        ),
+    )
+    ex = chunked.select(
+        "doc", F.posexplode("chunks").alias("pos", "span")
+    ).withColumn("h", F.md5("span"))
+    census = ex.groupBy("h").agg(
+        F.countDistinct("doc").alias("nd"),
+        F.min(F.struct("doc", "pos")).alias("__keeper"),
+    )
+    return ex.join(census, "h").select(
+        "doc",
+        "pos",
+        "span",
+        "nd",
+        (
+            (F.col("nd") < 2) | (F.struct("doc", "pos") == F.col("__keeper"))
+        ).alias("keep"),
+    )
+
+
+def span_dedup(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Per-doc duplicated-span removal: cut each doc into non-overlapping
+    k-token spans, drop every repeated occurrence of a span whose exact
+    content appears in >= 2 distinct docs (first (doc, pos) occurrence is
+    kept), and reassemble survivors in document order.
+
+    Chunk-approximation of suffix-array span dedup from "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al., 2021) -- exact
+    on aligned duplicates (exact-dup and copy-with-local-edit docs), which
+    is the overwhelming duplicate class in web corpora.
+
+    Returns (doc_id, n_spans, n_removed_spans, kept_text) for EVERY input
+    doc (empty/whitespace docs included, with 0 spans and '' text).
+    """
+    flags = _span_rows(df, content_col, id_col, k)
+    per_doc = flags.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_removed_spans"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "span"))
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("doc"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_removed_spans", F.lit(0)).alias("n_removed_spans"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )
+
+
+def span_dedup_summary(
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """One row: corpus-level span-dedup census — total spans, distinct
+    spans, removed occurrences, docs losing at least one span, and exact
+    chars removed (sum of removed span lengths)."""
+    flags = _span_rows(df, content_col, id_col, k)
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.countDistinct("span").alias("n_distinct_spans"),
+        F.sum((~F.col("keep")).cast("bigint")).alias("n_removed_spans"),
+        F.countDistinct(F.when(~F.col("keep"), F.col("doc"))).alias(
+            "n_docs_affected"
+        ),
+        F.coalesce(
+            F.sum(F.when(~F.col("keep"), F.length("span")).cast("bigint")),
+            F.lit(0),
+        ).alias("chars_removed"),
+    )

@@ -269,6 +269,68 @@ FROM common
 WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5"""
 
 
+# --- duplicated-span removal (Lee et al. 2021 chunk approximation) -----------
+
+_SPAN_K = 20
+
+
+def span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span dedup: non-overlapping 20-token spans whose exact
+    content recurs across docs are removed (globally-first occurrence
+    kept); survivors reassembled in order."""
+    return dedup.span_dedup(_docs(spark, sf_dir), k=_SPAN_K)
+
+
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level span-dedup census (1 row)."""
+    return dedup.span_dedup_summary(_docs(spark, sf_dir), k=_SPAN_K)
+
+
+_SPAN_FLAGGED_CTE = f"""WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+), spans AS (
+  SELECT doc_id, unnest(ch) AS span, generate_subscripts(ch, 1) AS pos
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+           ELSE list_transform(
+             range(0, CAST(ceil(len(tk) / {_SPAN_K}.0) AS BIGINT)),
+             i -> array_to_string(tk[i*{_SPAN_K}+1 : i*{_SPAN_K}+{_SPAN_K}], ' '))
+      END AS ch
+    FROM toks)
+), flagged AS (
+  SELECT s.doc_id, s.pos, s.span, c.nd,
+    ROW_NUMBER() OVER (PARTITION BY s.span ORDER BY s.doc_id, s.pos) AS rn
+  FROM spans s
+  JOIN (SELECT span, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY span) c
+    USING (span)
+)"""
+
+SPAN_DEDUP_DOCS_SQL = f"""{_SPAN_FLAGGED_CTE}, perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+    CAST(SUM(CASE WHEN nd >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_removed_spans,
+    string_agg(span, ' ' ORDER BY pos) FILTER (WHERE nd < 2 OR rn = 1)
+      AS kept_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(p.n_removed_spans, 0) AS BIGINT) AS n_removed_spans,
+  coalesce(p.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+
+SPAN_DEDUP_STATS_SQL = f"""{_SPAN_FLAGGED_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(COUNT(DISTINCT span) AS BIGINT) AS n_distinct_spans,
+  CAST(SUM(CASE WHEN nd >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_removed_spans,
+  CAST(COUNT(DISTINCT CASE WHEN nd >= 2 AND rn > 1 THEN doc_id END) AS BIGINT)
+    AS n_docs_affected,
+  CAST(coalesce(SUM(CASE WHEN nd >= 2 AND rn > 1 THEN length(span) END), 0)
+    AS BIGINT) AS chars_removed
+FROM flagged"""
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dupes(
         _docs(spark, sf_dir), jaccard_threshold=0.5
@@ -999,6 +1061,8 @@ QUERIES = {
     "dedup_fuzzy_keep": _q(dedup_fuzzy_keep, DEDUP_FUZZY_KEEP_SQL),
     "dedup_clusters": _q(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_cross_corpus": _q(dedup_cross_corpus, DEDUP_CROSS_CORPUS_SQL),
+    "span_dedup_docs": _q(span_dedup_docs, SPAN_DEDUP_DOCS_SQL),
+    "span_dedup_stats": _q(span_dedup_stats, SPAN_DEDUP_STATS_SQL),
     "dedup_minhash": _q(dedup_minhash, None),
     "dedup_simhash": _q(dedup_simhash, None),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),

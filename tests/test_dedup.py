@@ -166,3 +166,46 @@ def test_cross_corpus_asymmetric(spark):
     assert got == [(10, 1), (10, 2)]
     for r in pairs:
         assert r.jaccard == 1.0
+
+
+# --- duplicated-span removal -------------------------------------------------
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    # k=5 spans: docs 1 and 2 are identical (2 full spans + 1 tail span each);
+    # doc 2's copies must all be removed, doc 1 keeps everything.
+    rows = {
+        r.doc_id: r
+        for r in dedup.span_dedup(_df(spark), k=5).collect()
+    }
+    assert rows[1].n_removed_spans == 0
+    assert rows[1].kept_text == DOCS[0].text
+    assert rows[2].n_spans == rows[2].n_removed_spans > 0
+    assert rows[2].kept_text == ""
+    # near-dup doc 3: spans 1-2 ("the quick brown fox jumps", "over the
+    # lazy dog again") align with doc 1; only the "tomorrow" tail differs.
+    assert rows[3].n_removed_spans == 2
+    assert rows[3].kept_text == "tomorrow"
+    # unrelated docs untouched
+    assert rows[4].n_removed_spans == 0 and rows[4].kept_text == DOCS[3].text
+
+
+def test_span_dedup_empty_doc_survives(spark):
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame(
+        [R(doc_id=1, text=""), R(doc_id=2, text="one two three")]
+    )
+    rows = {r.doc_id: r for r in dedup.span_dedup(df, k=2).collect()}
+    assert rows[1].n_spans == 0 and rows[1].kept_text == ""
+    assert rows[2].n_spans == 2 and rows[2].kept_text == "one two three"
+
+
+def test_span_dedup_summary_consistent_with_per_doc(spark):
+    per_doc = dedup.span_dedup(_df(spark), k=5).collect()
+    summary = dedup.span_dedup_summary(_df(spark), k=5).collect()[0]
+    assert summary.n_spans == sum(r.n_spans for r in per_doc)
+    assert summary.n_removed_spans == sum(r.n_removed_spans for r in per_doc)
+    assert summary.n_docs_affected == sum(
+        1 for r in per_doc if r.n_removed_spans > 0
+    )
