@@ -396,3 +396,300 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+# --- SemDeDup: semantic dedup over embedding clusters ------------------------
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster embeddings with the IVF coarse quantizer, then
+    compare vectors only against members of the SAME cell.
+
+    Output: (cell, id_a, id_b, score) with id_a < id_b and cosine >=
+    ``threshold``. Scale shape: candidacy is an equi-join on ``cell`` —
+    pair count is sum over cells of |cell|^2, never corpus^2; n_cells
+    grows with the corpus so cells stay bounded. The cluster step is the
+    same broadcast-centroid argmin the ANN path uses; no UDF, no collect.
+    """
+    assignments, _ = ivf_assign(
+        corpus, n_cells, id_col, vec_col, refine_iterations
+    )
+    a = assignments.select(
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+    )
+    b = assignments.select(
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cell",
+            "id_a",
+            "id_b",
+            V.cosine(F.col("va"), F.col("vb")).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """SemDeDup keep-set: drop every vector that has a lower-id neighbor in
+    its cell with cosine >= ``threshold``; keep the rest (original columns).
+
+    Deterministic keep-min-id variant of the paper's policy (the paper
+    keeps the member farthest from the centroid; min-id is order-stable
+    across engines and partitionings). Greedy chain semantics: in a chain
+    a<b<c with sim(a,b), sim(b,c) >= t but sim(a,c) < t, only ``a``
+    survives — matching the paper's one-survivor-per-dup-group intent.
+    Invariant (tested): no two kept vectors in the same cell score >=
+    ``threshold``.
+    """
+    dupes = semantic_dedup_pairs(
+        corpus, n_cells, threshold, id_col, vec_col, refine_iterations
+    ).select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.join(dupes, id_col, "left_anti")
+
+# --- PQ-ANN: product quantization with ADC scoring ---------------------------
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """One row per (id, subspace j, L2-normalized subvector). Raises when
+    the embedding dimension is not divisible by ``m`` (guard embedded in
+    the kept ``sv`` column so it survives column pruning). The norm is
+    materialized per row BEFORE the transform — referencing a
+    higher-order expression inside a lambda re-evaluates it per element."""
+    return (
+        df.select(
+            F.col(id_col), V.as_double(F.col(vec_col)).alias("v0")
+        )
+        .withColumn("nrm", V.norm(F.col("v0")))
+        .withColumn(
+            "nv",
+            F.when(
+                F.size("v0") % m == 0,
+                F.transform("v0", lambda x: x / F.col("nrm")),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"PQ: embedding dim must be divisible by m={m}, got "),
+                        F.size("v0").cast("string"),
+                    )
+                )
+            ),
+        )
+        .withColumn("d_sub", (F.size("nv") / m).cast("int"))
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("j"),
+            "nv",
+            "d_sub",
+        )
+        .select(
+            id_col,
+            "j",
+            F.slice(
+                "nv", F.col("j") * F.col("d_sub") + 1, F.col("d_sub")
+            ).alias("sv"),
+        )
+    )
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks + corpus codes (Jegou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    Vectors are L2-normalized, split into ``m`` contiguous subvectors, and
+    each subspace gets a ``k_codes``-entry codebook trained with
+    deterministic hash-stratified seeds + Lloyd steps (the same scheme as
+    :func:`ivf_assign`, run for all m subspaces in ONE DataFrame program —
+    subspace id ``j`` is just another grouping key, so no per-subspace
+    loop). Returns:
+
+    - codes: (id, codes array<int> of length m) — the compressed corpus,
+      m*log2(k) bits per vector instead of 4*d bytes;
+    - codebooks: (j, code, centroid array<double>) — m*k_codes tiny rows,
+      always broadcastable.
+
+    Scale shape: training is groupBy (j, code, pos) averages over the
+    exploded corpus — partial aggregation applies; encoding is a broadcast
+    join + per-(id, j) argmin. No UDF, no collect, no per-subspace jobs.
+    """
+    sub = _pq_subvectors(corpus, m, id_col, vec_col)
+    wseed = Window.partitionBy("j").orderBy("__h", id_col)
+    codebooks = (
+        sub.withColumn("__h", F.md5(F.concat_ws("|", F.col(id_col), F.col("j"))))
+        .withColumn("code", F.row_number().over(wseed) - 1)
+        .filter(F.col("code") < k_codes)
+        .select("j", "code", F.col("sv").alias("centroid"))
+    )
+
+    def _assign(cb: DataFrame) -> DataFrame:
+        scored = sub.join(F.broadcast(cb), "j").select(
+            id_col,
+            "j",
+            "sv",
+            "code",
+            V.euclidean(F.col("sv"), F.col("centroid")).alias("dist"),
+        )
+        w = Window.partitionBy(id_col, "j").orderBy(F.asc("dist"), F.asc("code"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "j", "sv", "code")
+        )
+
+    # Checkpoint the (tiny, m*k_codes-row) codebooks each round: every
+    # Lloyd step and BOTH downstream consumers (codes + the query table)
+    # would otherwise re-execute the whole training lineage per use.
+    codebooks = codebooks.localCheckpoint(eager=False)
+    for _ in range(max(refine_iterations, 0)):
+        members = _assign(codebooks)
+        codebooks = (
+            members.select("j", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("j", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s.mx,
+                ).alias("centroid")
+            )
+        ).localCheckpoint(eager=False)
+    codes = (
+        _assign(codebooks)
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "code"))),
+                lambda s: s.code,
+            ).alias("codes")
+        )
+    )
+    return codes, codebooks
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iterations: int = 2,
+    rerank_factor: int = 0,
+) -> DataFrame:
+    """PQ-ADC top-k: score = sum over subspaces of dot(query subvector,
+    codeword centroid) — a lookup-table approximation of the cosine on
+    normalized vectors. Output: query_id, neighbor_id, score, rank.
+
+    Asymmetric distance computation: the QUERY stays exact; only the
+    corpus is quantized. The per-query lookup table (m*k_codes doubles) is
+    built on the broadcast query side; scoring each corpus row is then m
+    map lookups — no vector math in the join, which is what makes PQ the
+    cheap-scan path at 100 TB (the compressed corpus is ~25x narrower
+    than raw float32 embeddings at m=4, k=16).
+
+    ``rerank_factor > 0`` enables the standard two-stage shape: ADC
+    retrieves ``k * rerank_factor`` candidates per query, then ONLY those
+    rows are re-scored with exact cosine against the raw vectors and the
+    final top-k ranked on the exact score. The exact pass touches
+    |Q| * k * rerank_factor rows — independent of corpus size — so the
+    quantization error stops costing recall without giving up the
+    narrow-scan candidate stage.
+    """
+    codes, codebooks = pq_train_encode(
+        corpus, m, k_codes, id_col, vec_col, refine_iterations
+    )
+    qsub = _pq_subvectors(queries, m, id_col, vec_col)
+    # (query, j, code) -> dot(q_j, centroid); flattened to qtab[j*k + code]
+    # Map, not flat array: Lloyd steps can empty a code cluster, leaving
+    # (j, code) holes — positional indexing into a sorted collect_list
+    # would silently misalign. Every code that appears in a corpus row's
+    # ``codes`` exists in the codebook, so lookups never miss.
+    qtab = (
+        qsub.join(F.broadcast(codebooks), "j")
+        .select(
+            F.col(id_col).alias("query_id"),
+            (F.col("j") * k_codes + F.col("code")).alias("slot"),
+            V.dot(F.col("sv"), F.col("centroid")).alias("tv"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("slot", "tv")))
+            ).alias("qtab")
+        )
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qtab))
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(
+                    F.col("qtab"), j * k_codes + F.element_at(F.col("codes"), j + 1)
+                ),
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    if rerank_factor <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+        )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
+    )
+    exact = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

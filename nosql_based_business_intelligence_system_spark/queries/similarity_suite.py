@@ -197,8 +197,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 with exact rerank (rows-only; recall tested in
+    pytest). Candidate stage scans only the m-byte code column."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return similarity.pq_topk(
+        emb, queries, k=TOP_K, m=4, k_codes=32, refine_iterations=1,
+        rerank_factor=8,
+    )
+
+
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup keep-set over the embeddings table (rows-only; the IVF
+    cluster step isn't SQL-portable — kept-set invariants tested in
+    pytest). Threshold matches the exact near-pair query so survivors
+    drop the same planted neighborhood structure."""
+    return similarity.semantic_dedup_keep(
+        _emb(spark, sf_dir), n_cells=16, threshold=NEAR_PAIR_THRESHOLD
+    ).select("vec_id", "label")
+
+
 QUERIES = {
     "ann_bruteforce_topk": _q(ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL),
+    "ann_pq_topk": _q(ann_pq_topk, None),
+    "semantic_dedup_survivors": _q(semantic_dedup_survivors, None),
     "embedding_near_pairs": _q(embedding_near_pairs, EMBEDDING_NEAR_PAIRS_SQL),
     "dedup_embedding_cosine": _q(dedup_embedding_cosine, None),
     "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),

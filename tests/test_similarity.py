@@ -136,3 +136,98 @@ def test_cosine_pairs_input_cap_raises(spark):
         cosine_pairs(df, threshold=0.9, max_rows=10)
     # within the cap it still works
     assert cosine_pairs(df, threshold=0.99, max_rows=100).count() > 0
+
+
+# --- SemDeDup ----------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_planted_dupes(spark):
+    # 1001/2001 are near-copies of 0/2; keep-min-id must drop exactly them.
+    vecs = VECS + [
+        Row(vec_id=1001, embedding=[0.999, 0.001, 0.0]),
+        Row(vec_id=2001, embedding=[0.0, 0.998, 0.002]),
+    ]
+    df = spark.createDataFrame(vecs)
+    kept = similarity.semantic_dedup_keep(
+        df, n_cells=2, threshold=0.99, refine_iterations=1
+    )
+    ids = sorted(r.vec_id for r in kept.collect())
+    assert 1001 not in ids and 2001 not in ids
+    assert set(ids) >= {0, 2, 4}
+
+
+def test_semantic_dedup_kept_set_invariant(spark, sf_smoke):
+    # No two survivors in the same cell may score >= threshold.
+    emb = load_table(spark, sf_smoke, "embeddings").filter("vec_id < 200")
+    kept = similarity.semantic_dedup_keep(emb, n_cells=4, threshold=0.35)
+    viol = similarity.semantic_dedup_pairs(kept, n_cells=4, threshold=0.35)
+    # pairs() reclusters; the invariant is per-cell of the ORIGINAL run, so
+    # check the stronger global form on the small fixture: recompute exact
+    # cosine over survivors of each original cell.
+    from nosql_based_business_intelligence_system_spark.operators.similarity import ivf_assign
+    from nosql_based_business_intelligence_system_spark.functions import vectors as V
+    import pyspark.sql.functions as F
+
+    assignments, _ = ivf_assign(emb, n_cells=4)
+    surv = assignments.join(kept.select("vec_id"), "vec_id")
+    a = surv.select("cell", F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = surv.select("cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    n_bad = (
+        a.join(b, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(V.cosine(F.col("va"), F.col("vb")) >= 0.35)
+        .count()
+    )
+    assert n_bad == 0
+    assert viol is not None  # exercised the pairs path too
+
+
+# --- PQ-ANN ------------------------------------------------------------------
+
+
+def test_pq_recall_on_fixture(spark, sf_smoke):
+    # Random embeddings are PQ's worst case (no cluster structure): plain
+    # ADC recall is weak by construction; the exact-rerank stage is the
+    # production shape and must recover most of it.
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    adc = similarity.pq_topk(
+        emb, queries, k=10, m=4, k_codes=32, refine_iterations=2
+    ).collect()
+    assert _recall(adc, exact) >= 0.1, "plain ADC recall collapsed"
+    reranked = similarity.pq_topk(
+        emb, queries, k=10, m=4, k_codes=32, refine_iterations=2,
+        rerank_factor=8,
+    ).collect()
+    assert _recall(reranked, exact) >= 0.5, "reranked PQ recall collapsed"
+
+
+def test_pq_exact_when_codebook_saturates(spark):
+    # 4 distinct vectors, k_codes=8 >= distinct subvectors per subspace:
+    # quantization is lossless, so PQ ranking == brute-force ranking.
+    vecs = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.2, 0.0]),
+        Row(vec_id=3, embedding=[0.1, 0.0, 1.0, 0.3]),
+    ]
+    df = spark.createDataFrame(vecs)
+    q = df.filter("vec_id = 0")
+    exact = {
+        r.neighbor_id: r.rank
+        for r in similarity.brute_force_topk(df, q, k=3).collect()
+    }
+    pq = {
+        r.neighbor_id: r.rank
+        for r in similarity.pq_topk(
+            df, q, k=3, m=2, k_codes=8, refine_iterations=0
+        ).collect()
+    }
+    assert pq == exact
+
+
+def test_pq_raises_on_indivisible_dim(spark):
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0, 0.0])])
+    with pytest.raises(Exception, match="divisible"):
+        similarity.pq_train_encode(df, m=2, k_codes=2)[0].collect()
