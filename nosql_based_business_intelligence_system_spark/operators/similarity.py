@@ -286,18 +286,24 @@ def _nearest_cell(
     c: DataFrame, centroids: DataFrame, id_col: str
 ) -> DataFrame:
     """Assign each vector (id, v) to its nearest centroid: broadcast the
-    K centroids, argmin via per-id window."""
+    K centroids, argmin via ``min_by`` hash aggregation (tie-break on
+    cell id) — partial aggregation combines map-side, so the shuffle
+    carries one row per vector, not one per (vector, centroid), and
+    there's no sort. Strictly better than a row_number window here."""
     scored = c.crossJoin(F.broadcast(centroids)).select(
         id_col,
         "v",
         "cell",
         V.euclidean(F.col("v"), F.col("centroid")).alias("dist"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist"), F.asc("cell"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "cell", "v")
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("cell", "v"), F.struct("dist", "cell")
+            ).alias("__best")
+        )
+        .select(id_col, F.col("__best.cell").alias("cell"), F.col("__best.v").alias("v"))
     )
 
 
@@ -331,10 +337,13 @@ def ivf_assign(
         .limit(n_cells)
     )
     wseed = Window.orderBy("__h", id_col)
+    # Checkpoint the K-row centroid table each round — without it every
+    # Lloyd step AND every downstream consumer re-executes the full
+    # training lineage (measured 2x+ on the registry queries).
     centroids = seeds.select(
         (F.row_number().over(wseed) - 1).alias("cell"),
         F.col("v").alias("centroid"),
-    )
+    ).localCheckpoint(eager=False)
     for _ in range(max(refine_iterations, 0)):
         members = _nearest_cell(c, centroids, id_col)
         centroids = (
@@ -348,7 +357,7 @@ def ivf_assign(
                     lambda s: s.m,
                 ).alias("centroid")
             )
-        )
+        ).localCheckpoint(eager=False)
     assignments = _nearest_cell(c, centroids, id_col)
     return assignments, centroids
 
@@ -422,6 +431,10 @@ def semantic_dedup_pairs(
     assignments, _ = ivf_assign(
         corpus, n_cells, id_col, vec_col, refine_iterations
     )
+    # Both sides of the self-join consume `assignments` — checkpoint so
+    # the cluster step runs once (persist-before-self-join discipline,
+    # same as dedup.ngram_jaccard_dupes).
+    assignments = assignments.localCheckpoint(eager=False)
     a = assignments.select(
         F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
     )
@@ -556,11 +569,21 @@ def pq_train_encode(
             "code",
             V.euclidean(F.col("sv"), F.col("centroid")).alias("dist"),
         )
-        w = Window.partitionBy(id_col, "j").orderBy(F.asc("dist"), F.asc("code"))
+        # min_by hash agg, not a row_number window: map-side combine
+        # shrinks the shuffle to one row per (id, j) and skips the sort.
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "j", "sv", "code")
+            scored.groupBy(id_col, "j")
+            .agg(
+                F.min_by(
+                    F.struct("sv", "code"), F.struct("dist", "code")
+                ).alias("__best")
+            )
+            .select(
+                id_col,
+                "j",
+                F.col("__best.sv").alias("sv"),
+                F.col("__best.code").alias("code"),
+            )
         )
 
     # Checkpoint the (tiny, m*k_codes-row) codebooks each round: every
