@@ -175,6 +175,10 @@ def bpe_encode(
     Python boundary; the rank dict is closure-captured (broadcast with the
     task, merge lists are  KBs).
     """
+    # Module-level import won't do: with `from __future__ import
+    # annotations` the UDF type hints are strings, and pandas_udf resolves
+    # them against the function's globals — so `pd` must live there.
+    global pd
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 

@@ -331,6 +331,34 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
 FROM flagged"""
 
 
+# --- BPE vocabulary training -------------------------------------------------
+
+_BPE_MERGES = 12
+
+
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge list over the corpus (rank order). Rows-only:
+    the merge loop isn't SQL-expressible — exact parity with an
+    independent reference trainer is pytest-proven (tests/test_bpe.py)."""
+    from ..operators import bpe
+
+    merges = bpe.bpe_train(_docs(spark, sf_dir), n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "rank int, a string, b string, freq bigint",
+    )
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc subword token counts under the trained BPE vocab (encode
+    is the Arrow-batched sequential path; rows-only)."""
+    from ..operators import bpe
+
+    d = _docs(spark, sf_dir)
+    merges = bpe.bpe_train(d, n_merges=_BPE_MERGES)
+    return bpe.bpe_encode(d, merges).select("doc_id", "n_tokens")
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dupes(
         _docs(spark, sf_dir), jaccard_threshold=0.5
@@ -1063,6 +1091,8 @@ QUERIES = {
     "dedup_cross_corpus": _q(dedup_cross_corpus, DEDUP_CROSS_CORPUS_SQL),
     "span_dedup_docs": _q(span_dedup_docs, SPAN_DEDUP_DOCS_SQL),
     "span_dedup_stats": _q(span_dedup_stats, SPAN_DEDUP_STATS_SQL),
+    "bpe_vocab": _q(bpe_vocab, None),
+    "bpe_token_counts": _q(bpe_token_counts, None),
     "dedup_minhash": _q(dedup_minhash, None),
     "dedup_simhash": _q(dedup_simhash, None),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
