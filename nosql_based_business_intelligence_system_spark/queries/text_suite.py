@@ -331,6 +331,32 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_spans,
 FROM flagged"""
 
 
+# --- RAG chunking ------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (RAG prep): 64-token windows,
+    16-token overlap; map-only, oracle-checked."""
+    from ..operators import chunk
+
+    return chunk.chunk_documents(
+        _docs(spark, sf_dir),
+        chunk_tokens=_CHUNK_TOKENS,
+        overlap_tokens=_CHUNK_OVERLAP,
+    )
+
+
+def _doc_chunks_sql() -> str:
+    from ..operators import chunk
+
+    return chunk.dd_chunk_documents(
+        chunk_tokens=_CHUNK_TOKENS, overlap_tokens=_CHUNK_OVERLAP
+    )
+
+
 # --- BPE vocabulary training -------------------------------------------------
 
 _BPE_MERGES = 12
@@ -1091,6 +1117,7 @@ QUERIES = {
     "dedup_cross_corpus": _q(dedup_cross_corpus, DEDUP_CROSS_CORPUS_SQL),
     "span_dedup_docs": _q(span_dedup_docs, SPAN_DEDUP_DOCS_SQL),
     "span_dedup_stats": _q(span_dedup_stats, SPAN_DEDUP_STATS_SQL),
+    "doc_chunks": _q(doc_chunks, _doc_chunks_sql()),
     "bpe_vocab": _q(bpe_vocab, None),
     "bpe_token_counts": _q(bpe_token_counts, None),
     "dedup_minhash": _q(dedup_minhash, None),

@@ -1,0 +1,61 @@
+"""Window-arithmetic tests for the RAG chunker (the oracle twin covers
+value parity; these pin the boundary semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from nosql_based_business_intelligence_system_spark.operators import chunk
+
+
+def _chunks(spark, text, **kw):
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    return sorted(
+        chunk.chunk_documents(df, **kw).collect(), key=lambda r: r.chunk_id
+    )
+
+
+def test_exact_fit_single_chunk(spark):
+    rows = _chunks(
+        spark, " ".join(f"t{i}" for i in range(8)),
+        chunk_tokens=8, overlap_tokens=2,
+    )
+    assert len(rows) == 1
+    assert rows[0].n_chunk_tokens == 8 and rows[0].start_token == 0
+
+
+def test_overlap_and_tail(spark):
+    # 14 tokens, chunk=8, overlap=2 (stride 6): ceil(12/6)=2 chunks
+    toks = [f"t{i}" for i in range(14)]
+    rows = _chunks(spark, " ".join(toks), chunk_tokens=8, overlap_tokens=2)
+    assert [(r.start_token, r.n_chunk_tokens) for r in rows] == [(0, 8), (6, 8)]
+    # consecutive chunks share exactly the overlap
+    a, b = rows[0].chunk_text.split(), rows[1].chunk_text.split()
+    assert a[-2:] == b[:2] == toks[6:8]
+    # every token appears; stitched text reassembles the doc
+    assert a + b[2:] == toks
+
+
+def test_short_tail_window_emitted(spark):
+    # 15 tokens, stride 6: ceil(13/6)=3 chunks; the last is short (3 toks)
+    rows = _chunks(
+        spark, " ".join(f"t{i}" for i in range(15)),
+        chunk_tokens=8, overlap_tokens=2,
+    )
+    assert [(r.start_token, r.n_chunk_tokens) for r in rows] == [
+        (0, 8), (6, 8), (12, 3),
+    ]
+
+
+def test_empty_doc_no_chunks(spark):
+    assert _chunks(spark, "", chunk_tokens=8, overlap_tokens=2) == []
+
+
+def test_overlap_must_be_smaller(spark):
+    with pytest.raises(ValueError, match="smaller"):
+        chunk.chunk_documents(
+            spark.createDataFrame([Row(doc_id=1, text="x")]),
+            chunk_tokens=8,
+            overlap_tokens=8,
+        )
