@@ -78,6 +78,9 @@ def test_no_forced_broadcast_of_scaling_dimensions():
     allowed = {
         "nation", "region", "dim", "tiers", "centroids", "hot", "q",
         "queries", "dfreq",
+        # PQ: codebooks are m*k_codes rows (parameter-bounded); the ADC
+        # lookup table is one row per query vector — both SF-independent.
+        "cb", "codebooks", "qtab",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
@@ -112,3 +115,28 @@ def test_pii_report_single_agg_shuffle(spark):
     df = _df(spark, "pii_redaction_report")
     assert I.count_exchanges(df) == 1
     assert "BatchEvalPython" not in I.explain_str(df, "simple")
+
+
+def test_doc_chunks_map_only(spark):
+    """RAG chunking must stay a narrow map stage: zero exchanges, no
+    Python boundary."""
+    df = _df(spark, "doc_chunks")
+    assert I.count_exchanges(df) == 0
+    assert "BatchEvalPython" not in I.explain_str(df, "simple")
+
+
+def test_new_similarity_ops_stay_jvm_side(spark):
+    """SemDeDup + PQ plans: no row-at-a-time Python eval anywhere (the
+    only sanctioned Python boundary in the repo is Arrow-batched, and
+    these ops don't use even that)."""
+    for q in ("semantic_dedup_survivors", "ann_pq_topk"):
+        plan = I.explain_str(_df(spark, q), "simple")
+        assert "BatchEvalPython" not in plan, q
+
+
+def test_span_dedup_census_no_self_join(spark):
+    """Span dedup joins the span table to its grouped census on the md5
+    key — there must be no cartesian/nested-loop join in the plan."""
+    plan = I.explain_str(_df(spark, "span_dedup_docs"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
