@@ -102,11 +102,61 @@ def expr(e: Any) -> Column:
             return F.round(expr(args[0] if isinstance(args, list) else args), places)
         if op == "$dateToString":
             return _date_to_string(args)
+        if op == "$switch":
+            return _switch(args)
+        if op == "$dateTrunc":
+            return _date_trunc(args)
         raise MongoTranslateError(f"unsupported expression operator {op!r}")
     return F.lit(e)
 
 
 #: Single-argument expression operators (string/date/math/cast).
+def _switch(spec: Any) -> Column:
+    """$switch -> chained WHEN. Branches evaluate in order, as in Mongo;
+    a missing ``default`` yields NULL only if no branch matches at
+    runtime — Mongo errors there, but compiling that would need a
+    per-row guard, so the (documented) difference is NULL instead."""
+    if not (isinstance(spec, dict) and isinstance(spec.get("branches"), list)):
+        raise MongoTranslateError("$switch requires {branches: [...]}")
+    unknown = set(spec) - {"branches", "default"}
+    if unknown:
+        raise MongoTranslateError(
+            f"unsupported $switch options {sorted(unknown)!r}"
+        )
+    out: Column | None = None
+    for br in spec["branches"]:
+        if not (isinstance(br, dict) and "case" in br and "then" in br):
+            raise MongoTranslateError(f"$switch branch needs case/then: {br!r}")
+        cond, then = predicate_expr(br["case"]), expr(br["then"])
+        out = F.when(cond, then) if out is None else out.when(cond, then)
+    if out is None:
+        raise MongoTranslateError("$switch requires at least one branch")
+    return out.otherwise(expr(spec["default"])) if "default" in spec else out
+
+
+#: $dateTrunc units with identical Spark semantics. "week" is excluded:
+#: Mongo's default startOfWeek is Sunday, Spark's date_trunc week is
+#: ISO-Monday — silently different answers, so it raises instead.
+_DATE_TRUNC_UNITS = {
+    "year", "quarter", "month", "day", "hour", "minute", "second",
+}
+
+
+def _date_trunc(spec: Any) -> Column:
+    if not (isinstance(spec, dict) and "date" in spec and "unit" in spec):
+        raise MongoTranslateError("$dateTrunc requires {date, unit}")
+    unknown = set(spec) - {"date", "unit"}
+    if unknown:
+        # binSize/timezone/startOfWeek change bucket boundaries — loud no.
+        raise MongoTranslateError(
+            f"unsupported $dateTrunc options {sorted(unknown)!r}"
+        )
+    unit = spec["unit"]
+    if unit not in _DATE_TRUNC_UNITS:
+        raise MongoTranslateError(f"unsupported $dateTrunc unit {unit!r}")
+    return F.date_trunc(unit, expr(spec["date"]))
+
+
 _UNARY = {
     "$toLower": F.lower,
     "$toUpper": F.upper,

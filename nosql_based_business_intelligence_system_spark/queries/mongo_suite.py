@@ -438,7 +438,69 @@ JOIN region ON r_regionkey = n_regionkey
 WHERE c_custkey <= {CHAIN_MAX_CUSTKEY}"""
 
 
+#: $switch tier boundaries on o_totalprice (match the SQL CASE exactly).
+_TIER_LARGE = 300_000.0
+_TIER_MEDIUM = 100_000.0
+
+MONTHLY_PRICE_TIER_PIPELINE = [
+    {
+        "$project": {
+            "month": {"$dateTrunc": {"date": "$o_orderdate", "unit": "month"}},
+            "tier": {
+                "$switch": {
+                    "branches": [
+                        {
+                            "case": {"$gte": ["$o_totalprice", _TIER_LARGE]},
+                            "then": "large",
+                        },
+                        {
+                            "case": {"$gte": ["$o_totalprice", _TIER_MEDIUM]},
+                            "then": "medium",
+                        },
+                    ],
+                    "default": "small",
+                }
+            },
+            "price_dec": {"$toDecimal": "$o_totalprice"},
+        }
+    },
+    {
+        "$group": {
+            "_id": {"month": "$month", "tier": "$tier"},
+            "revenue": {"$sum": "$price_dec"},
+            "n_orders": {"$sum": 1},
+        }
+    },
+]
+
+
+def mongo_monthly_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$dateTrunc month x $switch price tier -> decimal revenue + counts
+    (the $switch/$dateTrunc dialect additions, oracle-checked)."""
+    from ..sources.tables import load_table
+
+    return mongo_pipeline(
+        load_table(spark, sf_dir, "orders"), MONTHLY_PRICE_TIER_PIPELINE
+    )
+
+
+MONGO_MONTHLY_PRICE_TIERS_SQL = f"""SELECT
+  -- DuckDB's date_trunc('month', ts) yields DATE; Spark's stays a
+  -- timestamp — align the oracle's type explicitly.
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+  CASE WHEN o_totalprice >= {_TIER_LARGE} THEN 'large'
+       WHEN o_totalprice >= {_TIER_MEDIUM} THEN 'medium'
+       ELSE 'small' END AS tier,
+  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2"""
+
+
 QUERIES = {
+    "mongo_monthly_price_tiers": _q(
+        mongo_monthly_price_tiers, MONGO_MONTHLY_PRICE_TIERS_SQL
+    ),
     "mongo_customer_region_chain": _q(
         mongo_customer_region_chain, MONGO_CUSTOMER_REGION_CHAIN_SQL
     ),

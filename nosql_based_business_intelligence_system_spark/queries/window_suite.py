@@ -229,7 +229,49 @@ FROM (
 ) GROUP BY decile"""
 
 
+def revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue via a time-RANGE window frame (value-based,
+    not row-based: days with no orders shrink the frame's row count but
+    not its time span). Ordered on integer days-since-epoch so Spark's
+    numeric rangeBetween and DuckDB's RANGE ... PRECEDING agree exactly;
+    sums are decimal end-to-end. Runs on the per-day aggregate."""
+    from ..sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(dsum0(F.col("o_totalprice")).alias("day_revenue"))
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.to_date(F.col("o_orderdate"))))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_orderdate",
+        "day_revenue",
+        F.sum("day_revenue").over(w).alias("trailing_7d_revenue"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_frame"),
+    )
+
+
+_DD_7D_FRAME = (
+    "OVER (ORDER BY date_diff('day', DATE '1970-01-01', "
+    "CAST(o_orderdate AS DATE)) "
+    "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"
+)
+
+REVENUE_TRAILING_7D_SQL = f"""WITH daily AS (
+  SELECT o_orderdate, {dd_dsum0('o_totalprice')} AS day_revenue
+  FROM orders GROUP BY o_orderdate
+)
+SELECT o_orderdate, day_revenue,
+  SUM(day_revenue) {_DD_7D_FRAME} AS trailing_7d_revenue,
+  CAST(COUNT(*) {_DD_7D_FRAME} AS BIGINT) AS n_days_in_frame
+FROM daily"""
+
+
 QUERIES = {
+    "revenue_trailing_7d": _q(revenue_trailing_7d, REVENUE_TRAILING_7D_SQL),
     "monthly_revenue_running": _q(monthly_revenue_running, MONTHLY_REVENUE_RUNNING_SQL),
     "customer_value_deciles": _q(customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL),
     "revenue_moving_avg": _q(revenue_moving_avg, REVENUE_MOVING_AVG_SQL),

@@ -768,3 +768,94 @@ def test_densify_and_fill_stages(spark):
         mongo_pipeline(
             df, [{"$fill": {"output": {"v": {"method": "locf"}}}}]
         )
+
+
+def test_switch_expression_branch_order(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {
+                "$project": {
+                    "brand": 1,
+                    "tier": {
+                        "$switch": {
+                            "branches": [
+                                {"case": {"$gte": ["$price", 40.0]}, "then": "high"},
+                                {"case": {"$gte": ["$price", 20.0]}, "then": "mid"},
+                            ],
+                            "default": "low",
+                        }
+                    },
+                }
+            }
+        ],
+    ).collect()
+    tiers = sorted((r.brand, r.tier) for r in out)
+    assert tiers == [("a", "high"), ("a", "low"), ("a", "mid"), ("b", "mid")]
+
+
+def test_switch_without_default_yields_null(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {
+                "$project": {
+                    "t": {
+                        "$switch": {
+                            "branches": [
+                                {"case": {"$gte": ["$price", 40.0]}, "then": 1}
+                            ]
+                        }
+                    }
+                }
+            }
+        ],
+    ).collect()
+    assert sorted(r.t for r in out if r.t is not None) == [1]
+    assert sum(1 for r in out if r.t is None) == 3
+
+
+def test_switch_rejects_bad_specs(spark):
+    with pytest.raises(MongoTranslateError, match="branches"):
+        mongo_pipeline(_df(spark), [{"$project": {"t": {"$switch": {}}}}])
+    with pytest.raises(MongoTranslateError, match="case/then"):
+        mongo_pipeline(
+            _df(spark),
+            [{"$project": {"t": {"$switch": {"branches": [{"case": True}]}}}}],
+        )
+
+
+def test_date_trunc_month(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, ts=datetime.datetime(2024, 3, 17, 14, 30)),
+            Row(k=2, ts=datetime.datetime(2024, 3, 2, 1, 0)),
+            Row(k=3, ts=datetime.datetime(2024, 4, 1, 0, 0)),
+        ]
+    )
+    out = mongo_pipeline(
+        df,
+        [
+            {"$project": {"m": {"$dateTrunc": {"date": "$ts", "unit": "month"}}}},
+            {"$group": {"_id": "$m", "n": {"$sum": 1}}},
+        ],
+    ).collect()
+    got = {r._id.strftime("%Y-%m-%d"): r.n for r in out}
+    assert got == {"2024-03-01": 2, "2024-04-01": 1}
+
+
+def test_date_trunc_rejects_week_and_options(spark):
+    df = _df(spark)
+    with pytest.raises(MongoTranslateError, match="unit"):
+        mongo_pipeline(
+            df, [{"$project": {"t": {"$dateTrunc": {"date": "$price", "unit": "week"}}}}]
+        )
+    with pytest.raises(MongoTranslateError, match="options"):
+        mongo_pipeline(
+            df,
+            [{"$project": {"t": {"$dateTrunc": {
+                "date": "$price", "unit": "day", "timezone": "UTC"
+            }}}}],
+        )
