@@ -1,0 +1,149 @@
+"""DSIR-style importance weighting for data selection.
+
+"Data Selection for Language Models via Importance Resampling" (Xie et
+al., 2023): score every raw document by the log-likelihood ratio of a
+TARGET distribution vs the RAW distribution, both modeled as bag-of-
+hashed-n-grams unigram models; resample raw docs proportionally to the
+ratio to shift the corpus toward the target domain.
+
+Spark shape (everything is counts + joins; the corpus is scanned once per
+count table):
+
+1. hash every token n-gram into ``n_buckets`` (xxhash64 — stable across
+   partitionings) for target docs and for the full raw corpus;
+2. two grouped counts -> (bucket, c_target), (bucket, c_raw) — these are
+   the "models", n_buckets rows each, broadcastable;
+3. per doc: explode its hashed n-grams, join the two count tables on the
+   bucket key, sum ``log(p_target(b)) - log(p_raw(b))`` with add-one
+   smoothing — one groupBy per doc id.
+
+Scores are floats through ``ln`` (libm output differs across engines at
+the last ulp), so registry entries verify rows-only; exact parity with a
+pure-Python reference model is pytest-proven instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+
+
+def _hashed_ngrams(
+    content: Column, n: int, n_buckets: int
+) -> Column:
+    """All (overlapping) word n-grams of the text, hashed to
+    [0, n_buckets) — duplicates kept (counts are what the model needs)."""
+    toks = T.tokens(content)
+    grams = (
+        T.word_shingles_all(toks, n)
+        if n > 1
+        else toks
+    )
+    return F.transform(
+        grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
+    )
+
+
+def ngram_count_model(
+    df: DataFrame,
+    content_col: str = "text",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """(bucket, c) hashed-n-gram counts — the bag-of-ngrams "model"."""
+    return (
+        df.select(
+            F.explode(_hashed_ngrams(F.col(content_col), n, n_buckets)).alias(
+                "bucket"
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight: (id, n_grams, logw).
+
+    ``logw = sum over doc n-grams of [log p_t(b) - log p_r(b)]`` with
+    add-one smoothing over the bucket vocabulary; docs with no n-grams get
+    logw = 0.0 (neutral). Higher = more target-like.
+
+    The two count tables are at most ``n_buckets`` rows — broadcast-
+    eligible by size threshold, never forced (n_buckets is a parameter;
+    callers can raise it past broadcastability, and AQE then plans a
+    shuffled join). Left joins keep unseen buckets (count 0 under
+    smoothing).
+    """
+    t_counts = ngram_count_model(target, content_col, n, n_buckets)
+    r_counts = ngram_count_model(raw, content_col, n, n_buckets)
+    t_total = t_counts.agg(F.sum("c").alias("nt"))
+    r_total = r_counts.agg(F.sum("c").alias("nr"))
+
+    per_gram = (
+        raw.select(
+            F.col(id_col),
+            F.explode_outer(
+                _hashed_ngrams(F.col(content_col), n, n_buckets)
+            ).alias("bucket"),
+        )
+        .join(t_counts.withColumnRenamed("c", "ct"), "bucket", "left")
+        .join(r_counts.withColumnRenamed("c", "cr"), "bucket", "left")
+    )
+    # log((ct+1)/(nt+V)) - log((cr+1)/(nr+V)); constants enter once per
+    # gram, via the 1-row total tables (broadcast cross join).
+    gram_term = (
+        F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+        - F.log(F.col("nt") + float(n_buckets))
+        - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+        + F.log(F.col("nr") + float(n_buckets))
+    )
+    return (
+        per_gram.crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bucket")).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket").isNotNull(), gram_term)),
+                F.lit(0.0),
+            ).alias("logw"),
+        )
+    )
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    fraction: float = 0.25,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Top-``fraction`` of raw docs by importance weight (deterministic
+    rank cutoff, ties broken on id — the paper's Gumbel-noise sampling is
+    replaced by a stable cutoff so results are engine-portable).
+    Returns the surviving (id, n_grams, logw) rows.
+
+    orderBy + limit plans TakeOrderedAndProject (distributed per-partition
+    top-k + merge) — no single-partition global sort.
+    """
+    w = importance_weights(raw, target, content_col, id_col, n, n_buckets)
+    total = raw.count()
+    keep = max(int(total * fraction), 1)
+    # Zero-gram docs score a neutral 0.0, which would outrank any doc with
+    # weak negative evidence — but "no evidence" is not "target-like", so
+    # they sort after every assessable doc.
+    return w.orderBy(
+        F.desc(F.col("n_grams") > 0), F.desc("logw"), F.asc(id_col)
+    ).limit(keep)

@@ -357,6 +357,31 @@ def _doc_chunks_sql() -> str:
     )
 
 
+# --- DSIR importance weighting -----------------------------------------------
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log importance weights of every doc against the English-
+    labeled subset as the target domain (rows-only: ln() isn't hash-
+    portable across engines; exact model parity is pytest-proven in
+    tests/test_dsir.py)."""
+    from ..operators import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.importance_weights(d, d.filter(F.col("lang") == "en"))
+
+
+def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25% most target-like docs by DSIR weight (deterministic
+    cutoff; TakeOrdered plan, no global sort)."""
+    from ..operators import dsir
+
+    d = _docs(spark, sf_dir)
+    return dsir.importance_resample(
+        d, d.filter(F.col("lang") == "en"), fraction=0.25
+    )
+
+
 # --- BPE vocabulary training -------------------------------------------------
 
 _BPE_MERGES = 12
@@ -1118,6 +1143,8 @@ QUERIES = {
     "span_dedup_docs": _q(span_dedup_docs, SPAN_DEDUP_DOCS_SQL),
     "span_dedup_stats": _q(span_dedup_stats, SPAN_DEDUP_STATS_SQL),
     "doc_chunks": _q(doc_chunks, _doc_chunks_sql()),
+    "dsir_importance_weights": _q(dsir_importance_weights, None),
+    "dsir_selected_docs": _q(dsir_selected_docs, None),
     "bpe_vocab": _q(bpe_vocab, None),
     "bpe_token_counts": _q(bpe_token_counts, None),
     "dedup_minhash": _q(dedup_minhash, None),
