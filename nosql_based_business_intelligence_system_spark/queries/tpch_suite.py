@@ -695,7 +695,175 @@ WHERE f.n_suppliers >= 2 AND f.n_returned = 1 AND f.returned = 1
 GROUP BY s.s_name"""
 
 
+# --- Q7-style: bilateral trade flows (two nation dims on one fact row) ------
+
+_TRADE_A, _TRADE_B = "NATION_3", "NATION_7"
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: revenue shipped between two nations per direction
+    per ship-year. One fact row joins TWO independent nation dimensions
+    (supplier's via lineitem, customer's via orders) — both broadcast;
+    the only fact-fact shuffle is li ⋈ orders. Decimal revenue.
+
+    Cites Project.py:367-376 (sales_lines carries both rep/region and
+    customer identity — the implied two-party analysis)."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    both = [_TRADE_A, _TRADE_B]
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("ck"))
+        .filter(
+            F.col("supp_nation").isin(both)
+            & F.col("cust_nation").isin(both)
+            & (F.col("supp_nation") != F.col("cust_nation"))
+        )
+    )
+    return (
+        df.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).cast("int").alias("ship_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+NATION_TRADE_FLOWS_SQL = f"""SELECT
+  sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
+  {dd_dsum('l_extendedprice * (1 - l_discount)')} AS volume,
+  CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{_TRADE_A}', '{_TRADE_B}')
+  AND cn.n_name IN ('{_TRADE_A}', '{_TRADE_B}')
+  AND sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3"""
+
+
+# --- Q15-style: top supplier via window-max decorrelation --------------------
+
+
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) achieving the maximum total revenue
+    in one quarter. The reference formulation is a view + correlated
+    ``WHERE total = (SELECT MAX(...) FROM view)``; decorrelated here as
+    ONE grouped agg + an unpartitioned window max over the ~|suppliers|
+    aggregate rows (ties all kept, as in the spec)."""
+    li = _li(spark, sf_dir).filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    best = per_supp.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+TOP_REVENUE_SUPPLIERS_SQL = f"""WITH rev AS (
+  SELECT l_suppkey,
+         {dd_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""
+
+
+# --- Q18-style: large-volume orders (HAVING + semi-join back) ----------------
+
+_LARGE_ORDER_QTY = 250.0
+
+
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds a
+    threshold, with the owning customer. The HAVING set is a grouped agg
+    on l_orderkey; joining it back to orders/customer keeps the plan a
+    pair of equi-joins (the spec's ``IN (SELECT ... HAVING)`` shape).
+    Integral quantities sum exactly in double; money stays decimal."""
+    li = _li(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
+    )
+    orders = _orders(spark, sf_dir).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("order_total"),
+            "total_qty",
+        )
+    )
+
+
+LARGE_VOLUME_CUSTOMERS_SQL = f"""SELECT c_name, c_custkey, o_orderkey,
+  CAST(o_orderdate AS DATE) AS order_date,
+  CAST(o_totalprice AS DECIMAL(18,2)) AS order_total,
+  total_qty
+FROM (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > {_LARGE_ORDER_QTY}
+)
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey"""
+
+
 QUERIES = {
+    "nation_trade_flows": _q(nation_trade_flows, NATION_TRADE_FLOWS_SQL),
+    "top_revenue_suppliers": _q(
+        top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL
+    ),
+    "large_volume_customers": _q(
+        large_volume_customers, LARGE_VOLUME_CUSTOMERS_SQL
+    ),
     "part_supply_concentration": _q(
         part_supply_concentration, PART_SUPPLY_CONCENTRATION_SQL
     ),
