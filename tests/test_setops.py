@@ -47,3 +47,28 @@ def test_quantile_sketch_error_bound(spark, sf_correctness):
     # GK sketch with accuracy=10000: relative rank error <= 1/10000; on
     # this distribution the value-space relative error stays under 1%
     assert max(r.max_rel_err for r in rows) < 0.01
+
+
+def test_hll_union_of_leaves_equals_direct_sketch(spark, sf_smoke):
+    """Union of per-group sketches must carry the SAME registers as one
+    sketch over the whole column -> identical estimate (determinism of
+    the mergeable path), and the estimate stays within HLL error of
+    exact."""
+    import pyspark.sql.functions as F
+
+    from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_smoke, "orders")
+    unioned = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .collect()[0]
+        .est
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).collect()[0].est
+    exact = orders.agg(F.countDistinct("o_custkey").alias("n")).collect()[0].n
+    assert unioned == direct
+    assert abs(unioned - exact) / exact < 0.05
