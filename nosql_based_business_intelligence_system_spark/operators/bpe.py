@@ -92,8 +92,10 @@ def _merge_pair(words: DataFrame, a: str, b: str) -> DataFrame:
     # next-symbol peek indexes the ORIGINAL array correctly even after
     # fusions shrink `out` (current symbol is input position i+1,
     # 1-based; its successor is i+2).
-    nxt = lambda acc: F.element_at(  # noqa: E731
-        F.col("syms"), (acc.i + F.lit(2)).cast("int")
+    # F.get (0-based) not element_at: past-the-end peeks on the last
+    # symbol must yield NULL, and ANSI-mode element_at throws there.
+    nxt = lambda acc: F.get(  # noqa: E731
+        F.col("syms"), (acc.i + F.lit(1)).cast("int")
     )
     folded = F.aggregate(
         F.col("syms"),
