@@ -81,6 +81,8 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         # PQ: codebooks are m*k_codes rows (parameter-bounded); the ADC
         # lookup table is one row per query vector — both SF-independent.
         "cb", "codebooks", "qtab",
+        # DSIR: 1-row n-gram grand totals.
+        "t_total", "r_total",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
