@@ -789,8 +789,10 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = per_supp.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
+    # supplier grows with SF — no forced broadcast; the threshold/AQE
+    # decides (and the probe side here is the tiny max-revenue set anyway).
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey).select(
+    return best.join(supp, best.l_suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
