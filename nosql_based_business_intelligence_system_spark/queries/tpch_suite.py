@@ -765,6 +765,85 @@ WHERE sn.n_name IN ('{_TRADE_A}', '{_TRADE_B}')
 GROUP BY 1, 2, 3"""
 
 
+# --- Q8-style: market share of one supplier nation ---------------------------
+
+_SHARE_NATION = "NATION_3"
+_SHARE_REGION = "ASIA"
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: the share of revenue delivered by suppliers from
+    one nation, within orders placed by customers of one region, per
+    order year. Conditional share = decimal SUM(CASE)/decimal SUM cast to
+    double for one identical IEEE division per row. Customer-side region
+    chain and supplier-side nation are independent broadcast dims on the
+    same fact row (like Q7); the li ⋈ orders shuffle is the only wide one.
+    """
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("crk")
+    )
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _SHARE_REGION
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _li(spark, sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("ck"))
+        .join(F.broadcast(region), F.col("crk") == region.r_regionkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sk"))
+    )
+    agg = df.groupBy(
+        F.year(F.to_date("o_orderdate")).cast("int").alias("order_year")
+    ).agg(
+        dsum(F.when(F.col("supp_nation") == _SHARE_NATION, vol).otherwise(0.0))
+        .alias("nation_volume"),
+        dsum(vol).alias("total_volume"),
+    )
+    return agg.select(
+        "order_year",
+        "nation_volume",
+        "total_volume",
+        (
+            F.col("nation_volume").cast("double")
+            / F.col("total_volume").cast("double")
+        ).alias("market_share"),
+    )
+
+
+NATION_MARKET_SHARE_SQL = f"""WITH base AS (
+  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+         sn.n_name AS supp_nation,
+         l_extendedprice * (1 - l_discount) AS vol
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = '{_SHARE_REGION}'
+)
+SELECT order_year,
+  {dd_dsum(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")}
+    AS nation_volume,
+  {dd_dsum('vol')} AS total_volume,
+  CAST({dd_dsum(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")} AS DOUBLE)
+    / CAST({dd_dsum('vol')} AS DOUBLE) AS market_share
+FROM base
+GROUP BY order_year"""
+
+
 # --- Q15-style: top supplier via window-max decorrelation --------------------
 
 
@@ -860,6 +939,7 @@ JOIN customer ON o_custkey = c_custkey"""
 
 QUERIES = {
     "nation_trade_flows": _q(nation_trade_flows, NATION_TRADE_FLOWS_SQL),
+    "nation_market_share": _q(nation_market_share, NATION_MARKET_SHARE_SQL),
     "top_revenue_suppliers": _q(
         top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL
     ),

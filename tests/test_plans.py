@@ -83,8 +83,8 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         "cb", "codebooks", "qtab",
         # DSIR: 1-row n-gram grand totals.
         "t_total", "r_total",
-        # Q7 trade flows: two aliases of the 25-row nation dim.
-        "n1", "n2",
+        # Q7/Q8 shapes: aliases of the 25-row nation dim.
+        "n1", "n2", "nation_c", "nation_s",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
