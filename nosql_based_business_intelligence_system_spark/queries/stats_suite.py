@@ -484,7 +484,88 @@ SELECT event_type, h AS bucket_start,
 FROM w"""
 
 
+# --- data-quality audits -----------------------------------------------------
+
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def star_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every FK edge of the star: orphan
+    child rows (left-anti join per edge) + NULL-key counts."""
+    from ..operators.quality import fk_orphan_report
+
+    edges = [
+        (name, load_table(spark, sf_dir, c), ck, load_table(spark, sf_dir, p), pk)
+        for name, c, ck, p, pk in _FK_EDGES
+    ]
+    return fk_orphan_report(edges)
+
+
+STAR_FK_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS fk_edge,
+  CAST((SELECT COUNT(*) FROM {c} WHERE {ck} IS NOT NULL
+        AND {ck} NOT IN (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL))
+    AS BIGINT) AS n_orphans,
+  CAST((SELECT COUNT(*) FROM {c} WHERE {ck} IS NULL) AS BIGINT)
+    AS n_null_keys,
+  (SELECT COUNT(*) FROM {c} WHERE {ck} IS NOT NULL
+   AND {ck} NOT IN (SELECT {pk} FROM {p} WHERE {pk} IS NOT NULL)) = 0
+    AS passed"""
+    for name, c, ck, p, pk in _FK_EDGES
+)
+
+_LI_CHECKS = [
+    ("qty_positive", "l_quantity > 0"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("discount_in_range", "l_discount >= 0 AND l_discount <= 0.5"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    ("shipdate_not_null", "l_shipdate IS NOT NULL"),
+]
+
+
+def lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite on the fact table: five row
+    predicates in ONE aggregation pass + the (orderkey, linenumber)
+    uniqueness check."""
+    from ..operators.quality import expectations_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    checks = [(name, F.expr(sql)) for name, sql in _LI_CHECKS]
+    return expectations_report(
+        li, checks, unique_keys=[("pk_unique", ["l_orderkey", "l_linenumber"])]
+    )
+
+
+LINEITEM_EXPECTATIONS_SQL = (
+    "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS check_name,
+  CAST(SUM(CASE WHEN coalesce({sql}, FALSE) THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_violations,
+  SUM(CASE WHEN coalesce({sql}, FALSE) THEN 0 ELSE 1 END) = 0 AS passed
+FROM lineitem"""
+        for name, sql in _LI_CHECKS
+    )
+    + """
+UNION ALL
+SELECT 'pk_unique' AS check_name,
+  CAST(coalesce(SUM(n), 0) AS BIGINT) AS n_violations,
+  coalesce(SUM(n), 0) = 0 AS passed
+FROM (SELECT COUNT(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)"""
+)
+
+
 QUERIES = {
+    "star_fk_integrity": _q(star_fk_integrity, STAR_FK_INTEGRITY_SQL),
+    "lineitem_expectations": _q(lineitem_expectations, LINEITEM_EXPECTATIONS_SQL),
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
     "events_hourly_interpolated": _q(
         events_hourly_interpolated, EVENTS_HOURLY_INTERPOLATED_SQL
