@@ -563,8 +563,94 @@ FROM (SELECT COUNT(*) AS n FROM lineitem
 )
 
 
+# --- snapshot reconciliation -------------------------------------------------
+
+
+def _orders_snapshots(spark: SparkSession, sf_dir: str):
+    """Deterministic second snapshot of orders for the diff demo:
+    bucket = o_orderkey % 20 — bucket 0 removed, bucket 1 repriced
+    (+1.00), bucket 2 cloned as new keys (+1e9). Plain modulo so the
+    DuckDB oracle derives the identical snapshot."""
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = F.col("o_orderkey") % 20
+    surviving = old.filter(b != 0).withColumn(
+        "o_totalprice",
+        F.when(b == 1, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    added = old.filter(b == 2).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    return old, surviving.unionByName(added)
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff summary between two order snapshots (added / removed /
+    changed / unchanged counts) — ONE full outer join on the key."""
+    from ..operators.diff import diff_summary
+
+    old, new = _orders_snapshots(spark, sf_dir)
+    return diff_summary(old, new, ["o_orderkey"])
+
+
+def orders_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level non-unchanged diff rows, struct values flattened to
+    scalars for cross-engine comparison."""
+    from ..operators.diff import table_diff
+
+    old, new = _orders_snapshots(spark, sf_dir)
+    d = table_diff(old, new, ["o_orderkey"])
+    return d.filter(F.col("change") != "unchanged").select(
+        "o_orderkey",
+        "change",
+        F.col("old_values.o_totalprice").alias("old_totalprice"),
+        F.col("new_values.o_totalprice").alias("new_totalprice"),
+    )
+
+
+_DD_SNAPSHOTS_CTE = """old AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+), new AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 20 = 1 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS o_totalprice,
+    o_orderpriority
+  FROM orders WHERE o_orderkey % 20 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 20 = 2
+), joined AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+         WHEN n.o_orderkey IS NULL THEN 'removed'
+         WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+          AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+           THEN 'unchanged'
+         ELSE 'changed' END AS change,
+    o.o_totalprice AS old_totalprice, n.o_totalprice AS new_totalprice
+  FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+)"""
+
+ORDERS_SNAPSHOT_DIFF_SQL = f"""WITH {_DD_SNAPSHOTS_CTE}
+SELECT c.change, CAST(coalesce(j.n, 0) AS BIGINT) AS n_rows
+FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged')) c(change)
+LEFT JOIN (SELECT change, COUNT(*) AS n FROM joined GROUP BY change) j
+  USING (change)"""
+
+ORDERS_SNAPSHOT_CHANGES_SQL = f"""WITH {_DD_SNAPSHOTS_CTE}
+SELECT o_orderkey, change, old_totalprice, new_totalprice
+FROM joined WHERE change <> 'unchanged'"""
+
+
 QUERIES = {
     "star_fk_integrity": _q(star_fk_integrity, STAR_FK_INTEGRITY_SQL),
+    "orders_snapshot_diff": _q(orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
+    "orders_snapshot_changes": _q(
+        orders_snapshot_changes, ORDERS_SNAPSHOT_CHANGES_SQL
+    ),
     "lineitem_expectations": _q(lineitem_expectations, LINEITEM_EXPECTATIONS_SQL),
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
     "events_hourly_interpolated": _q(
