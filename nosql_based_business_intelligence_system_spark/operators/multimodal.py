@@ -132,6 +132,84 @@ def bmp_decode_image(payload: bytes) -> dict:
     }
 
 
+def png_decode_image(payload: bytes) -> dict:
+    """REAL decode backend #2: 8-bit RGB PNG, pure stdlib (zlib inflate +
+    full filter reconstruction, types 0-4) — a genuinely COMPRESSED
+    format, one notch beyond the uncompressed BMP proof. Round-trips the
+    engine's own chart renderer (sources/charts.py encodes filter-0 RGB
+    PNGs). Same return contract as :func:`fake_decode_image`.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack_from(">I", payload, pos), payload[
+            pos + 4 : pos + 8
+        ]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # length + tag + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if bit_depth != 8 or color_type != 2 or interlace != 0:
+        raise ValueError(
+            "only 8-bit non-interlaced RGB PNG supported "
+            f"(depth={bit_depth}, color_type={color_type})"
+        )
+    raw = zlib.decompress(idat)
+    stride, bpp = width * 3, 3
+    hist = [0] * FEATURE_DIM
+    prev = bytearray(stride)
+    n_px = max(width * height, 1)
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        for x in range(width):
+            rd, g, b = line[x * 3], line[x * 3 + 1], line[x * 3 + 2]
+            luma = (77 * rd + 150 * g + 29 * b) >> 8
+            hist[(luma * FEATURE_DIM) >> 8] += 1
+        prev = line
+    return {
+        "dec_width": width,
+        "dec_height": height,
+        "n_channels": 3,
+        "features": [h / n_px for h in hist],
+    }
+
+
 def bmp_resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
     """REAL resize backend: nearest-neighbor rescale of an uncompressed
     24-bit BMP, emitting a VALID 24-bit BMP (round-trips through
