@@ -75,9 +75,10 @@ def fake_decode_image(payload: bytes) -> dict:
 
 
 def real_decode_image(payload: bytes) -> dict:  # pragma: no cover - env-gated
-    """Compressed-format decode backend — requires PIL, absent from this
-    container. For a real, dependency-free backend that exercises the same
-    seam, see :func:`bmp_decode_image` (pure-stdlib BMP parse)."""
+    """General-format decode backend — requires PIL, absent from this
+    container. For real, dependency-free backends that exercise the same
+    seam, see :func:`bmp_decode_image` (uncompressed BMP) and
+    :func:`png_decode_image` (compressed PNG, zlib + filter recon)."""
     try:
         from PIL import Image  # noqa: F401
     except ImportError as e:

@@ -59,3 +59,40 @@ def test_overlap_must_be_smaller(spark):
             chunk_tokens=8,
             overlap_tokens=8,
         )
+
+
+def test_chunk_properties_random_docs(spark):
+    """Property: for any doc and any (chunk, overlap), stitching chunk
+    texts with the overlap removed reassembles the doc exactly, window
+    arithmetic matches the closed form, and only the final window may be
+    short."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n_toks=st.integers(min_value=0, max_value=57),
+        chunk_tokens=st.integers(min_value=2, max_value=16),
+        overlap=st.integers(min_value=0, max_value=8),
+    )
+    def prop(n_toks, chunk_tokens, overlap):
+        if overlap >= chunk_tokens:
+            return
+        toks = [f"t{i}" for i in range(n_toks)]
+        rows = _chunks(
+            spark, " ".join(toks),
+            chunk_tokens=chunk_tokens, overlap_tokens=overlap,
+        )
+        stride = chunk_tokens - overlap
+        want_n = -(-max(n_toks - overlap, 0) // stride)
+        assert len(rows) == want_n
+        stitched = []
+        for i, r in enumerate(rows):
+            got = r.chunk_text.split() if r.chunk_text else []
+            assert r.start_token == i * stride
+            if i < len(rows) - 1:
+                assert r.n_chunk_tokens == chunk_tokens
+            stitched += got[overlap:] if i > 0 else got
+        assert stitched == toks
+
+    prop()
