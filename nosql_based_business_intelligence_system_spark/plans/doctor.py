@@ -1,0 +1,125 @@
+"""Plan doctor: automated scale-smell diagnostics for any DataFrame plan.
+
+Generalizes the per-query assertions in tests/test_plans.py into a
+reusable lint a user can run on THEIR queries before submitting them to a
+1000-executor cluster. Each rule reads the physical (or analyzed) plan
+string and emits findings; an empty report is the goal state.
+
+Rules (severity):
+- ``cartesian_join`` (error): CartesianProduct / BroadcastNestedLoopJoin —
+  row-count products; almost always a missing equi-condition.
+- ``python_row_boundary`` (error): BatchEvalPython — row-at-a-time Python
+  UDF in the plan; rewrite as column expressions or an Arrow-batched UDF.
+- ``global_window`` (warn): a window function with an EMPTY partition
+  spec moves every row to ONE partition — fine on post-aggregate
+  hundreds of rows, fatal on a raw fact table.
+- ``global_sort`` (warn): a full Sort above an Exchange rangepartitioning
+  that is not a TakeOrderedAndProject — top-k should use orderBy+limit.
+- ``unpushed_filter`` (warn): a Filter sits on a Parquet scan whose
+  PushedFilters list is empty — the predicate streams every row group.
+- ``wide_scan`` (info): a Parquet scan reading 12+ columns — verify the
+  query really needs them (projection pruning may be blocked by
+  ``select *`` or UDF opacity).
+
+The doctor reports; it does not veto. Severities are advisory because
+every rule has legitimate exceptions (deliberate broadcast cross products
+against parameter-bounded sides, post-agg global windows) — the point is
+that the exception should be a *decision*, not an accident.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+from .inspect import explain_str
+
+
+def diagnose(df: DataFrame, allow: dict[str, str] | None = None) -> list[dict]:
+    """Run every rule; return findings as dicts (rule, severity, detail).
+
+    ``allow`` maps rule name -> justification for plans where the smell
+    is a deliberate decision (e.g. a broadcast cross product against a
+    parameter-bounded side). Allowed findings are downgraded to severity
+    ``allowed`` with the justification appended — still visible, no
+    longer an error: the exception is documented, not silenced.
+    """
+    simple = explain_str(df, "simple")
+    formatted = explain_str(df, "formatted")
+    findings: list[dict] = []
+
+    allowed = allow or {}
+
+    def hit(rule: str, severity: str, detail: str) -> None:
+        if rule in allowed:
+            severity, detail = "allowed", f"{detail} — {allowed[rule]}"
+        findings.append({"rule": rule, "severity": severity, "detail": detail})
+
+    if "CartesianProduct" in simple:
+        hit("cartesian_join", "error", "CartesianProduct in physical plan")
+    if "BroadcastNestedLoopJoin" in simple:
+        hit(
+            "cartesian_join",
+            "error",
+            "BroadcastNestedLoopJoin (non-equi join condition)",
+        )
+    if "BatchEvalPython" in simple:
+        hit(
+            "python_row_boundary",
+            "error",
+            "row-at-a-time Python UDF (BatchEvalPython)",
+        )
+
+    # Window with empty partition spec: the analyzed plan prints
+    # `windowspecdefinition(<part cols>, <order> ASC ...)`; when no
+    # partition columns exist the spec STARTS with the ordering expr.
+    analyzed = explain_str(df, "extended")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", analyzed):
+        head = spec.split(",")[0].strip()
+        if " ASC" in head or " DESC" in head or head.startswith("specifiedwindowframe"):
+            hit(
+                "global_window",
+                "warn",
+                "window with empty PARTITION BY (single-partition execution)",
+            )
+            break
+
+    if (
+        re.search(r"Exchange rangepartitioning", simple)
+        and "TakeOrderedAndProject" not in simple
+    ):
+        hit(
+            "global_sort",
+            "warn",
+            "full sort (rangepartitioning exchange); top-k should be "
+            "orderBy+limit (TakeOrderedAndProject)",
+        )
+
+    for scan in re.split(r"\(\d+\) Scan parquet", formatted)[1:]:
+        pushed = re.search(r"PushedFilters: \[([^\]]*)\]", scan)
+        schema = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+        n_cols = (
+            len([c for c in schema.group(1).split(",") if c.strip()])
+            if schema
+            else 0
+        )
+        if pushed is not None and not pushed.group(1).strip():
+            # an empty pushdown list only matters if the query filters
+            if re.search(r"\(\d+\) Filter", formatted):
+                hit(
+                    "unpushed_filter",
+                    "warn",
+                    "Filter present but scan PushedFilters is empty",
+                )
+        if n_cols >= 12:
+            hit("wide_scan", "info", f"parquet scan reads {n_cols} columns")
+
+    return findings
+
+
+def report(df: DataFrame) -> str:
+    """Human-readable one-line-per-finding report ('' when clean)."""
+    return "\n".join(
+        f"[{f['severity']}] {f['rule']}: {f['detail']}" for f in diagnose(df)
+    )

@@ -104,6 +104,17 @@ FLAGSHIPS = {
 }
 
 
+#: Declared plan-doctor exceptions: rule -> why the smell is a decision.
+FLAGSHIP_ALLOWS = {
+    "ann_pq_topk": {
+        "cartesian_join": (
+            "ADC scores every corpus row against every query by "
+            "definition; the query side is the broadcast |Q|-row table"
+        )
+    },
+}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
 
@@ -127,10 +138,19 @@ def main() -> int:
             props.append("broadcast-join")
         if I.uses_take_ordered(df):
             props.append("take-ordered")
+        from nosql_based_business_intelligence_system_spark.plans import doctor as D
+
+        findings = D.diagnose(df, allow=FLAGSHIP_ALLOWS.get(name))
+        doc_line = (
+            "doctor: clean"
+            if not findings
+            else "doctor: "
+            + "; ".join(f"[{f['severity']}] {f['rule']}" for f in findings)
+        )
         out += [
             f"## {name}",
             "",
-            f"*{note}* — `{', '.join(props)}`",
+            f"*{note}* — `{', '.join(props)}` — {doc_line}",
             "",
             "```",
             I.explain_str(df, "formatted").strip(),
