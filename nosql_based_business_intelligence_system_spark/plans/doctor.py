@@ -36,6 +36,47 @@ from pyspark.sql import DataFrame
 from .inspect import explain_str
 
 
+#: Registry-wide declared exceptions: query name -> {rule: justification}.
+#: Every entry is a deliberate bounded-side pattern, not an accident —
+#: the doctor still reports these as 'allowed' so the decision stays
+#: visible in PLANS.md and the CLI.
+QUERY_ALLOWS: dict[str, dict[str, str]] = {
+    "ann_pq_topk": {
+        "cartesian_join": (
+            "ADC scores every corpus row against every query by "
+            "definition; the query side is the broadcast |Q|-row table"
+        )
+    },
+    "ann_bruteforce_topk": {
+        "cartesian_join": (
+            "exact baseline is |Q| x corpus by definition; query side "
+            "broadcast, |Q| parameter-bounded"
+        )
+    },
+    "ann_ivf_topk": {
+        "cartesian_join": (
+            "centroid assignment probes all K cells per vector; the "
+            "centroid side is K parameter-bounded broadcast rows"
+        )
+    },
+    "dsir_importance_weights": {
+        "cartesian_join": "1-row n-gram grand-total tables joined to every gram"
+    },
+    "dsir_selected_docs": {
+        "cartesian_join": "1-row n-gram grand-total tables joined to every gram"
+    },
+    "star_fk_integrity": {
+        "cartesian_join": "two 1-row audit aggregates combined per FK edge"
+    },
+    "price_tier_totals": {
+        "cartesian_join": (
+            "banded range join against the broadcast tier table "
+            "(fixed tier count)"
+        )
+    },
+}
+
+
 def diagnose(df: DataFrame, allow: dict[str, str] | None = None) -> list[dict]:
     """Run every rule; return findings as dicts (rule, severity, detail).
 
