@@ -330,12 +330,41 @@ def _top_bottom_n(op: str, arg: Any) -> Column:
     return F.transform(chosen, lambda s: s["v"])
 
 
+def _min_max_n(op: str, arg: Any) -> Column:
+    """$minN/$maxN: the n smallest/largest values of the input expression
+    as a sorted array (NULLs excluded, as in Mongo). Collect-then-sort
+    per group, like $topN."""
+    if not (isinstance(arg, dict) and "n" in arg and "input" in arg):
+        raise MongoTranslateError(f"{op} requires {{input, n}}")
+    n = int(arg["n"])
+    vals = F.array_sort(
+        F.filter(F.collect_list(expr(arg["input"])), lambda v: v.isNotNull())
+    )
+    if op == "$maxN":
+        # largest n, returned largest-first (Mongo order)
+        return F.slice(F.reverse(vals), 1, n)
+    return F.slice(vals, 1, n)
+
+
 def _accumulator(name: str, spec: Any) -> Column:
     if not (isinstance(spec, dict) and len(spec) == 1):
         raise MongoTranslateError(f"accumulator for {name!r} must be one-op dict")
     (op, arg), = spec.items()
     if op in ("$topN", "$bottomN"):
         return _top_bottom_n(op, arg).alias(name)
+    if op in ("$minN", "$maxN"):
+        return _min_max_n(op, arg).alias(name)
+    if op == "$median":
+        # Mongo 7 defaults to approximate t-digest; this engine computes
+        # the EXACT median (Spark percentile) — documented strictly-more-
+        # accurate difference, matching the module's no-silent-drift bar.
+        if isinstance(arg, dict):
+            if set(arg) - {"input", "method"}:
+                raise MongoTranslateError(
+                    f"unsupported $median options {sorted(set(arg) - {'input', 'method'})!r}"
+                )
+            arg = arg["input"]
+        return F.percentile(expr(arg), F.lit(0.5)).alias(name)
     if op not in _ACCUM:
         raise MongoTranslateError(f"unsupported accumulator {op!r}")
     if op == "$sum" and not isinstance(arg, str) and not isinstance(arg, dict):

@@ -859,3 +859,42 @@ def test_date_trunc_rejects_week_and_options(spark):
                 "date": "$price", "unit": "day", "timezone": "UTC"
             }}}}],
         )
+
+
+def test_min_max_n_accumulators(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [
+            {
+                "$group": {
+                    "_id": "$region",
+                    "lo2": {"$minN": {"input": "$price", "n": 2}},
+                    "hi2": {"$maxN": {"input": "$price", "n": 2}},
+                }
+            }
+        ],
+    ).collect()
+    got = {r._id: (list(r.lo2), list(r.hi2)) for r in out}
+    assert got["N"] == ([10.0, 30.0], [30.0, 10.0])
+    assert got["S"] == ([20.0, 40.0], [40.0, 20.0])
+
+
+def test_min_max_n_excludes_nulls(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [{"$group": {"_id": None, "qlo": {"$minN": {"input": "$qty", "n": 10}}}}],
+    ).collect()[0]
+    assert list(out.qlo) == [1.0, 2.0, 5.0]  # the NULL qty row is excluded
+
+
+def test_median_accumulator_exact(spark):
+    out = mongo_pipeline(
+        _df(spark),
+        [{"$group": {"_id": None, "m": {"$median": {"input": "$price"}}}}],
+    ).collect()[0]
+    assert out.m == 25.0  # exact interpolated median of 10,20,30,40
+    with pytest.raises(MongoTranslateError, match="options"):
+        mongo_pipeline(
+            _df(spark),
+            [{"$group": {"_id": None, "m": {"$median": {"input": "$price", "x": 1}}}}],
+        )
