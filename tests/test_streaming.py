@@ -202,3 +202,36 @@ def test_contamination_flags_stream_equals_batch(spark, sf_smoke, docs_dir):
         batch_docs.filter(~F.col("source").isin("src0", "src1")), eval_sh, n=5
     ).select("doc_id", "n_shared_ngrams", "is_contaminated")
     assert _sorted_rows(got, None) == _sorted_rows(expected, None)
+
+
+def test_chunking_is_stream_safe(spark, sf_smoke):
+    """The RAG chunker is a stateless narrow transform, so the SAME
+    function must run on a readStream unchanged and produce exactly the
+    batch result (availableNow -> memory sink, append mode — no state,
+    no watermark needed)."""
+    import tempfile
+
+    from nosql_based_business_intelligence_system_spark.operators.chunk import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/docs"
+        docs.repartition(3).write.parquet(path)
+        stream = spark.readStream.schema(docs.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(path)
+        out = chunk_documents(stream, chunk_tokens=64, overlap_tokens=16)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chunk_stream_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("chunk_stream_test")
+        expected = chunk_documents(docs, chunk_tokens=64, overlap_tokens=16)
+        assert _sorted_rows(got, None) == _sorted_rows(expected, None)
+        assert got.count() > 0
