@@ -844,6 +844,38 @@ FROM base
 GROUP BY order_year"""
 
 
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier-nation -> customer-nation trade graph
+    (one edge per line item, so multiplicity weights the walk by trade
+    volume). Iterative power method, checkpoint per round — rows-only
+    (float accumulation; reference parity in tests/test_pagerank.py)."""
+    from ..operators.pagerank import pagerank
+
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _orders(spark, sf_dir).select("o_orderkey", "o_custkey")
+    li = _li(spark, sf_dir).select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("sk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("ck"))
+        # collapse the per-line edge log to the weighted nation adjacency
+        # (25x25 max) BEFORE iterating — the power steps then join the
+        # tiny weighted table, not the fact-sized edge log
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, n_iterations=8, weight="w")
+
+
 # --- Q15-style: top supplier via window-max decorrelation --------------------
 
 
@@ -940,6 +972,7 @@ JOIN customer ON o_custkey = c_custkey"""
 QUERIES = {
     "nation_trade_flows": _q(nation_trade_flows, NATION_TRADE_FLOWS_SQL),
     "nation_market_share": _q(nation_market_share, NATION_MARKET_SHARE_SQL),
+    "nation_trade_pagerank": _q(nation_trade_pagerank, None),
     "top_revenue_suppliers": _q(
         top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL
     ),

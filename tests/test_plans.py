@@ -85,6 +85,8 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         "t_total", "r_total",
         # Q7/Q8 shapes: aliases of the 25-row nation dim.
         "n1", "n2", "nation_c", "nation_s",
+        # PageRank: 1-row dangling-mass aggregate.
+        "dangling",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
