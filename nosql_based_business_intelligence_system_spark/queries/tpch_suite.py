@@ -873,7 +873,11 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    return pagerank(edges, n_iterations=8, weight="w")
+    ranks = pagerank(edges, n_iterations=8, weight="w")
+    # last-ulp float drift across runs (shuffle accumulation order) fails
+    # the determinism gate at full-precision hashing; 12 decimals is ~5
+    # orders of magnitude above the drift and far below rank resolution
+    return ranks.select("node", F.round("rank", 12).alias("rank"))
 
 
 # --- Q15-style: top supplier via window-max decorrelation --------------------

@@ -270,8 +270,56 @@ SELECT o_orderdate, day_revenue,
 FROM daily"""
 
 
+def revenue_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day exact median of daily revenue. Spark refuses
+    aggregate ``median`` with a window frame, so it's COMPOSED:
+    collect_list over the RANGE frame -> array_sort -> exact middle
+    (odd) or IEEE midpoint of the two middles (even). Daily revenue is
+    decimal (exact), so the sorted array is engine-identical and the
+    single double division matches DuckDB's interpolating median
+    bit-for-bit."""
+    from ..sources.tables import load_table
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(dsum0(F.col("o_totalprice")).alias("day_revenue"))
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    vals = F.array_sort(F.collect_list("day_revenue").over(w))
+    n = F.size(vals)
+    lo = F.element_at(vals, ((n + 1) / 2).cast("int")).cast("double")
+    hi = F.element_at(vals, (n / 2 + 1).cast("int")).cast("double")
+    return daily.select(
+        "day",
+        "day_revenue",
+        F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0).alias(
+            "rolling_median_7d"
+        ),
+    )
+
+
+REVENUE_ROLLING_MEDIAN_SQL = f"""WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         {dd_dsum0('o_totalprice')} AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT day, day_revenue,
+  CAST(median(CAST(day_revenue AS DOUBLE)) OVER (
+    ORDER BY date_diff('day', DATE '1970-01-01', day)
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS rolling_median_7d
+FROM daily"""
+
+
 QUERIES = {
     "revenue_trailing_7d": _q(revenue_trailing_7d, REVENUE_TRAILING_7D_SQL),
+    "revenue_rolling_median": _q(
+        revenue_rolling_median, REVENUE_ROLLING_MEDIAN_SQL
+    ),
     "monthly_revenue_running": _q(monthly_revenue_running, MONTHLY_REVENUE_RUNNING_SQL),
     "customer_value_deciles": _q(customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL),
     "revenue_moving_avg": _q(revenue_moving_avg, REVENUE_MOVING_AVG_SQL),
