@@ -449,6 +449,133 @@ def _unwind_spec(spec: Any) -> tuple[str, bool, str | None]:
     return path[1:], preserve, idx
 
 
+_EXPR_CMP = {
+    "$eq": lambda a, b: a == b,
+    "$gt": lambda a, b: a > b,
+    "$gte": lambda a, b: a >= b,
+    "$lt": lambda a, b: a < b,
+    "$lte": lambda a, b: a <= b,
+}
+
+
+def _compile_lookup_expr(cond, let_cols, right_col) -> Column:
+    """Compile a correlated $expr: '$$var' binds to the let-captured LEFT
+    column, '$field' resolves through ``right_col`` (a name -> Column
+    binder for the joined collection) — qualified binding, so same-named
+    columns can't silently cross-bind."""
+
+    def operand(o):
+        if isinstance(o, str) and o.startswith("$$"):
+            var = o[2:]
+            if var not in let_cols:
+                raise MongoTranslateError(f"$expr references unknown let var {o!r}")
+            return let_cols[var]
+        if isinstance(o, str) and o.startswith("$"):
+            return right_col(o[1:])
+        if isinstance(o, dict):
+            raise MongoTranslateError(
+                f"unsupported operand in correlated $expr: {o!r}"
+            )
+        return F.lit(o)
+
+    if not (isinstance(cond, dict) and len(cond) == 1):
+        raise MongoTranslateError(f"$expr must have one operator: {cond!r}")
+    (op, args), = cond.items()
+    if op == "$and":
+        out = None
+        for c in args:
+            compiled = _compile_lookup_expr(c, let_cols, right_col)
+            out = compiled if out is None else (out & compiled)
+        if out is None:
+            raise MongoTranslateError("$and requires at least one condition")
+        return out
+    if op in _EXPR_CMP and isinstance(args, list) and len(args) == 2:
+        return _EXPR_CMP[op](operand(args[0]), operand(args[1]))
+    raise MongoTranslateError(f"unsupported correlated $expr operator {op!r}")
+
+
+def _apply_correlated_lookup(
+    df: DataFrame, spec: dict, unwound: bool, preserve: bool
+) -> DataFrame:
+    """Correlated ``let``/``$expr`` $lookup, fused with $unwind.
+
+    The pipeline's FIRST stage must be ``{"$match": {"$expr": ...}}``;
+    its comparisons become the JOIN CONDITION (so Catalyst plans an
+    equi-join when the $expr is equality-shaped, with non-equi terms as
+    join filters — never a per-row subquery). Stages after the match may
+    not reference ``$$`` variables and are applied to the joined
+    collection BEFORE the join (only stages that distribute over groups
+    are safe there; $sort/$limit/$group raise).
+
+    Without an immediately following $unwind this raises: grouping the
+    matches back into an array needs a row identity the frontend won't
+    invent silently.
+    """
+    for k in ("from", "let", "pipeline", "as"):
+        if k not in spec:
+            raise MongoTranslateError(f"correlated $lookup requires {k!r}")
+    unknown = set(spec) - {"from", "let", "pipeline", "as"}
+    if unknown:
+        raise MongoTranslateError(
+            f"unsupported correlated $lookup options {sorted(unknown)!r} "
+            "(let-form takes no localField/foreignField)"
+        )
+    if not unwound:
+        raise MongoTranslateError(
+            "correlated $lookup must be immediately followed by $unwind of "
+            "its 'as' field (array group-back needs a row identity)"
+        )
+    other = spec["from"]
+    if not isinstance(other, DataFrame):
+        raise MongoTranslateError("$lookup 'from' must be a DataFrame collection")
+    pipeline = list(spec["pipeline"])
+    if not (
+        pipeline
+        and isinstance(pipeline[0], dict)
+        and set(pipeline[0]) == {"$match"}
+        and isinstance(pipeline[0]["$match"], dict)
+        and set(pipeline[0]["$match"]) == {"$expr"}
+    ):
+        raise MongoTranslateError(
+            "correlated $lookup pipeline must start with {'$match': {'$expr': ...}}"
+        )
+    rest = pipeline[1:]
+    import json
+
+    if any("$$" in json.dumps(stage) for stage in rest):
+        raise MongoTranslateError(
+            "only the first $match may reference let ($$) variables"
+        )
+    for stage in rest:
+        if set(stage) & {"$sort", "$limit", "$skip", "$group"}:
+            raise MongoTranslateError(
+                f"stage {sorted(stage)!r} after the correlated $match does "
+                "not distribute over join groups — move it before $lookup "
+                "or restructure"
+            )
+    if rest:
+        other = mongo_pipeline(other, rest)
+    let_cols = {}
+    for var, src in spec["let"].items():
+        if not (isinstance(src, str) and src.startswith("$")):
+            raise MongoTranslateError(
+                f"let value for {var!r} must be a '$field' reference"
+            )
+        let_cols[var] = df[src[1:]]
+    out = spec["as"]
+    # pack BEFORE the join: unmatched left rows then carry a NULL struct
+    # (matching the localField path), not a struct of NULLs
+    packed = other.select(
+        F.struct(*[other[c] for c in other.columns]).alias(out)
+    )
+    cond = _compile_lookup_expr(
+        pipeline[0]["$match"]["$expr"], let_cols,
+        lambda name: packed[f"{out}.{name}"],
+    )
+    how = "left" if preserve else "inner"
+    return df.join(packed, cond, how)
+
+
 def _apply_lookup(
     df: DataFrame, spec: dict, unwound: bool, preserve: bool = False
 ) -> DataFrame:
@@ -463,14 +590,15 @@ def _apply_lookup(
     (unmatched rows survive with a NULL struct — same shape explode_outer
     yields over an empty match array).
     """
+    if "let" in spec:
+        return _apply_correlated_lookup(df, spec, unwound, preserve)
     for k in ("from", "localField", "foreignField", "as"):
         if k not in spec:
             raise MongoTranslateError(f"$lookup requires {k!r}")
     unknown = set(spec) - {"from", "localField", "foreignField", "as", "pipeline"}
     if unknown:
         raise MongoTranslateError(
-            f"unsupported $lookup options {sorted(unknown)!r} "
-            "(correlated 'let' lookups are not supported)"
+            f"unsupported $lookup options {sorted(unknown)!r}"
         )
     other: DataFrame = spec["from"]
     if not isinstance(other, DataFrame):

@@ -898,3 +898,129 @@ def test_median_accumulator_exact(spark):
             _df(spark),
             [{"$group": {"_id": None, "m": {"$median": {"input": "$price", "x": 1}}}}],
         )
+
+
+# --- correlated $lookup ------------------------------------------------------
+
+ORDERS_DOCS = [
+    Row(ok=1, cust="a", total=100.0),
+    Row(ok=2, cust="b", total=50.0),
+    Row(ok=3, cust="a", total=10.0),
+]
+LINES_DOCS = [
+    Row(lok=1, item="x", price=60.0),
+    Row(lok=1, item="y", price=40.0),
+    Row(lok=2, item="x", price=50.0),
+    Row(lok=9, item="z", price=1.0),
+]
+
+
+def test_correlated_lookup_eq_and_bound(spark):
+    orders = spark.createDataFrame(ORDERS_DOCS)
+    lines = spark.createDataFrame(LINES_DOCS)
+    out = mongo_pipeline(
+        orders,
+        [
+            {
+                "$lookup": {
+                    "from": lines,
+                    "let": {"o": "$ok", "t": "$total"},
+                    "pipeline": [
+                        {
+                            "$match": {
+                                "$expr": {
+                                    "$and": [
+                                        {"$eq": ["$lok", "$$o"]},
+                                        {"$lt": ["$price", "$$t"]},
+                                    ]
+                                }
+                            }
+                        }
+                    ],
+                    "as": "li",
+                }
+            },
+            {"$unwind": "$li"},
+        ],
+    ).collect()
+    got = sorted((r.ok, r.li.item, r.li.price) for r in out)
+    # order 1 (total 100): both lines qualify; order 2 (total 50): its
+    # only line has price == total, $lt excludes it; order 3: no lines
+    assert got == [(1, "x", 60.0), (1, "y", 40.0)]
+
+
+def test_correlated_lookup_preserve_gives_null_struct(spark):
+    orders = spark.createDataFrame(ORDERS_DOCS)
+    lines = spark.createDataFrame(LINES_DOCS)
+    out = mongo_pipeline(
+        orders,
+        [
+            {
+                "$lookup": {
+                    "from": lines,
+                    "let": {"o": "$ok"},
+                    "pipeline": [
+                        {"$match": {"$expr": {"$eq": ["$lok", "$$o"]}}}
+                    ],
+                    "as": "li",
+                }
+            },
+            {"$unwind": {"path": "$li", "preserveNullAndEmptyArrays": True}},
+        ],
+    ).collect()
+    by_ok = {}
+    for r in out:
+        by_ok.setdefault(r.ok, []).append(r.li)
+    assert len(by_ok[1]) == 2 and all(v is not None for v in by_ok[1])
+    assert by_ok[3] == [None]  # unmatched -> NULL struct, not struct of NULLs
+
+
+def test_correlated_lookup_post_match_stage_filters_build_side(spark):
+    orders = spark.createDataFrame(ORDERS_DOCS)
+    lines = spark.createDataFrame(LINES_DOCS)
+    out = mongo_pipeline(
+        orders,
+        [
+            {
+                "$lookup": {
+                    "from": lines,
+                    "let": {"o": "$ok"},
+                    "pipeline": [
+                        {"$match": {"$expr": {"$eq": ["$lok", "$$o"]}}},
+                        {"$match": {"item": "x"}},
+                    ],
+                    "as": "li",
+                }
+            },
+            {"$unwind": "$li"},
+        ],
+    ).collect()
+    assert sorted((r.ok, r.li.item) for r in out) == [(1, "x"), (2, "x")]
+
+
+def test_correlated_lookup_loud_errors(spark):
+    orders = spark.createDataFrame(ORDERS_DOCS)
+    lines = spark.createDataFrame(LINES_DOCS)
+    base = {
+        "from": lines,
+        "let": {"o": "$ok"},
+        "pipeline": [{"$match": {"$expr": {"$eq": ["$lok", "$$o"]}}}],
+        "as": "li",
+    }
+    # without $unwind fusion: raises (array group-back needs row identity)
+    with pytest.raises(MongoTranslateError, match="unwind"):
+        mongo_pipeline(orders, [{"$lookup": base}])
+    # $$ refs outside the first $match: raise
+    bad = dict(base, pipeline=base["pipeline"] + [
+        {"$match": {"$expr": {"$eq": ["$item", "$$o"]}}}
+    ])
+    with pytest.raises(MongoTranslateError, match=r"\$\$"):
+        mongo_pipeline(orders, [{"$lookup": bad}, {"$unwind": "$li"}])
+    # non-distributing stage after the match: raise
+    bad2 = dict(base, pipeline=base["pipeline"] + [{"$limit": 1}])
+    with pytest.raises(MongoTranslateError, match="distribute"):
+        mongo_pipeline(orders, [{"$lookup": bad2}, {"$unwind": "$li"}])
+    # unknown let var
+    bad3 = dict(base, pipeline=[{"$match": {"$expr": {"$eq": ["$lok", "$$zz"]}}}])
+    with pytest.raises(MongoTranslateError, match="let var"):
+        mongo_pipeline(orders, [{"$lookup": bad3}, {"$unwind": "$li"}])
