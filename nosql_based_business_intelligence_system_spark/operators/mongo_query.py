@@ -513,7 +513,7 @@ def _apply_correlated_lookup(
     """
     for k in ("from", "let", "pipeline", "as"):
         if k not in spec:
-            raise MongoTranslateError(f"correlated $lookup requires {k!r}")
+            raise MongoTranslateError(f"$lookup with let requires {k!r}")
     unknown = set(spec) - {"from", "let", "pipeline", "as"}
     if unknown:
         raise MongoTranslateError(

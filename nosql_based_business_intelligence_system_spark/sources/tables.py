@@ -40,7 +40,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = _normalize_event_ts(spark, df)
-    return df
+    return _normalize_ntz(df)
 
 
 def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -57,6 +57,21 @@ def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))  # integer div: no double-precision loss
         )
+    return df
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Parquet written without isAdjustedToUTC arrives as TIMESTAMP_NTZ on
+    Spark 4 readers. The engine's timestamp domain is TIMESTAMP (ltz) under a
+    pinned UTC session zone (session.SCALE_CONF), so NTZ wall-clocks map to
+    the identical instant; casting here keeps every downstream operator
+    (epoch arithmetic, windows, watermarks) on one timestamp type instead of
+    scattering per-type branches through the codebase."""
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
