@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    entity_suite,
     mongo_suite,
     multimodal_suite,
     reference_suite,
@@ -35,6 +36,7 @@ from .base import Query  # noqa: F401  (re-exported)
 def _collect() -> dict[str, Query]:
     out: dict[str, Query] = {}
     for mod in (
+        entity_suite,
         reference_suite,
         tpch_suite,
         window_suite,

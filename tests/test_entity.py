@@ -1,0 +1,76 @@
+"""Entity-resolution operator invariants (blocking recall, skew guard,
+canonical-spelling vote); the full-query oracle check lives in the registry
+(part_name_near_pairs / part_name_entities)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from nosql_based_business_intelligence_system_spark.operators import entity
+
+ROWS = [
+    # "acme corp" spelled three ways; "acme corp" is the most frequent
+    Row(id=1, name="Acme Corp"),
+    Row(id=2, name="acme corp"),
+    Row(id=3, name="  ACME  Corp "),
+    Row(id=4, name="acme corq"),       # typo in LAST token -> first-token pass
+    Row(id=5, name="acne corp"),       # typo in FIRST token -> last-token pass
+    Row(id=6, name="zenith widgets"),  # no fuzzy neighbor: singleton
+    Row(id=7, name="zenith widgets"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(ROWS)
+
+
+def test_name_dictionary_collapses_case_and_whitespace(spark):
+    d = {r.name: (r.rep_id, r.n_rows) for r in
+         entity.name_dictionary(_df(spark), "name", "id").collect()}
+    assert d["acme corp"] == (1, 3)  # three spellings of the same string
+    assert d["zenith widgets"] == (6, 2)
+    assert set(d) == {"acme corp", "acme corq", "acne corp", "zenith widgets"}
+
+
+def test_fuzzy_pairs_found_by_either_blocking_pass(spark):
+    pairs = {(r.name_a, r.name_b): r.edit_distance for r in
+             entity.fuzzy_name_pairs(_df(spark), "name", "id",
+                                     max_distance=1).collect()}
+    # last-token typo shares the first token; first-token typo shares the last
+    assert pairs[("acme corp", "acme corq")] == 1
+    assert pairs[("acme corp", "acne corp")] == 1
+    # two typo variants differ in both tokens -> no shared block at d<=1
+    assert ("acme corq", "acne corp") not in pairs
+
+
+def test_pairs_deduped_across_passes(spark):
+    # "acme corp"/"acme corq" also share NO last token, but "acme corp" vs
+    # "acne corp" surfaces only once even if both passes could emit it
+    out = entity.fuzzy_name_pairs(_df(spark), "name", "id", max_distance=2)
+    rows = [(r.name_a, r.name_b) for r in out.collect()]
+    assert len(rows) == len(set(rows))
+
+
+def test_skew_guard_drops_oversized_blocks(spark):
+    # every name shares last token "corp" -> that block exceeds the cap and
+    # is dropped from the last-token pass; first-token pass still matches
+    rows = [Row(id=i, name=f"name{i} corp") for i in range(10)]
+    rows.append(Row(id=99, name="name0 corq"))
+    df = spark.createDataFrame(rows)
+    out = entity.fuzzy_name_pairs(
+        df, "name", "id", max_distance=1, max_names_per_block=5
+    ).collect()
+    assert {(r.name_a, r.name_b) for r in out} == {("name0 corp", "name0 corq")}
+
+
+def test_resolve_entities_frequency_weighted_canonical(spark):
+    out = {r.name: r for r in
+           entity.resolve_entities(_df(spark), "name", "id",
+                                   max_distance=1).collect()}
+    # the three-spelling cluster resolves to its most frequent member
+    assert out["acme corq"].canonical_name == "acme corp"
+    assert out["acne corp"].canonical_name == "acme corp"
+    assert out["acme corp"].cluster_id == out["acme corq"].cluster_id
+    # singleton keeps itself
+    assert out["zenith widgets"].canonical_name == "zenith widgets"
+    assert out["zenith widgets"].cluster_id == "zenith widgets"
