@@ -59,6 +59,9 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
             "centroid side is K parameter-bounded broadcast rows"
         )
     },
+    "doc_lm_perplexity": {
+        "cartesian_join": "1-row vocabulary-size table joined to every bigram"
+    },
     "dsir_importance_weights": {
         "cartesian_join": "1-row n-gram grand-total tables joined to every gram"
     },

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import decontam, dedup
+from ..operators import decontam, dedup, lm
 from ..sources.tables import load_table
 from .base import Query as _q
 
@@ -1109,7 +1109,52 @@ SELECT lang, shard_id,
 FROM assigned GROUP BY lang, shard_id"""
 
 
+# --- CCNet-style LM perplexity scoring --------------------------------------
+
+
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy/perplexity under the corpus's own add-one
+    bigram model (operators/lm.py) — the perplexity-filter signal of web
+    curation pipelines, bootstrapped without an external model. Rounded to
+    6 decimals on both engines (libm vs JVM log ulp drift)."""
+    return lm.doc_lm_scores(_docs(spark, sf_dir))
+
+
+DOC_LM_PERPLEXITY_SQL = f"""WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), pairs AS (
+  SELECT doc_id, bg['prev'] AS prev, bg['cur'] AS cur
+  FROM (
+    SELECT doc_id,
+           unnest([{{'prev': t[i], 'cur': t[i+1]}} for i in range(1, len(t))]) AS bg
+    FROM toks WHERE len(t) >= 2
+  )
+), ucnt AS (
+  SELECT w, COUNT(*) AS cp
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), v AS (
+  SELECT COUNT(*) AS v FROM ucnt
+), big AS (
+  SELECT prev, cur, COUNT(*) AS cb FROM pairs GROUP BY 1, 2
+), scored AS (
+  SELECT p.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(-avg(ln(b.cb + 1.0) - ln(u.cp + v.v)), 6) AS cross_entropy
+  FROM pairs p
+  JOIN big b USING (prev, cur)
+  JOIN ucnt u ON p.prev = u.w
+  CROSS JOIN v
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.cross_entropy,
+       ROUND(exp(s.cross_entropy), 6) AS perplexity
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
+
+
 QUERIES = {
+    "doc_lm_perplexity": _q(doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL),
     "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
     "corpus_shard_plan": _q(corpus_shard_plan, CORPUS_SHARD_PLAN_SQL),
     "doc_quality_filter": _q(doc_quality_filter, DOC_QUALITY_FILTER_SQL),
