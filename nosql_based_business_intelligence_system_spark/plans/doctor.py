@@ -62,6 +62,12 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
     "doc_lm_perplexity": {
         "cartesian_join": "1-row vocabulary-size table joined to every bigram"
     },
+    "theta_customer_overlap": {
+        "cartesian_join": "1-row sketch tables combined into the report row"
+    },
+    "kll_mergeable_quantiles": {
+        "cartesian_join": "1-row merged-sketch x 1-row global-exact tables"
+    },
     "dsir_importance_weights": {
         "cartesian_join": "1-row n-gram grand-total tables joined to every gram"
     },

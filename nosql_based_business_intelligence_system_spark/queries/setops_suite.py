@@ -172,8 +172,68 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leaf_rows.unionByName(total)
 
 
+def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year buyer overlap via MERGEABLE theta sketches: one fact
+    scan builds a per-year customer sketch, then union / intersection /
+    difference are computed on the SKETCHES — no re-scan, no shuffled
+    distinct over the raw keys. That algebra is what HLL cannot do
+    (HLL unions only) and is the 100 TB path for retention/churn overlap
+    questions; exact countDistinct columns ride along for the error check.
+    Sketch estimates aren't engine-portable -> rows-only; the error bound
+    vs exact is pytest-asserted (tests/test_setops.py).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    sk = (
+        orders.filter(yr.isin(1995, 1996))
+        .groupBy(yr.alias("y"))
+        .agg(
+            F.theta_sketch_agg("o_custkey").alias("sk"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+    )
+    a = sk.filter(F.col("y") == 1995).select(
+        F.col("sk").alias("sk_a"), F.col("exact").alias("exact_a")
+    )
+    b = sk.filter(F.col("y") == 1996).select(
+        F.col("sk").alias("sk_b"), F.col("exact").alias("exact_b")
+    )
+    both = a.crossJoin(b)  # two 1-row sketch tables
+    est = lambda c: F.round(F.theta_sketch_estimate(c), 1)  # noqa: E731
+    overlap = both.select(
+        est(F.col("sk_a")).alias("est_1995"),
+        "exact_a",
+        est(F.col("sk_b")).alias("est_1996"),
+        "exact_b",
+        est(F.theta_union(F.col("sk_a"), F.col("sk_b"))).alias("est_union"),
+        est(F.theta_intersection(F.col("sk_a"), F.col("sk_b"))).alias(
+            "est_retained"
+        ),
+        est(F.theta_difference(F.col("sk_a"), F.col("sk_b"))).alias(
+            "est_churned"
+        ),
+    )
+    # exact union/intersection for the ride-along check, computed the
+    # expensive way the sketches avoid (two distinct sets + set ops)
+    y95 = orders.filter(yr == 1995).select("o_custkey").distinct()
+    y96 = orders.filter(yr == 1996).select("o_custkey").distinct()
+    exact_sets = (
+        y95.unionByName(y96)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+        .crossJoin(
+            y95.intersect(y96).agg(F.count(F.lit(1)).alias("exact_retained"))
+        )
+        .crossJoin(
+            y95.exceptAll(y96).agg(F.count(F.lit(1)).alias("exact_churned"))
+        )
+    )
+    return overlap.crossJoin(exact_sets)
+
+
 QUERIES = {
     "hll_mergeable_rollup": _q(hll_mergeable_rollup, None),
+    "theta_customer_overlap": _q(theta_customer_overlap, None),
     "nations_with_parties": _q(nations_with_parties, NATIONS_WITH_PARTIES_SQL),
     "customer_year_cohorts": _q(customer_year_cohorts, CUSTOMER_YEAR_COHORTS_SQL),
     "token_frequencies": _q(token_frequencies, TOKEN_FREQUENCIES_SQL),

@@ -427,6 +427,74 @@ def order_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level quantile rollup over MERGEABLE KLL sketches: leaf sketches
+    per order priority (one fact scan), then the TOTAL row merges the leaf
+    *sketches* (``kll_sketch_merge_double``) — the raw table is never
+    rescanned for the global quantiles. approx_percentile can't do this
+    (its sketch isn't exposed as a mergeable value); KLL is the
+    datasketches pattern that makes 100 TB percentile rollups incremental:
+    persist leaf sketches per partition/day, merge for any coarser grain.
+    Rows-only (sketch internals aren't engine-portable); the merge-equals-
+    direct identity and rank-error bound are pytest-asserted
+    (tests/test_setops.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    qs = list(SKETCH_QS)
+    leaves = o.groupBy("o_orderpriority").agg(
+        F.kll_sketch_agg_double("o_totalprice").alias("sk"),
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
+        ).alias("exact"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+    def _ests(sk):
+        return [
+            F.round(
+                F.kll_sketch_get_quantile_double(sk, F.lit(q)), 2
+            ).alias(f"p{int(q * 100)}_est")
+            for q in qs
+        ]
+
+    def _exacts(col):
+        return [
+            F.round(col[i], 2).alias(f"p{int(q * 100)}_exact")
+            for i, q in enumerate(qs)
+        ]
+
+    leaf_rows = leaves.select(
+        F.col("o_orderpriority").alias("key"),
+        "n_orders",
+        *_ests(F.col("sk")),
+        *_exacts(F.col("exact")),
+    )
+    # kll_sketch_merge_double is a binary scalar: fold the (few, one per
+    # priority) leaf sketches with a higher-order aggregate
+    merged = leaves.agg(
+        F.collect_list("sk").alias("sks"),
+        F.sum("n_orders").alias("n_orders"),
+    ).select(
+        F.aggregate(
+            F.slice(F.col("sks"), 2, F.size("sks") - 1),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+        "n_orders",
+    )
+    global_exact = o.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, qs))}))"
+        ).alias("exact")
+    )
+    total = merged.crossJoin(global_exact).select(
+        F.lit("*").alias("key"),
+        "n_orders",
+        *_ests(F.col("sk")),
+        *_exacts(F.col("exact")),
+    )
+    return leaf_rows.unionByName(total)
+
+
 def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densify + linear gap-fill (Mongo \\$densify/\\$fill, hypertable
     time_bucket_gapfill+interpolate): hourly max event value per type,
@@ -657,6 +725,7 @@ QUERIES = {
         events_hourly_interpolated, EVENTS_HOURLY_INTERPOLATED_SQL
     ),
     "order_value_quantile_sketch": _q(order_value_quantile_sketch, None),
+    "kll_mergeable_quantiles": _q(kll_mergeable_quantiles, None),
     "events_multires_rollup": _q(
         events_multires_rollup, EVENTS_MULTIRES_ROLLUP_SQL
     ),

@@ -65,6 +65,7 @@ def get_spark(
     # Settings that must hold even when reusing an existing session.
     for k in ("spark.sql.ansi.enabled", "spark.sql.session.timeZone"):
         spark.conf.set(k, conf[k])
+    _ship_package(spark)
     return spark
 
 
@@ -81,4 +82,47 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # static conf on some builds; events loader copes via schema check
+    _ship_package(spark)
     return spark
+
+
+#: SparkContexts the package zip has been shipped to (id-keyed; a context
+#: outliving this module's lifetime only costs a re-ship).
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers via ``addPyFile``.
+
+    A harness may import the repo from an arbitrary cwd; driver-side
+    ``sys.path`` tweaks don't reach executor Python workers, so any
+    Arrow-boundary closure that references package modules (multimodal
+    decode, similarity kernels) dies with ModuleNotFoundError there. The
+    cluster-correct fix is shipping the code with the job — the same
+    ``--py-files`` mechanism a real deployment uses, built once per
+    process into the temp dir.
+    """
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        pkg_name, os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))

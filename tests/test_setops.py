@@ -72,3 +72,39 @@ def test_hll_union_of_leaves_equals_direct_sketch(spark, sf_smoke):
     exact = orders.agg(F.countDistinct("o_custkey").alias("n")).collect()[0].n
     assert unioned == direct
     assert abs(unioned - exact) / exact < 0.05
+
+
+def test_theta_overlap_within_sketch_error(spark, sf_correctness):
+    """Theta set algebra (union/intersection/difference on SKETCHES) must
+    track the exact set operations; below the sketch's nominal capacity
+    the estimates are exact, so 5% is a loose ceiling."""
+    from nosql_based_business_intelligence_system_spark.queries.setops_suite import theta_customer_overlap
+
+    r = theta_customer_overlap(spark, sf_correctness).collect()[0]
+    for est, exact in (
+        (r.est_1995, r.exact_a),
+        (r.est_1996, r.exact_b),
+        (r.est_union, r.exact_union),
+        (r.est_retained, r.exact_retained),
+        (r.est_churned, r.exact_churned),
+    ):
+        assert exact > 0 and abs(est - exact) / exact < 0.05
+    # the algebra must be internally consistent: |A| + |B| = |A∪B| + |A∩B|
+    assert abs((r.est_1995 + r.est_1996) - (r.est_union + r.est_retained)) <= max(
+        1.0, 0.05 * r.exact_union
+    )
+
+
+def test_kll_merge_tracks_exact_quantiles(spark, sf_correctness):
+    """Merged per-priority KLL sketches answer GLOBAL quantiles within the
+    sketch's rank-error budget (default k=200 -> ~1.65% rank error; on
+    this distribution value-space error stays well under 5%)."""
+    from nosql_based_business_intelligence_system_spark.queries.stats_suite import kll_mergeable_quantiles
+
+    rows = {r.key: r for r in kll_mergeable_quantiles(spark, sf_correctness).collect()}
+    total = rows["*"]
+    assert total.n_orders == sum(r.n_orders for k, r in rows.items() if k != "*")
+    for p in (50, 90, 99):
+        est = getattr(total, f"p{p}_est")
+        exact = getattr(total, f"p{p}_exact")
+        assert exact > 0 and abs(est - exact) / exact < 0.05
