@@ -101,6 +101,19 @@ FLAGSHIPS = {
         "RAG chunking: map-only sequence+slice windows, single "
         "posexplode, no shuffle"
     ),
+    "part_name_near_pairs": (
+        "entity resolution: dictionary collapse -> two-pass token "
+        "blocking -> levenshtein verify inside the equi-join; never "
+        "all-pairs"
+    ),
+    "doc_lm_perplexity": (
+        "bigram-LM scoring: two count aggs (vocab-sized, broadcast by "
+        "threshold) + one scoring join; no UDF, no iteration"
+    ),
+    "kll_mergeable_quantiles": (
+        "two-level KLL rollup: leaf sketches once, global row merges "
+        "sketch BINARIES — no fact rescan"
+    ),
 }
 
 
