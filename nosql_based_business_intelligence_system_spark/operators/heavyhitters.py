@@ -1,0 +1,117 @@
+"""Misra-Gries heavy hitters — the frequency member of the mergeable-sketch
+trio (distinct count = HLL/theta, quantiles = KLL, frequent items = here).
+
+At 100 TB an exact "top tokens" groupBy shuffles one row per DISTINCT item;
+when the item domain itself is huge (URLs, n-grams, user agents), even the
+post-combine map side is too wide. Misra-Gries summarizes each partition
+into at most ``k`` counters with the classic guarantee
+
+    true_count - n / (k + 1)  <=  estimate  <=  true_count,
+
+and summaries MERGE by summing counters per item, then subtracting the
+(k+1)-th largest combined value (Agarwal et al. 2012, "Mergeable
+summaries" — the merged sketch keeps the same bound for the combined
+stream). Every item with true frequency > n/(k+1) is guaranteed to
+survive; counts are never overestimated.
+
+Spark shape: one Arrow-batched ``mapInPandas`` pass builds per-partition
+summaries (narrow, no shuffle; counter dict capped at k entries), then ONE
+grouped sum over at most ``n_partitions * k`` sketch rows plus a k+1-row
+correction aggregate. The shuffle carries the sketch, not the domain.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def mg_summary(items: Iterable[str], k: int) -> dict[str, int]:
+    """Classic Misra-Gries over an item stream: at most ``k`` counters; on
+    overflow decrement every counter (dropping zeros) — each decrement
+    round discards k+1 occurrences of k+1 DISTINCT items, which is what
+    bounds the undercount by n/(k+1)."""
+    counters: dict[str, int] = {}
+    for it in items:
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < k:
+            counters[it] = 1
+        else:
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+    """(item, est_count, err_bound, n_total) — every item with true
+    frequency > ``n_total/(k+1)`` is present; its true count lies in
+    ``[est_count, est_count + err_bound]``.
+
+    ``err_bound = floor(n_total/(k+1))`` is the sketch's certificate: a
+    consumer decides from it whether the summary is precise enough or a
+    targeted exact count (a filtered groupBy on the few surviving items)
+    is worth a second pass.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+
+        def stream():
+            nonlocal n
+            for b in batches:
+                col = b["__item"].dropna()
+                n += len(col)
+                yield from col
+
+        counters = mg_summary(stream(), k)
+        # one reserved row carries the partition's item count (the bound
+        # needs the GLOBAL n; \x00 can't collide with real tokens)
+        yield pd.DataFrame(
+            {
+                "item": list(counters) + ["\x00__n__"],
+                "c": list(counters.values()) + [n],
+            }
+        )
+
+    rows = df.select(F.col(item_col).alias("__item")).mapInPandas(
+        partials, "item string, c long"
+    )
+    summed = rows.groupBy("item").agg(F.sum("c").alias("c"))
+    totals = summed.filter(F.col("item") == "\x00__n__").select(
+        F.col("c").alias("n_total")
+    )
+    merged = summed.filter(F.col("item") != "\x00__n__")
+    # merge correction: subtract the (k+1)-th largest combined counter
+    # (zero when at most k items survived the partials)
+    kth = (
+        merged.orderBy(F.col("c").desc(), F.col("item"))
+        .limit(k + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) > k, F.min("c"))
+            .otherwise(F.lit(0))
+            .alias("sub")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("c") > F.col("sub"))
+        .select(
+            "item",
+            (F.col("c") - F.col("sub")).alias("est_count"),
+            F.floor(F.col("n_total") / (k + 1)).alias("err_bound"),
+            "n_total",
+        )
+    )

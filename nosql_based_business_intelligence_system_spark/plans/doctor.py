@@ -62,6 +62,12 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
     "doc_lm_perplexity": {
         "cartesian_join": "1-row vocabulary-size table joined to every bigram"
     },
+    "token_heavy_hitters": {
+        "cartesian_join": (
+            "1-row merge-correction and stream-total tables joined to the "
+            "<=k sketch rows"
+        )
+    },
     "theta_customer_overlap": {
         "cartesian_join": "1-row sketch tables combined into the report row"
     },

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import decontam, dedup, lm
+from ..operators import decontam, dedup, heavyhitters, lm
 from ..sources.tables import load_table
 from .base import Query as _q
 
@@ -1153,8 +1153,31 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
 
 
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent tokens via the mergeable Misra-Gries sketch
+    (operators/heavyhitters.py): per-partition k-counter summaries, one
+    sketch-sized shuffle — the 100 TB path when the token domain is too
+    wide even for a combined groupBy. exact_count rides along for the
+    bound check (verification only — at scale that exact pass is a
+    targeted filtered groupBy on the <=k survivors, not a full scan).
+    Rows-only: the sketch is partitioning-defined; the guarantee
+    (presence of all true heavy hitters + never-overestimate + err_bound)
+    is pytest-asserted (tests/test_heavyhitters.py)."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    sketch = heavyhitters.mg_heavy_hitters(toks, "tok", k=32)
+    exact = toks.groupBy(F.col("tok").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return sketch.join(exact, "item").select(
+        "item", "est_count", "err_bound", "exact_count", "n_total"
+    )
+
+
 QUERIES = {
     "doc_lm_perplexity": _q(doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL),
+    "token_heavy_hitters": _q(token_heavy_hitters, None),
     "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
     "corpus_shard_plan": _q(corpus_shard_plan, CORPUS_SHARD_PLAN_SQL),
     "doc_quality_filter": _q(doc_quality_filter, DOC_QUALITY_FILTER_SQL),
