@@ -315,7 +315,65 @@ SELECT day, day_revenue,
 FROM daily"""
 
 
+def segment_balance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment account-balance distribution profile — the remaining
+    rank-family window functions (dense_rank, percent_rank, cume_dist,
+    nth_value) in ONE window pass over a total order (balance desc, key
+    tiebreak — rank outputs are then pure integer ratios, identical across
+    engines). Top-5 customers per segment; nth_value reads the segment's
+    top-2 balances from an unbounded frame."""
+    from ..sources.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.count(F.lit(1)).over(
+        Window.partitionBy("c_mktsegment").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.dense_rank().over(w).alias("bal_dense_rank"),
+            F.percent_rank().over(w).alias("bal_percent_rank"),
+            F.cume_dist().over(w).alias("bal_cume_dist"),
+            F.nth_value("c_acctbal", 1).over(wfull).alias("segment_top_bal"),
+            F.nth_value("c_acctbal", 2).over(wfull).alias("segment_second_bal"),
+            n.alias("segment_customers"),
+        )
+        .filter(F.col("bal_dense_rank") <= 5)
+    )
+
+
+SEGMENT_BALANCE_PROFILE_SQL = """WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         DENSE_RANK() OVER w AS bal_dense_rank,
+         PERCENT_RANK() OVER w AS bal_percent_rank,
+         CUME_DIST() OVER w AS bal_cume_dist,
+         NTH_VALUE(c_acctbal, 1) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+           AND UNBOUNDED FOLLOWING) AS segment_top_bal,
+         NTH_VALUE(c_acctbal, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+           AND UNBOUNDED FOLLOWING) AS segment_second_bal,
+         CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+           AS segment_customers
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey)
+)
+SELECT * FROM ranked WHERE bal_dense_rank <= 5"""
+
+
 QUERIES = {
+    "segment_balance_profile": _q(
+        segment_balance_profile, SEGMENT_BALANCE_PROFILE_SQL
+    ),
     "revenue_trailing_7d": _q(revenue_trailing_7d, REVENUE_TRAILING_7D_SQL),
     "revenue_rolling_median": _q(
         revenue_rolling_median, REVENUE_ROLLING_MEDIAN_SQL
