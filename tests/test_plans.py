@@ -87,6 +87,10 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         "n1", "n2", "nation_c", "nation_s",
         # PageRank: 1-row dangling-mass aggregate.
         "dangling",
+        # LM scoring: 1-row vocabulary-size aggregate.
+        "vocab",
+        # Misra-Gries merge: 1-row (k+1)-th-counter and stream-total aggs.
+        "kth", "totals",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
