@@ -37,8 +37,10 @@ EOW = "</w>"
 
 def _word_freqs(df: DataFrame, content_col: str) -> DataFrame:
     """(word, freq, syms) — whitespace-split words with char symbols + EOW."""
+    from .partitioning import spread
+
     return (
-        df.select(
+        spread(df).select(
             F.explode(
                 F.filter(
                     F.split(F.coalesce(F.col(content_col), F.lit("")), r"\s+"),

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from .partitioning import spread
 
 
 def shingle_rows(
@@ -41,7 +42,7 @@ def shingle_rows(
     interpreted per element and measured ~2.5x slower. Hash collisions are
     ~2^-64 per pair, so set sizes/intersections match string shingles.
     """
-    tok = df.select(
+    tok = spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.posexplode(T.tokens(F.col(content_col))).alias("pos", "t"),
     )
@@ -342,7 +343,7 @@ def simhash_fingerprints(
     the 64 bit votes as plain grouped sums — far cheaper to compile and the
     shape that scales: shuffle rows = total distinct tokens.
     """
-    tok = df.select(
+    tok = spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(T.tokens(F.col(content_col)))).alias("t"),
     )

@@ -84,6 +84,10 @@ def importance_weights(
     shuffled join). Left joins keep unseen buckets (count 0 under
     smoothing).
     """
+    from .partitioning import spread
+
+    raw = spread(raw, id_col)
+    target = spread(target)
     t_counts = ngram_count_model(target, content_col, n, n_buckets)
     r_counts = ngram_count_model(raw, content_col, n, n_buckets)
     t_total = t_counts.agg(F.sum("c").alias("nt"))

@@ -85,7 +85,9 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
             }
         )
 
-    rows = df.select(F.col(item_col).alias("__item")).mapInPandas(
+    from .partitioning import spread
+
+    rows = spread(df.select(F.col(item_col).alias("__item"))).mapInPandas(
         partials, "item string, c long"
     )
     summed = rows.groupBy("item").agg(F.sum("c").alias("c"))

@@ -54,6 +54,9 @@ def doc_lm_scores(
     add-one bigram model. Lower = more typical of the corpus; documents
     with fewer than two tokens carry NULL scores (no bigrams to average).
     """
+    from .partitioning import spread
+
+    df = spread(df, id_col)
     toks = T.tokens(F.col(content_col))
     pairs = df.select(
         F.col(id_col), F.explode_outer(token_bigrams(toks)).alias("bg")
