@@ -552,7 +552,17 @@ def pq_train_encode(
     exploded corpus — partial aggregation applies; encoding is a broadcast
     join + per-(id, j) argmin. No UDF, no collect, no per-subspace jobs.
     """
-    sub = _pq_subvectors(corpus, m, id_col, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    from .partitioning import spread
+
+    # materialize-before-reuse: every Lloyd round AND the final encode
+    # re-reference the subvector table — without the persist the scan +
+    # normalize + split would re-execute per use (and on a one-file local
+    # corpus, on a single task; spread first so the narrow maps fan out)
+    sub = _pq_subvectors(spread(corpus, id_col), m, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     wseed = Window.partitionBy("j").orderBy("__h", id_col)
     codebooks = (
         sub.withColumn("__h", F.md5(F.concat_ws("|", F.col(id_col), F.col("j"))))
