@@ -145,6 +145,51 @@ def observe_quality(df: DataFrame, name: str = "ingest"):
     return df.observe(obs, *metrics), obs
 
 
+def ingest_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema,
+    measure_cols: Iterable[str] = MEASURE_COLUMNS,
+    date_cols: Iterable[str] = DATE_COLUMNS,
+) -> tuple[DataFrame, DataFrame]:
+    """Explicit-schema CSV ingest that QUARANTINES malformed rows instead
+    of failing the job (ANSI/FAILFAST) or silently nulling them
+    (plain PERMISSIVE): returns (clean frame, quarantine frame of raw
+    malformed lines). At 100 TB one bad exported line must never kill an
+    ingest, and dropping it unrecorded is a silent data loss — the
+    quarantine frame is what ops replays after fixing the producer.
+
+    The reader keeps the raw line of any row that fails the schema in
+    ``_corrupt_record``; the split is one filter each way. The persist is
+    required, not an optimization: Spark disallows referencing only the
+    internal corrupt-record column of an unpersisted CSV scan
+    (SPARK-26108), and it also guarantees both halves see the same parse.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    raw = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(full)
+        .csv(path)
+        .persist()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return (
+        clean_frame(normalize_names(good), measure_cols, date_cols),
+        quarantine,
+    )
+
+
 def ingest_jsonl(
     spark: SparkSession,
     path: str,

@@ -165,3 +165,33 @@ def test_ingest_jsonl_surfaces_corrupt_records(spark):
             assert back.filter(F.col("corrupt_record").isNotNull()).count() == 1
         finally:
             back.unpersist()
+
+
+def test_csv_quarantine_splits_malformed_rows(spark):
+    """Schema-violating CSV lines land in the quarantine frame with their
+    raw text; clean rows flow through the full clean pipeline untouched."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("Doc Number", StringType()),
+            StructField("Quantity", DoubleType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "rows.csv")
+        with open(p, "w") as f:
+            f.write("Doc Number,Quantity\n")
+            f.write("D1,2.5\n")
+            f.write("D2,not-a-number\n")
+            f.write("D3,4.0\n")
+        good, bad = ingest.ingest_csv_quarantine(spark, p, schema)
+        good_rows = {r.doc_number: r.quantity for r in good.collect()}
+        bad_rows = [r.raw_line for r in bad.collect()]
+        assert good_rows == {"D1": 2.5, "D3": 4.0}
+        assert bad_rows == ["D2,not-a-number"]
