@@ -633,7 +633,51 @@ def _apply_lookup(
     )
 
 
-def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
+#: stage -> the spec key that names another collection
+_COLLECTION_KEYS = {"$lookup": "from", "$graphLookup": "from", "$unionWith": "coll"}
+
+
+def _resolve_collections(node, collections: dict[str, DataFrame]):
+    """Replace collection-NAME references with their DataFrames, the way a
+    real Mongo pipeline written against named collections arrives: the
+    ``from`` of $lookup/$graphLookup and the ``coll`` of $unionWith may be
+    strings when a catalog is provided. Resolution is scoped to exactly
+    those stage specs (a user FIELD named "from" elsewhere is untouched);
+    nested pipelines ($facet, $lookup sub-pipelines) are walked too. An
+    unknown name raises with the catalog's keys."""
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            ck = _COLLECTION_KEYS.get(k)
+            if k == "$unionWith" and isinstance(v, str):
+                # Mongo's bare shorthand: {"$unionWith": "collection"}
+                if v not in collections:
+                    raise MongoTranslateError(
+                        f"unknown collection {v!r}; catalog has "
+                        f"{sorted(collections)}"
+                    )
+                out[k] = collections[v]
+                continue
+            if ck and isinstance(v, dict) and isinstance(v.get(ck), str):
+                name = v[ck]
+                if name not in collections:
+                    raise MongoTranslateError(
+                        f"unknown collection {name!r}; catalog has "
+                        f"{sorted(collections)}"
+                    )
+                v = {**v, ck: collections[name]}
+            out[k] = _resolve_collections(v, collections)
+        return out
+    if isinstance(node, list):
+        return [_resolve_collections(v, collections) for v in node]
+    return node
+
+
+def mongo_pipeline(
+    df: DataFrame,
+    pipeline: list[dict],
+    collections: dict[str, DataFrame] | None = None,
+) -> DataFrame:
     """Compile a Mongo aggregation pipeline against ``df`` (one collection).
 
     Returns a lazy DataFrame — stages become Catalyst operators, so a
@@ -641,8 +685,14 @@ def mongo_pipeline(df: DataFrame, pipeline: list[dict]) -> DataFrame:
     top-k, and a $group on a pre-partitioned key avoids a second shuffle.
     ``$lookup`` immediately followed by ``$unwind`` of the looked-up field
     is fused into a single join.
+
+    ``collections`` is an optional name -> DataFrame catalog letting
+    $lookup/$unionWith/$graphLookup reference other collections BY NAME,
+    exactly as pipelines are written against a real database.
     """
     pipeline = list(pipeline)
+    if collections is not None:
+        pipeline = _resolve_collections(pipeline, collections)
     i = 0
     prev_op = None
     while i < len(pipeline):

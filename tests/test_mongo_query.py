@@ -1024,3 +1024,49 @@ def test_correlated_lookup_loud_errors(spark):
     bad3 = dict(base, pipeline=[{"$match": {"$expr": {"$eq": ["$lok", "$$zz"]}}}])
     with pytest.raises(MongoTranslateError, match="let var"):
         mongo_pipeline(orders, [{"$lookup": bad3}, {"$unwind": "$li"}])
+
+
+def test_collection_catalog_resolves_names(spark):
+    left = spark.createDataFrame([Row(k=1, n="l1"), Row(k=2, n="l2")])
+    right = spark.createDataFrame([Row(fk=1, v=5.0), Row(fk=2, v=7.0)])
+    extra = spark.createDataFrame([Row(k=9, n="x")])
+    cat = {"rights": right, "extras": extra}
+    out = mongo_pipeline(
+        left,
+        [
+            {"$lookup": {"from": "rights", "localField": "k",
+                         "foreignField": "fk", "as": "m"}},
+            {"$unwind": "$m"},
+            {"$project": {"k": 1, "v": "$m.v"}},
+            {"$unionWith": {"coll": "extras",
+                            "pipeline": [{"$project": {"k": 1, "v": {"$literal": 0.0}}}]}},
+        ],
+        collections=cat,
+    )
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 5.0), (2, 7.0), (9, 0.0)}
+    # bare-string shorthand
+    out2 = mongo_pipeline(
+        left.select("k"),
+        [{"$unionWith": "extras"}],
+        collections={"extras": extra.select("k")},
+    )
+    assert sorted(r.k for r in out2.collect()) == [1, 2, 9]
+
+
+def test_collection_catalog_unknown_name_raises(spark):
+    left = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(MongoTranslateError, match="unknown collection"):
+        mongo_pipeline(
+            left,
+            [{"$lookup": {"from": "nope", "localField": "k",
+                          "foreignField": "k", "as": "m"}}],
+            collections={},
+        )
+
+
+def test_catalog_leaves_user_field_named_from_alone(spark):
+    df = spark.createDataFrame([Row(**{"from": "a"}), Row(**{"from": "b"})])
+    out = mongo_pipeline(
+        df, [{"$match": {"from": "a"}}], collections={"a": df}
+    )
+    assert [r["from"] for r in out.collect()] == ["a"]
