@@ -35,7 +35,16 @@ def mg_summary(items: Iterable[str], k: int) -> dict[str, int]:
     overflow decrement every counter (dropping zeros) — each decrement
     round discards k+1 occurrences of k+1 DISTINCT items, which is what
     bounds the undercount by n/(k+1)."""
-    counters: dict[str, int] = {}
+    return mg_fold({}, items, k)
+
+
+def mg_fold(
+    counters: dict[str, int], items: Iterable[str], k: int
+) -> dict[str, int]:
+    """Fold more items into an existing Misra-Gries summary (mutates and
+    returns ``counters``) — the streaming-state building block: a sketch
+    resumed from state and fed the next micro-batch keeps the same
+    n/(k+1) bound over the TOTAL stream seen so far."""
     for it in items:
         if it in counters:
             counters[it] += 1

@@ -235,3 +235,37 @@ def test_chunking_is_stream_safe(spark, sf_smoke):
         expected = chunk_documents(docs, chunk_tokens=64, overlap_tokens=16)
         assert _sorted_rows(got, None) == _sorted_rows(expected, None)
         assert got.count() > 0
+
+
+def test_stateful_heavy_hitters_exact_regime_equals_batch(spark, sf_smoke, events_dir):
+    """Streaming Misra-Gries with k above the per-bucket distinct count is
+    EXACT: the final per-bucket summaries must equal exact per-bucket
+    counts (event_type has a handful of distinct values)."""
+    from pyspark.sql import Window as Win
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.streaming import stateful as S
+
+    stream = W.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    out = S.heavy_hitters_stateful(
+        stream.select("event_type"), "event_type", k=16, n_buckets=4
+    )
+    W.run_to_memory_sink(out, "hh_state_test", output_mode="update")
+    got = (
+        spark.table("hh_state_test")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Win.partitionBy("bucket", "item").orderBy(F.desc("bucket_n"))
+            ),
+        )
+        .filter("rn = 1")
+        .select("bucket", "item", "est_count")
+    )
+    expected = S.heavy_hitters_batch_exact(
+        load_table(spark, sf_smoke, "events").select("event_type"),
+        "event_type",
+        n_buckets=4,
+    )
+    assert _sorted_rows(got, None) == _sorted_rows(expected, None)
+    assert got.count() > 0
