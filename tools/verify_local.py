@@ -98,14 +98,19 @@ def main() -> int:
             failures.append(name)
             continue
         if determinism:
-            # rerun the Spark side: a hash drift here means the query's
-            # output depends on partitioning/scheduling (rand, unordered
-            # limits, nondeterministic tiebreaks) — the driver compares
-            # hashes, so this MUST be stable.
+            # rerun the Spark side and demand exactly what the driver
+            # compares: the VALUE hash for oracle-checked queries, the row
+            # COUNT for rows-only ones (the driver records only spark_rows
+            # there, and some rows-only ops — datasketches KLL compaction —
+            # are internally randomized by design).
             sdf2 = q.fn(spark, sf_dir)
-            _, sh2 = table_digest([tuple(r) for r in sdf2.collect()], sdf2.columns)
-            if sh2 != sh:
+            sn2, sh2 = table_digest([tuple(r) for r in sdf2.collect()], sdf2.columns)
+            if q.oracle is not None and sh2 != sh:
                 print(f"FAIL  {name}: NONDETERMINISTIC spark h={sh} then h={sh2}")
+                failures.append(name)
+                continue
+            if q.oracle is None and sn2 != sn:
+                print(f"FAIL  {name}: NONDETERMINISTIC rows {sn} then {sn2}")
                 failures.append(name)
                 continue
         if q.oracle is None:
