@@ -63,3 +63,42 @@ def tokens_with_positions_udtf(
     return spark.sql(
         f"SELECT {sel} FROM __udtf_in d, LATERAL tokenize_udtf(d.{text_col}) t"
     )
+
+
+# --- grouped-aggregate UDF (the UDAF slot of the §2.9 matrix) ----------------
+
+
+def geo_mean_udaf():
+    """Geometric mean as an Arrow-batched grouped-aggregate pandas UDF —
+    the user-defined AGGREGATE escape hatch (scalar = pandas_udf in
+    bpe_encode, grouped-map = mapInPandas in multimodal, table = TokenizeUdtf
+    above). Built lazily because pandas_udf resolves its type hints at
+    decoration time — and with ``from __future__ import annotations`` those
+    hints are STRINGS resolved against this module's globals, so ``pd``
+    must live there (same constraint bpe_encode documents)."""
+    global pd
+    import pandas as pd  # noqa: PLW0603 — see docstring
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:  # type: ignore[name-defined]
+        import numpy as np
+
+        vals = v.dropna()
+        vals = vals[vals > 0]
+        if not len(vals):
+            return float("nan")
+        return float(np.exp(np.log(vals.astype("float64")).mean()))
+
+    return geo_mean
+
+
+def geo_mean_native(col: str):
+    """The production twin: exp(avg(ln(x))) over positives — whole-stage
+    codegen with map-side partial aggregation, which the pandas UDAF (full
+    group values shipped to Python) gives up. Use the UDAF form only when
+    the aggregate genuinely can't be phrased in expressions."""
+    x = F.col(col)
+    pos = F.when(x > 0, x)
+    return F.exp(F.avg(F.log(pos)))

@@ -4,6 +4,7 @@ the production path."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 
 from nosql_based_business_intelligence_system_spark.functions import udtf_surface as U
@@ -47,3 +48,24 @@ def test_udtf_on_fixture_documents(spark, sf_smoke):
     native = U.tokens_with_positions_native(docs, "text", "doc_id").collect()
     via_udtf = U.tokens_with_positions_udtf(spark, docs, "text", "doc_id").collect()
     assert _norm(native) == _norm(via_udtf) and len(native) > 0
+
+
+def test_grouped_agg_udaf_matches_native_geo_mean(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=2.0), Row(g="a", v=8.0), Row(g="b", v=5.0),
+         Row(g="b", v=None), Row(g="c", v=-1.0)]
+    )
+    udaf = U.geo_mean_udaf()
+    got = {r.g: r.gm for r in df.groupBy("g").agg(udaf("v").alias("gm")).collect()}
+    native = {r.g: r.gm for r in df.groupBy("g").agg(
+        U.geo_mean_native("v").alias("gm")).collect()}
+    assert got["a"] == pytest.approx(4.0) and native["a"] == pytest.approx(4.0)
+    assert got["b"] == pytest.approx(5.0) and native["b"] == pytest.approx(5.0)
+    # group with no positive values: the UDAF's NaN crosses Arrow as NULL,
+    # matching the native NULL — both mean "no data"
+    assert got["c"] is None or math.isnan(got["c"])
+    assert native["c"] is None
