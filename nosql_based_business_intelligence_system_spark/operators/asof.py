@@ -28,9 +28,11 @@ def asof_join(
     tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
-    ``right_ts <= left_ts`` (backward, inclusive — DuckDB ASOF semantics)
-    or the least ``right_ts >= left_ts`` (forward) within the same ``on``
-    key. Left-outer: unmatched left rows keep NULL right columns.
+    ``right_ts <= left_ts`` (backward, inclusive — DuckDB ASOF semantics),
+    the least ``right_ts >= left_ts`` (forward), or whichever of the two is
+    closer (nearest; equidistant resolves backward, pandas ``merge_asof``
+    parity) within the same ``on`` key. Left-outer: unmatched left rows
+    keep NULL right columns.
     ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity)
     voids matches further than the bound — the row survives with NULLs,
     it is not dropped.
@@ -42,8 +44,12 @@ def asof_join(
     the right row carried forward via ``last(ignorenulls)``. Sort puts
     right rows before left rows at equal ts, making the match inclusive.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest" and right_ts == on:
+        raise ValueError("nearest needs the right ts carried in the match")
 
     rvals = [c for c in right.columns if c != on]
     lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
@@ -65,23 +71,61 @@ def asof_join(
         F.lit(None).cast(ltype).alias("__l"),
         rstruct,
     )
-    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(ts_order, F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        l2.unionByName(r2)
-        .withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__is_left") == 1)
-    )
+    u = l2.unionByName(r2)
+    if direction == "nearest":
+        # both directions from ONE exchange: the two windows hash-partition
+        # identically (two sorts, no second shuffle). Equal-ts right rows
+        # sort before the left row in the backward order and after it in
+        # the forward order, keeping both sides inclusive.
+        w_b = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_f = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        lts = F.col("__ts").cast("long")
+        mb, mf = F.col("__mb"), F.col("__mf")
+        d_b = lts - mb.getField(right_ts).cast("long")
+        d_f = mf.getField(right_ts).cast("long") - lts
+        matched = (
+            u.withColumn("__mb", F.last("__r", ignorenulls=True).over(w_b))
+            .withColumn("__mf", F.first("__r", ignorenulls=True).over(w_f))
+            .filter(F.col("__is_left") == 1)
+            # pandas merge_asof parity: equidistant candidates resolve
+            # BACKWARD (the prior row wins)
+            .withColumn(
+                "__m",
+                F.when(mb.isNotNull() & (mf.isNull() | (d_b <= d_f)), mb)
+                .otherwise(mf),
+            )
+            .drop("__mb", "__mf")
+        )
+    else:
+        ts_order = (
+            F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+        )
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(ts_order, F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = u.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w)
+        ).filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
         if right_ts == on:
             raise ValueError("tolerance needs the right ts carried in the match")
         mts = F.col("__m").getField(right_ts).cast("long")
         lts = F.col("__ts").cast("long")
-        delta = (lts - mts) if direction == "backward" else (mts - lts)
+        delta = {
+            "backward": lts - mts,
+            "forward": mts - lts,
+            "nearest": F.abs(lts - mts),
+        }[direction]
         matched = matched.withColumn(
             "__m", F.when(delta <= F.lit(int(tolerance_seconds)), F.col("__m"))
         )

@@ -79,3 +79,64 @@ def test_tolerance_voids_stale_matches(spark):
     assert m[3] == (None, None)
     assert m[4] == (None, None)
     assert len(m) == len(LEFT)      # tolerance never drops rows
+
+
+def test_nearest_direction(spark):
+    m = _run(spark, "nearest")
+    assert m[1] == (_ts(10), 1.0)   # exact hit
+    # lid=2 (day 20): backward day 15 is 5 days, forward day 25 is 5 days
+    # -> equidistant resolves BACKWARD (pandas merge_asof parity)
+    assert m[2] == (_ts(15), 2.0)
+    assert m[3] == (_ts(8), 9.0)    # only a forward candidate exists
+    assert m[4] == (None, None)
+
+
+def test_nearest_matches_pandas_merge_asof(spark):
+    """Randomized parity against pandas.merge_asof(direction='nearest') —
+    the reference implementation of the semantics."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(7)
+    left = [
+        Row(lid=i, k=rng.choice("abc"), ts=_ts(rng.randint(1, 28), rng.randint(0, 23)))
+        for i in range(40)
+    ]
+    right = []
+    used = set()
+    for j in range(30):
+        key = (rng.choice("abc"), rng.randint(1, 28), rng.randint(0, 23))
+        if key in used:
+            continue  # unique (k, ts): asof right side must be unique per key+ts
+        used.add(key)
+        right.append(Row(k=key[0], ts=_ts(key[1], key[2]), px=float(j)))
+    got = {
+        r.lid: r.px
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            direction="nearest",
+        ).collect()
+    }
+    lp = pd.DataFrame([r.asDict() for r in left]).sort_values("ts")
+    rp = pd.DataFrame([r.asDict() for r in right]).sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest")
+    expected = {int(r.lid): (None if pd.isna(r.px) else float(r.px))
+                for r in exp.itertuples()}
+    assert got == expected
+
+
+def test_nearest_with_tolerance(spark):
+    out = asof_join(
+        spark.createDataFrame(LEFT),
+        spark.createDataFrame(RIGHT),
+        on="k",
+        direction="nearest",
+        tolerance_seconds=2 * 86400,
+    )
+    m = {r.lid: (r.ts_matched, r.px) for r in out.collect()}
+    assert m[1] == (_ts(10), 1.0)   # |delta| = 0
+    assert m[2] == (None, None)     # nearest is 5 days off > 2-day tolerance
+    assert m[3] == (None, None)     # forward hit 3 days off > tolerance
