@@ -98,6 +98,63 @@ def purchase_recent_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_nearest_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-click attribution: the closest click on EITHER side of each
+    purchase (pandas ``merge_asof(direction='nearest')``; equidistant
+    resolves backward). Same single exchange as the directional forms —
+    the backward and forward windows share the hash partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    out = asof_join(
+        purch, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("ts_matched").alias("click_ts"),
+        "click_value",
+    )
+
+
+# DuckDB has no nearest ASOF: compose it from the two directional ASOF
+# joins with the same backward tie-break (delta comparison at second
+# granularity on both engines — cast-long and date_diff both truncate).
+PURCHASE_NEAREST_CLICK_ASOF_SQL = """WITH clicks AS (
+  SELECT user_id, ts, max_by(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT p.event_id, r.ts AS bts, r.click_value AS bval
+  FROM p ASOF LEFT JOIN clicks r
+    ON p.user_id = r.user_id AND p.ts >= r.ts
+), f AS (
+  SELECT p.event_id, r.ts AS fts, r.click_value AS fval
+  FROM p ASOF LEFT JOIN clicks r
+    ON p.user_id = r.user_id AND p.ts <= r.ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        OR date_diff('second', bts, p.ts) <= date_diff('second', p.ts, fts))
+       THEN bts ELSE fts END AS click_ts,
+  CASE WHEN bts IS NOT NULL AND (fts IS NULL
+        OR date_diff('second', bts, p.ts) <= date_diff('second', p.ts, fts))
+       THEN bval ELSE fval END AS click_value
+FROM p
+LEFT JOIN b ON p.event_id = b.event_id
+LEFT JOIN f ON p.event_id = f.event_id"""
+
+
 PURCHASE_RECENT_CLICK_ASOF_SQL = f"""SELECT l.event_id, l.user_id, l.ts,
   l.value AS purchase_value,
   CASE WHEN date_diff('second', r.ts, l.ts) <= {ASOF_TOLERANCE_S}
@@ -314,6 +371,9 @@ FROM starts"""
 
 QUERIES = {
     "user_state_history": _q(user_state_history, USER_STATE_HISTORY_SQL),
+    "purchase_nearest_click_asof": _q(
+        purchase_nearest_click_asof, PURCHASE_NEAREST_CLICK_ASOF_SQL
+    ),
     "purchase_recent_click_asof": _q(
         purchase_recent_click_asof, PURCHASE_RECENT_CLICK_ASOF_SQL
     ),
