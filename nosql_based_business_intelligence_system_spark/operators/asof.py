@@ -26,6 +26,7 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_matched",
     tolerance_seconds: int | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` (backward, inclusive — DuckDB ASOF semantics),
@@ -35,7 +36,10 @@ def asof_join(
     keep NULL right columns.
     ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)`` parity)
     voids matches further than the bound — the row survives with NULLs,
-    it is not dropped.
+    it is not dropped. ``allow_exact_matches=False`` (same-named pandas
+    parameter) makes the bound strict: an equal-timestamp right row never
+    matches — in this formulation purely a flip of the equal-ts sort
+    tiebreak, the frame never changes.
 
     Right rows must be unique per (key, ts) for deterministic output —
     pre-aggregate the right side (e.g. ``max_by``) if they are not.
@@ -72,19 +76,24 @@ def asof_join(
         rstruct,
     )
     u = l2.unionByName(r2)
+    # an equal-ts right row matches iff it sorts on the frame side of the
+    # left row: rights-first when inclusive, rights-last when strict
+    il = F.col("__is_left")
+    into_frame = il.asc() if allow_exact_matches else il.desc()
+    out_of_frame = il.desc() if allow_exact_matches else il.asc()
     if direction == "nearest":
         # both directions from ONE exchange: the two windows hash-partition
         # identically (two sorts, no second shuffle). Equal-ts right rows
         # sort before the left row in the backward order and after it in
-        # the forward order, keeping both sides inclusive.
+        # the forward order (inclusive), or the reverse (strict).
         w_b = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+            .orderBy(F.col("__ts").asc(), into_frame)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         w_f = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+            .orderBy(F.col("__ts").asc(), out_of_frame)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         lts = F.col("__ts").cast("long")
@@ -110,7 +119,7 @@ def asof_join(
         )
         w = (
             Window.partitionBy("__k")
-            .orderBy(ts_order, F.col("__is_left").asc())
+            .orderBy(ts_order, into_frame)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         matched = u.withColumn(

@@ -140,3 +140,57 @@ def test_nearest_with_tolerance(spark):
     assert m[1] == (_ts(10), 1.0)   # |delta| = 0
     assert m[2] == (None, None)     # nearest is 5 days off > 2-day tolerance
     assert m[3] == (None, None)     # forward hit 3 days off > tolerance
+
+
+def test_allow_exact_matches_false_is_strict(spark):
+    out = asof_join(
+        spark.createDataFrame(LEFT),
+        spark.createDataFrame(RIGHT),
+        on="k",
+        allow_exact_matches=False,
+    )
+    m = {r.lid: (r.ts_matched, r.px) for r in out.collect()}
+    # lid=1's equal-ts match (day 10) is excluded under strict; there is
+    # no earlier right row for key a -> NULL
+    assert m[1] == (None, None)
+    assert m[2] == (_ts(15), 2.0)   # unaffected (strictly before)
+
+
+def test_strict_matches_pandas_merge_asof(spark):
+    """Randomized parity for allow_exact_matches=False across directions."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(11)
+    left = [
+        Row(lid=i, k=rng.choice("ab"), ts=_ts(rng.randint(1, 20), rng.choice([0, 6, 12])))
+        for i in range(30)
+    ]
+    right, used = [], set()
+    for j in range(25):
+        key = (rng.choice("ab"), rng.randint(1, 20), rng.choice([0, 6, 12]))
+        if key in used:
+            continue
+        used.add(key)
+        right.append(Row(k=key[0], ts=_ts(key[1], key[2]), px=float(j)))
+    lp = pd.DataFrame([r.asDict() for r in left]).sort_values("ts")
+    rp = pd.DataFrame([r.asDict() for r in right]).sort_values("ts")
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.lid: r.px
+            for r in asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="k",
+                direction=direction,
+                allow_exact_matches=False,
+            ).collect()
+        }
+        exp = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            allow_exact_matches=False,
+        )
+        expected = {int(r.lid): (None if pd.isna(r.px) else float(r.px))
+                    for r in exp.itertuples()}
+        assert got == expected, direction
