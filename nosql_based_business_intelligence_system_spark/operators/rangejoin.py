@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join", "band_join"]
+__all__ = ["interval_join", "band_join", "interval_overlap_join"]
 
 
 def _bin(ts: Column, width: int) -> Column:
@@ -154,3 +154,88 @@ def band_join(
     )
     drop = [c for c in out.columns if c.startswith("__start") or c.startswith("__end")]
     return out.drop(*drop)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: str | list[str] | None = None,
+    bin_width_seconds: int = 3600,
+    suffix: str = "_r",
+    max_bins_per_interval: int = 1024,
+) -> DataFrame:
+    """Inner-join interval rows that OVERLAP: ``l.start <= r.end AND
+    r.start <= l.end`` (closed bounds), optionally within matching ``on``
+    keys — sessions x campaigns, maintenance windows x incidents.
+
+    Same bin strategy as :func:`interval_join`, with the pair-uniqueness
+    twist for interval x interval: both sides explode into covered bins,
+    but a match is emitted ONLY in the bin containing the overlap's start
+    (``greatest(l.start, r.start)``). Every overlapping pair shares that
+    instant, and shares it in exactly one bin — so the join produces each
+    pair exactly once with no distinct pass. Cost stays one shuffle per
+    side on (key, bin); the same ``max_bins_per_interval`` guard raises on
+    mis-sized bins instead of silently exploding.
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    for k in keys:
+        if k not in left.columns or k not in right.columns:
+            raise ValueError(f"join key {k!r} missing from one side")
+    taken = set(left.columns)
+    ren = {
+        c: (c if c not in taken else f"{c}{suffix}")
+        for c in right.columns
+        if c not in keys
+    }
+
+    def _explode_bins(df, start, end):
+        n_bins = _bin(end, bin_width_seconds) - _bin(start, bin_width_seconds) + 1
+        guarded = F.when(
+            n_bins > F.lit(int(max_bins_per_interval)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval spans more than "
+                        f"{max_bins_per_interval} bins of {bin_width_seconds}s"
+                        " — raise bin_width_seconds or max_bins_per_interval"
+                        " (interval was "
+                    ),
+                    start.cast("string"),
+                    F.lit(" .. "),
+                    end.cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(n_bins)
+        return df.filter(end >= start).withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    _bin(start, bin_width_seconds),
+                    _bin(start, bin_width_seconds) + guarded - 1,
+                )
+            ),
+        )
+
+    l2 = _explode_bins(left, F.col(left_start), F.col(left_end))
+    r2 = _explode_bins(
+        right.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(n) for c, n in ren.items()],
+        ),
+        F.col(ren[right_start]),
+        F.col(ren[right_end]),
+    )
+    ls, le = F.col(left_start), F.col(left_end)
+    rs, re_ = F.col(ren[right_start]), F.col(ren[right_end])
+    overlap = (ls <= re_) & (rs <= le)
+    canonical = F.col("__bin") == _bin(F.greatest(ls, rs), bin_width_seconds)
+    out = l2.join(r2, on=[*keys, "__bin"], how="inner").filter(
+        overlap & canonical
+    )
+    return out.drop("__bin")

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cleaning import MONEY_DEC, dd_dsum, dsum
 from ..operators.asof import asof_join
-from ..operators.rangejoin import band_join, interval_join
+from ..operators.rangejoin import band_join, interval_join, interval_overlap_join
 from ..operators.scd import scd2_from_events
 from ..sources.tables import load_table
 from .base import Query as _q
@@ -369,7 +369,66 @@ SELECT user_id, event_type,
 FROM starts"""
 
 
+def activity_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user purchase-activity x click-activity window overlaps (daily
+    [first, last] spans per type): interval x interval range join via
+    operators/rangejoin.interval_overlap_join — bin-keyed equi-join, each
+    overlapping pair emitted exactly once in the bin holding the overlap's
+    start, never a per-key cross join. Overlap length at second
+    granularity (both engines truncate identically)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def spans(kind: str, s: str, e: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == kind)
+            .groupBy("user_id", F.to_date("ts").alias("__d"))
+            .agg(F.min("ts").alias(s), F.max("ts").alias(e))
+            .drop("__d")
+        )
+
+    out = interval_overlap_join(
+        spans("purchase", "p_start", "p_end"),
+        spans("click", "c_start", "c_end"),
+        left_start="p_start",
+        left_end="p_end",
+        right_start="c_start",
+        right_end="c_end",
+        on="user_id",
+        bin_width_seconds=6 * 3600,
+    )
+    return out.select(
+        "user_id",
+        "p_start",
+        "p_end",
+        "c_start",
+        "c_end",
+        (
+            F.least(F.col("p_end"), F.col("c_end")).cast("long")
+            - F.greatest(F.col("p_start"), F.col("c_start")).cast("long")
+        ).alias("overlap_seconds"),
+    )
+
+
+ACTIVITY_OVERLAP_WINDOWS_SQL = """WITH p AS (
+  SELECT user_id, MIN(ts) AS p_start, MAX(ts) AS p_end
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+), c AS (
+  SELECT user_id, MIN(ts) AS c_start, MAX(ts) AS c_end
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT p.user_id, p_start, p_end, c_start, c_end,
+  CAST(date_diff('second', greatest(p_start, c_start),
+                 least(p_end, c_end)) AS BIGINT) AS overlap_seconds
+FROM p JOIN c ON p.user_id = c.user_id
+ AND p_start <= c_end AND c_start <= p_end"""
+
+
 QUERIES = {
+    "activity_overlap_windows": _q(
+        activity_overlap_windows, ACTIVITY_OVERLAP_WINDOWS_SQL
+    ),
     "user_state_history": _q(user_state_history, USER_STATE_HISTORY_SQL),
     "purchase_nearest_click_asof": _q(
         purchase_nearest_click_asof, PURCHASE_NEAREST_CLICK_ASOF_SQL

@@ -11,7 +11,11 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from nosql_based_business_intelligence_system_spark.operators.rangejoin import band_join, interval_join
+from nosql_based_business_intelligence_system_spark.operators.rangejoin import (
+    band_join,
+    interval_join,
+    interval_overlap_join,
+)
 
 
 def _ts(minute: int, second: int = 0) -> dt.datetime:
@@ -161,3 +165,60 @@ def test_interval_join_property_random(spark):
         )
 
     check()
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Every overlapping pair appears EXACTLY once (canonical-bin trick),
+    matching a brute-force theta join on randomized intervals."""
+    import random
+
+    rng = random.Random(3)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mkivl(n, tag):
+        rows = []
+        for i in range(n):
+            a = rng.randint(0, 50_000)
+            b = a + rng.randint(0, 9_000)
+            rows.append(
+                Row(
+                    **{
+                        f"{tag}id": i,
+                        "k": rng.choice("xy"),
+                        f"{tag}s": t0 + dt.timedelta(seconds=a),
+                        f"{tag}e": t0 + dt.timedelta(seconds=b),
+                    }
+                )
+            )
+        return rows
+
+    lrows, rrows = mkivl(25, "l"), mkivl(20, "r")
+    out = interval_overlap_join(
+        spark.createDataFrame(lrows),
+        spark.createDataFrame(rrows),
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+        on="k",
+        bin_width_seconds=3600,
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    expected = sorted(
+        (lr.lid, rr.rid)
+        for lr in lrows
+        for rr in rrows
+        if lr.k == rr.k and lr.ls <= rr.re and rr.rs <= lr.le
+    )
+    assert got == expected                 # exact pair set
+    assert len(got) == len(set(got))       # no duplicate emissions
+    assert len(got) > 0
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame([Row(lid=1, ls=t0, le=t0 + dt.timedelta(hours=2))])
+    r = spark.createDataFrame([Row(rid=1, rs=t0, re=t0 + dt.timedelta(hours=1))])
+    out = interval_overlap_join(
+        l, r, left_start="ls", left_end="le", right_start="rs", right_end="re"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
