@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
     direction: str = "backward",
@@ -52,24 +52,25 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
-    if direction == "nearest" and right_ts == on:
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction == "nearest" and right_ts in keys:
         raise ValueError("nearest needs the right ts carried in the match")
 
-    rvals = [c for c in right.columns if c != on]
+    rvals = [c for c in right.columns if c not in keys]
     lstruct = F.struct(*[F.col(c) for c in left.columns]).alias("__l")
     rstruct = F.struct(*[F.col(c) for c in rvals]).alias("__r")
     ltype = left.select(lstruct).schema["__l"].dataType
     rtype = right.select(rstruct).schema["__r"].dataType
 
     l2 = left.select(
-        F.col(on).alias("__k"),
+        F.struct(*[F.col(k) for k in keys]).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         lstruct,
         F.lit(None).cast(rtype).alias("__r"),
     )
     r2 = right.select(
-        F.col(on).alias("__k"),
+        F.struct(*[F.col(k) for k in keys]).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(ltype).alias("__l"),
@@ -126,7 +127,7 @@ def asof_join(
             "__m", F.last("__r", ignorenulls=True).over(w)
         ).filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
-        if right_ts == on:
+        if right_ts in keys:
             raise ValueError("tolerance needs the right ts carried in the match")
         mts = F.col("__m").getField(right_ts).cast("long")
         lts = F.col("__ts").cast("long")

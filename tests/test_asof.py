@@ -194,3 +194,20 @@ def test_strict_matches_pandas_merge_asof(spark):
         expected = {int(r.lid): (None if pd.isna(r.px) else float(r.px))
                     for r in exp.itertuples()}
         assert got == expected, direction
+
+
+def test_multi_key_on(spark):
+    left = [
+        Row(lid=1, k="a", g=1, ts=_ts(10)),
+        Row(lid=2, k="a", g=2, ts=_ts(10)),  # same k, different second key
+    ]
+    right = [
+        Row(k="a", g=1, ts=_ts(9), px=1.0),
+        Row(k="a", g=2, ts=_ts(8), px=2.0),
+    ]
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on=["k", "g"],
+    )
+    m = {r.lid: r.px for r in out.collect()}
+    assert m == {1: 1.0, 2: 2.0}
