@@ -30,9 +30,11 @@ def chunk_documents(
     chunk_text).
 
     Windows start every ``stride = chunk_tokens - overlap_tokens`` tokens;
-    the chunk count is ``ceil(max(n - overlap, 0) / stride)`` so the final
-    window is emitted even when short (but never a window that adds no new
-    tokens). Empty/whitespace docs produce zero chunks.
+    the chunk count is ``max(1, ceil((n - overlap) / stride))`` for a
+    nonempty doc, so the final window is emitted even when short and a doc
+    shorter than the overlap still yields its single (partial) chunk —
+    dropping short docs here would silently shrink the corpus.
+    Empty/whitespace docs produce zero chunks.
     """
     stride = chunk_tokens - overlap_tokens
     if stride <= 0:
@@ -44,10 +46,16 @@ def chunk_documents(
         F.col(id_col), T.tokens(F.col(content_col)).alias("toks")
     ).withColumn(
         "n_chunks",
-        F.ceil(
-            F.greatest(F.size("toks") - overlap_tokens, F.lit(0))
-            / float(stride)
-        ).cast("int"),
+        F.when(F.size("toks") == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    (F.size("toks") - overlap_tokens) / float(stride)
+                ).cast("int"),
+            )
+        )
+        .cast("int"),
     )
     starts = F.when(
         F.col("n_chunks") > 0,
@@ -83,8 +91,10 @@ def dd_chunk_documents(
     toks = T.dd_tokens(content_col)
     return f"""WITH t AS (
   SELECT {id_col}, {toks} AS toks,
-    CAST(ceil(greatest(len({toks}) - {overlap_tokens}, 0) / {stride}.0)
-      AS INT) AS n_chunks
+    CASE WHEN len({toks}) = 0 THEN 0
+         ELSE greatest(1, CAST(ceil((len({toks}) - {overlap_tokens})
+                / {stride}.0) AS INT))
+    END AS n_chunks
   FROM {table}
 ), ex AS (
   SELECT {id_col}, toks,

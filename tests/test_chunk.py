@@ -84,7 +84,9 @@ def test_chunk_properties_random_docs(spark):
             chunk_tokens=chunk_tokens, overlap_tokens=overlap,
         )
         stride = chunk_tokens - overlap
-        want_n = -(-max(n_toks - overlap, 0) // stride)
+        # nonempty docs always yield >= 1 chunk (short docs are corpus,
+        # not droppable); empty docs yield none
+        want_n = 0 if n_toks == 0 else max(1, -(-(n_toks - overlap) // stride))
         assert len(rows) == want_n
         stitched = []
         for i, r in enumerate(rows):
