@@ -369,6 +369,54 @@ SELECT user_id, event_type,
 FROM starts"""
 
 
+def purchase_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: each purchase joined to the user-state
+    dimension row valid AT the purchase timestamp — the canonical
+    warehouse pattern (fact rows must see the dimension as it was, not as
+    it is). SCD2 validity intervals are contiguous per key, so the lookup
+    is exactly a backward as-of join on valid_from: one shuffle, no
+    point-in-interval explode, no sentinel for the open current row."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    states = scd2_from_events(
+        ev, key="user_id", ts="ts", attrs=["event_type"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from"),
+    )
+    out = asof_join(
+        purch, states, on="user_id", left_ts="ts", right_ts="valid_from"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        "state",
+        F.col("valid_from").alias("state_since"),
+    )
+
+
+PURCHASE_STATE_LOOKUP_SQL = """WITH flagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), starts AS (
+  SELECT user_id, ts AS valid_from, event_type AS state
+  FROM flagged WHERE chg = 1
+)
+SELECT l.event_id, l.user_id, l.ts, l.value AS purchase_value,
+       r.state, r.valid_from AS state_since
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN starts r
+  ON l.user_id = r.user_id AND l.ts >= r.valid_from"""
+
+
 def activity_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user purchase-activity x click-activity window overlaps (daily
     [first, last] spans per type): interval x interval range join via
@@ -428,6 +476,9 @@ FROM p JOIN c ON p.user_id = c.user_id
 QUERIES = {
     "activity_overlap_windows": _q(
         activity_overlap_windows, ACTIVITY_OVERLAP_WINDOWS_SQL
+    ),
+    "purchase_state_lookup": _q(
+        purchase_state_lookup, PURCHASE_STATE_LOOKUP_SQL
     ),
     "user_state_history": _q(user_state_history, USER_STATE_HISTORY_SQL),
     "purchase_nearest_click_asof": _q(
