@@ -74,3 +74,42 @@ def test_resolve_entities_frequency_weighted_canonical(spark):
     # singleton keeps itself
     assert out["zenith widgets"].canonical_name == "zenith widgets"
     assert out["zenith widgets"].cluster_id == "zenith widgets"
+
+
+def test_single_token_typos_always_found_property(spark):
+    """Property: inject one edit into ONE token of a two-token name — the
+    other token still blocks the pair, so fuzzy_name_pairs must surface it
+    at edit distance 1 regardless of which names/typos hypothesis picks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Row
+
+    word = st.text(alphabet="abcdef", min_size=3, max_size=6)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        first=word, last=word,
+        which=st.sampled_from(["first", "last"]),
+        pos=st.integers(min_value=0, max_value=2),
+        ch=st.sampled_from("xyz"),  # disjoint alphabet: edit distance exactly 1
+    )
+    def prop(first, last, which, pos, ch):
+        base = f"{first} {last}"
+        if which == "first":
+            typo = f"{first[:pos]}{ch}{first[pos + 1:]} {last}"
+        else:
+            typo = f"{first} {last[:pos]}{ch}{last[pos + 1:]}"
+        df = spark.createDataFrame(
+            [Row(id=1, name=base), Row(id=2, name=typo)]
+        )
+        pairs = {
+            (r.name_a, r.name_b): r.edit_distance
+            for r in entity.fuzzy_name_pairs(
+                df, "name", "id", max_distance=1
+            ).collect()
+        }
+        key = tuple(sorted([base, typo]))
+        assert pairs.get(key) == 1
+
+    prop()
