@@ -114,6 +114,18 @@ FLAGSHIPS = {
         "two-level KLL rollup: leaf sketches once, global row merges "
         "sketch BINARIES — no fact rescan"
     ),
+    "purchase_nearest_click_asof": (
+        "nearest as-of: backward+forward windows share ONE hash "
+        "exchange (two sorts), tie resolves backward"
+    ),
+    "activity_overlap_windows": (
+        "interval x interval overlap: bin-keyed equi-join, pair emitted "
+        "once in the overlap-start bin — no per-key cross join"
+    ),
+    "purchase_state_lookup": (
+        "SCD2 point-in-time: contiguous validity -> backward as-of on "
+        "valid_from, one shuffle, no interval explode"
+    ),
 }
 
 
