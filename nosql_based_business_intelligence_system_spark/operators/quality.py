@@ -107,3 +107,45 @@ def expectations_report(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def join_fanout_report(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+) -> DataFrame:
+    """One-row pre-join audit: per-key multiplicities and the EXACT row
+    count the equi-join would produce — the cheap dry run that catches a
+    join explosion (accidental many-to-many on a non-unique key) before a
+    100 TB shuffle materializes it.
+
+    sum over matched keys of n_left * n_right is the inner-join output
+    size; the max multiplicities identify which side's duplicate keys are
+    the cause. Two grouped counts + one key-join over count rows — cost is
+    O(distinct keys), never the join itself.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("nl"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("nr"))
+    joined = lc.join(rc, keys, "full")
+    return joined.agg(
+        F.count(F.col("nl")).cast("bigint").alias("left_keys"),
+        F.count(F.col("nr")).cast("bigint").alias("right_keys"),
+        F.count(
+            F.when(F.col("nl").isNotNull() & F.col("nr").isNotNull(), 1)
+        ).cast("bigint").alias("matched_keys"),
+        F.coalesce(F.max("nl"), F.lit(0)).cast("bigint").alias(
+            "max_left_multiplicity"
+        ),
+        F.coalesce(F.max("nr"), F.lit(0)).cast("bigint").alias(
+            "max_right_multiplicity"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("nr").isNotNull(), F.col("nl") * F.col("nr")
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint").alias("inner_join_rows"),
+    )

@@ -255,6 +255,40 @@ FROM (
 ) GROUP BY l_returnflag"""
 
 
+def lineitem_orders_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join explosion audit for the engine's biggest join: per-key
+    multiplicities and the exact inner-join output size of
+    lineitem x orders on the order key, computed from two grouped counts —
+    O(distinct keys), never the join itself (operators/quality.py)."""
+    from ..operators.quality import join_fanout_report
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    return join_fanout_report(li, o, "k")
+
+
+LINEITEM_ORDERS_FANOUT_SQL = """WITH lc AS (
+  SELECT l_orderkey AS k, COUNT(*) AS nl FROM lineitem GROUP BY 1
+), rc AS (
+  SELECT o_orderkey AS k, COUNT(*) AS nr FROM orders GROUP BY 1
+), j AS (
+  SELECT lc.nl, rc.nr FROM lc FULL JOIN rc ON lc.k = rc.k
+)
+SELECT CAST(COUNT(nl) AS BIGINT) AS left_keys,
+       CAST(COUNT(nr) AS BIGINT) AS right_keys,
+       CAST(COUNT(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1 END)
+            AS BIGINT) AS matched_keys,
+       CAST(COALESCE(MAX(nl), 0) AS BIGINT) AS max_left_multiplicity,
+       CAST(COALESCE(MAX(nr), 0) AS BIGINT) AS max_right_multiplicity,
+       CAST(COALESCE(SUM(CASE WHEN nr IS NOT NULL THEN nl * nr END), 0)
+            AS BIGINT) AS inner_join_rows
+FROM j"""
+
+
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract validation across the star: orphan lineitems (anti join),
     childless orders (anti join), duplicate order keys — the checks a
@@ -731,6 +765,9 @@ QUERIES = {
     ),
     "lineitem_profile": _q(lineitem_profile, LINEITEM_PROFILE_SQL),
     "price_outlier_counts": _q(price_outlier_counts, PRICE_OUTLIER_COUNTS_SQL),
+    "lineitem_orders_fanout": _q(
+        lineitem_orders_fanout, LINEITEM_ORDERS_FANOUT_SQL
+    ),
     "referential_integrity_audit": _q(
         referential_integrity_audit, REFERENTIAL_INTEGRITY_AUDIT_SQL
     ),

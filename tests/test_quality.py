@@ -61,3 +61,20 @@ def test_expectations_unique_key_counts_dup_rows(spark):
     # all 3 rows of the duplicated (1,1) group count as violations
     assert out["ab_unique"].n_violations == 3
     assert out["a_not_null"].n_violations == 0 and out["a_not_null"].passed
+
+
+def test_join_fanout_report_predicts_exact_join_size(spark):
+    from pyspark.sql import Row
+
+    from nosql_based_business_intelligence_system_spark.operators.quality import join_fanout_report
+
+    left = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=2), Row(k=3)]  # k=1 duplicated
+    )
+    right = spark.createDataFrame(
+        [Row(k=1), Row(k=1), Row(k=1), Row(k=2), Row(k=9)]
+    )
+    r = join_fanout_report(left, right, "k").collect()[0]
+    assert (r.left_keys, r.right_keys, r.matched_keys) == (3, 3, 2)
+    assert (r.max_left_multiplicity, r.max_right_multiplicity) == (2, 3)
+    assert r.inner_join_rows == left.join(right, "k").count() == 7
