@@ -59,6 +59,12 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
             "centroid side is K parameter-bounded broadcast rows"
         )
     },
+    "customer_rfm_segments": {
+        "global_window": (
+            "three ntile quartiles over POST-AGGREGATION customer-grain "
+            "rows (tiny vs the fact table), total-ordered for determinism"
+        )
+    },
     "doc_lm_perplexity": {
         "cartesian_join": "1-row vocabulary-size table joined to every bigram"
     },

@@ -219,6 +219,66 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic BI customer grid: per-customer
+    recency (last order date), frequency (order count), monetary (decimal
+    lifetime spend), each quartiled with ntile(4) over a TOTAL order
+    (custkey tiebreak — rank outputs then identical across engines),
+    score 1 = best. One aggregate + three window passes over the
+    customer-grain rows (post-aggregation: tiny relative to the fact),
+    reported as the segment grid."""
+    from ..sources.tables import load_table
+
+    rfm = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum0(F.col("o_totalprice")).alias("spend"),
+        )
+    )
+
+    def q(col, w):
+        return F.ntile(4).over(w).cast("bigint")
+
+    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
+    w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+    w_m = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    scored = rfm.select(
+        "spend",
+        q("last_order", w_r).alias("r_score"),
+        q("n_orders", w_f).alias("f_score"),
+        q("spend", w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("spend").alias("segment_spend"),
+    )
+
+
+CUSTOMER_RFM_SEGMENTS_SQL = f"""WITH rfm AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         {dd_dsum0('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT spend,
+    CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC) AS BIGINT)
+      AS r_score,
+    CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS BIGINT)
+      AS f_score,
+    CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS BIGINT)
+      AS m_score
+  FROM rfm
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       SUM(spend) AS segment_spend
+FROM scored GROUP BY r_score, f_score, m_score"""
+
+
 CUSTOMER_VALUE_DECILES_SQL = """SELECT decile,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
   SUM(spend) AS decile_spend, MIN(spend) AS min_spend, MAX(spend) AS max_spend
@@ -380,6 +440,7 @@ QUERIES = {
     ),
     "monthly_revenue_running": _q(monthly_revenue_running, MONTHLY_REVENUE_RUNNING_SQL),
     "customer_value_deciles": _q(customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL),
+    "customer_rfm_segments": _q(customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL),
     "revenue_moving_avg": _q(revenue_moving_avg, REVENUE_MOVING_AVG_SQL),
     "top_products_per_region": _q(top_products_per_region, TOP_PRODUCTS_PER_REGION_SQL),
     "latest_order_per_customer": _q(
