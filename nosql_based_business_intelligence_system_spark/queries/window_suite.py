@@ -219,6 +219,83 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lifetime value by acquisition cohort: customers grouped
+    by first-order month, spend accumulated over cohort age (months since
+    acquisition), normalized per cohort member. Month arithmetic is pure
+    integer (year*12+month) so ages agree across engines; cumulative sums
+    are decimal (exact); the per-member LTV is integer MICRO-units via
+    floor division (2-decimal spends divided by small counts land exactly
+    on .xxx5 double-rounding boundaries, where engines' ROUND disagree —
+    integer floor division is unambiguous). One aggregate to customer
+    grain, one to the cohort-age grid, one cumulative window per cohort."""
+    from ..sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    mnum = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    per_order = o.select(
+        "o_custkey", mnum.alias("order_m"), F.col("o_totalprice")
+    )
+    firsts = per_order.groupBy("o_custkey").agg(
+        F.min("order_m").alias("cohort_m")
+    )
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    grid = (
+        per_order.join(firsts, "o_custkey")
+        .groupBy("cohort_m", (F.col("order_m") - F.col("cohort_m")).alias("age"))
+        .agg(dsum0(F.col("o_totalprice")).alias("age_spend"))
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_spend", F.sum("age_spend").over(w))
+        .join(sizes, "cohort_m")
+        .select(
+            "cohort_m",
+            F.col("age").cast("bigint").alias("age"),
+            "cohort_customers",
+            "cum_spend",
+            # exact: decimal(38,6) * 1e6 is integral; bigint floor-div
+            F.expr(
+                "CAST(cum_spend * 1000000 AS BIGINT) DIV cohort_customers"
+            ).alias("ltv_per_customer_micros"),
+        )
+    )
+
+
+COHORT_LTV_CURVE_SQL = f"""WITH per_order AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) AS order_m,
+         o_totalprice
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, MIN(order_m) AS cohort_m FROM per_order GROUP BY o_custkey
+), sizes AS (
+  SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_customers
+  FROM firsts GROUP BY cohort_m
+), grid AS (
+  SELECT f.cohort_m, p.order_m - f.cohort_m AS age,
+         {dd_dsum0('p.o_totalprice')} AS age_spend
+  FROM per_order p JOIN firsts f ON p.o_custkey = f.o_custkey
+  GROUP BY f.cohort_m, p.order_m - f.cohort_m
+), cum AS (
+  SELECT cohort_m, age,
+         SUM(age_spend) OVER (PARTITION BY cohort_m ORDER BY age
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_spend
+  FROM grid
+)
+SELECT c.cohort_m, CAST(c.age AS BIGINT) AS age, s.cohort_customers,
+       c.cum_spend,
+       CAST(c.cum_spend * 1000000 AS BIGINT) // s.cohort_customers
+         AS ltv_per_customer_micros
+FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m"""
+
+
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic BI customer grid: per-customer
     recency (last order date), frequency (order count), monetary (decimal
@@ -441,6 +518,7 @@ QUERIES = {
     "monthly_revenue_running": _q(monthly_revenue_running, MONTHLY_REVENUE_RUNNING_SQL),
     "customer_value_deciles": _q(customer_value_deciles, CUSTOMER_VALUE_DECILES_SQL),
     "customer_rfm_segments": _q(customer_rfm_segments, CUSTOMER_RFM_SEGMENTS_SQL),
+    "cohort_ltv_curve": _q(cohort_ltv_curve, COHORT_LTV_CURVE_SQL),
     "revenue_moving_avg": _q(revenue_moving_avg, REVENUE_MOVING_AVG_SQL),
     "top_products_per_region": _q(top_products_per_region, TOP_PRODUCTS_PER_REGION_SQL),
     "latest_order_per_customer": _q(
