@@ -369,6 +369,45 @@ SELECT user_id, event_type,
 FROM starts"""
 
 
+def ship_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment latency per order month: line-level order-to-ship delay
+    in whole days (both date columns are midnight-aligned, so Spark's
+    datediff and DuckDB's date_diff('day') agree exactly), with integer
+    min/max and the exact-ratio average (int sum / bigint count — same
+    operands, same IEEE double on both engines). One broadcast-eligible
+    fact-to-fact equi-join + one grouped pass."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    return (
+        j.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min(delay).cast("bigint").alias("min_delay_days"),
+            F.max(delay).cast("bigint").alias("max_delay_days"),
+            (F.sum(delay) / F.count(F.lit(1))).alias("avg_delay_days"),
+        )
+    )
+
+
+SHIP_DELAY_PROFILE_SQL = """SELECT
+  strftime(o_orderdate, '%Y-%m') AS order_month,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(MIN(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+    AS min_delay_days,
+  CAST(MAX(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+    AS max_delay_days,
+  SUM(date_diff('day', o_orderdate, l_shipdate)) * 1.0 / COUNT(*)
+    AS avg_delay_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1"""
+
+
 def purchase_state_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time SCD2 lookup: each purchase joined to the user-state
     dimension row valid AT the purchase timestamp — the canonical
@@ -480,6 +519,7 @@ QUERIES = {
     "purchase_state_lookup": _q(
         purchase_state_lookup, PURCHASE_STATE_LOOKUP_SQL
     ),
+    "ship_delay_profile": _q(ship_delay_profile, SHIP_DELAY_PROFILE_SQL),
     "user_state_history": _q(user_state_history, USER_STATE_HISTORY_SQL),
     "purchase_nearest_click_asof": _q(
         purchase_nearest_click_asof, PURCHASE_NEAREST_CLICK_ASOF_SQL
