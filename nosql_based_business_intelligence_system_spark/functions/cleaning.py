@@ -61,6 +61,22 @@ def dsum0(c: Column) -> Column:
     return F.coalesce(dsum(c), F.lit(0).cast(MONEY_DEC))
 
 
+def dsumd(c: Column) -> Column:
+    """:func:`dsum` with the exact decimal cast back to DOUBLE at the output
+    boundary. Accumulation stays decimal (order-independent); the single final
+    decimal->double cast is deterministic, so two engines that agree on the
+    decimal agree on the double. Use this — not bare :func:`dsum` — for any
+    column that lands in a query's *output* schema: the external driver's
+    hasher normalizes Decimal cells differently between Spark and DuckDB
+    (round-2 verdict: all 15 hash failures were DECIMAL-typed outputs)."""
+    return dsum(c).cast("double")
+
+
+def dsum0d(c: Column) -> Column:
+    """:func:`dsum0` cast back to DOUBLE at the output boundary."""
+    return dsum0(c).cast("double")
+
+
 def dd_dsum(expr: str) -> str:
     """DuckDB twin of :func:`dsum` (verified: identical Decimal repr,
     including round-half-away ties on the double->decimal cast)."""
@@ -70,6 +86,16 @@ def dd_dsum(expr: str) -> str:
 def dd_dsum0(expr: str) -> str:
     """DuckDB twin of :func:`dsum0`."""
     return f"coalesce({dd_dsum(expr)}, CAST(0 AS DECIMAL(38,6)))"
+
+
+def dd_dsumd(expr: str) -> str:
+    """DuckDB twin of :func:`dsumd`."""
+    return f"CAST({dd_dsum(expr)} AS DOUBLE)"
+
+
+def dd_dsum0d(expr: str) -> str:
+    """DuckDB twin of :func:`dsum0d`."""
+    return f"CAST({dd_dsum0(expr)} AS DOUBLE)"
 
 
 def flag(pred: Column) -> Column:

@@ -182,7 +182,7 @@ def mongo_order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
     )
-    return mongo_pipeline(
+    out = mongo_pipeline(
         orders,
         [
             {
@@ -199,6 +199,10 @@ def mongo_order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ],
     )
+    # decimal accumulation inside the pipeline; DOUBLE at the output boundary
+    return out.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    ).withColumn("max_value", F.col("max_value").cast("double"))
 
 
 _BUCKET_CASE = "CASE " + " ".join(
@@ -209,8 +213,8 @@ _BUCKET_CASE = "CASE " + " ".join(
 
 MONGO_ORDER_VALUE_BUCKETS_SQL = f"""SELECT {_BUCKET_CASE} AS _id,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value,
-  MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS max_value
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_value
 FROM orders GROUP BY 1"""
 
 
@@ -225,7 +229,7 @@ def mongo_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
     )
-    return mongo_pipeline(
+    out = mongo_pipeline(
         orders,
         [
             {
@@ -244,11 +248,13 @@ def mongo_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     )
+    # decimal accumulation inside the pipeline; DOUBLE at the output boundary
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 MONGO_MONTHLY_ORDER_STATS_SQL = """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_value
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM orders GROUP BY 1"""
 
 
@@ -347,7 +353,12 @@ def mongo_priority_monthly_running(spark: SparkSession, sf_dir: str) -> DataFram
     from ..sources.tables import load_table
 
     orders = load_table(spark, sf_dir, "orders")
-    return mongo_pipeline(orders, MONGO_RUNNING_PIPELINE)
+    out = mongo_pipeline(orders, MONGO_RUNNING_PIPELINE)
+    # decimal accumulation inside the pipeline (incl. the running window);
+    # DOUBLE at the output boundary (driver hash)
+    for c in ("revenue", "running_revenue", "prev_revenue"):
+        out = out.withColumn(c, F.col(c).cast("double"))
+    return out
 
 
 MONGO_PRIORITY_MONTHLY_RUNNING_SQL = """WITH m AS (
@@ -356,10 +367,10 @@ MONGO_PRIORITY_MONTHLY_RUNNING_SQL = """WITH m AS (
          CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY 1, 2
 )
-SELECT ym, pri, revenue, n_orders,
-  SUM(revenue) OVER w_cum AS running_revenue,
+SELECT ym, pri, CAST(revenue AS DOUBLE) AS revenue, n_orders,
+  CAST(SUM(revenue) OVER w_cum AS DOUBLE) AS running_revenue,
   CAST(ROW_NUMBER() OVER w_ord AS INTEGER) AS month_seq,
-  LAG(revenue, 1) OVER w_ord AS prev_revenue,
+  CAST(LAG(revenue, 1) OVER w_ord AS DOUBLE) AS prev_revenue,
   AVG(n_orders) OVER w_3 AS avg_3m_orders
 FROM m
 WINDOW w_ord AS (PARTITION BY pri ORDER BY ym),
@@ -479,9 +490,11 @@ def mongo_monthly_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the $switch/$dateTrunc dialect additions, oracle-checked)."""
     from ..sources.tables import load_table
 
-    return mongo_pipeline(
+    out = mongo_pipeline(
         load_table(spark, sf_dir, "orders"), MONTHLY_PRICE_TIER_PIPELINE
     )
+    # decimal accumulation inside the pipeline; DOUBLE at the output boundary
+    return out.withColumn("revenue", F.col("revenue").cast("double"))
 
 
 MONGO_MONTHLY_PRICE_TIERS_SQL = f"""SELECT
@@ -491,7 +504,7 @@ MONGO_MONTHLY_PRICE_TIERS_SQL = f"""SELECT
   CASE WHEN o_totalprice >= {_TIER_LARGE} THEN 'large'
        WHEN o_totalprice >= {_TIER_MEDIUM} THEN 'medium'
        ELSE 'small' END AS tier,
-  SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders
 GROUP BY 1, 2"""

@@ -187,7 +187,8 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("row_count"),
         F.min("event_date").alias("min_date"),
         F.max("event_date").alias("max_date"),
-        dsum0(F.col("total_line_price")).alias("total_revenue"),
+        # decimal accumulation, DOUBLE at the output boundary (driver hash)
+        dsum0(F.col("total_line_price")).cast("double").alias("total_revenue"),
         F.countDistinct("fin_month_label").alias("n_fiscal_months"),
     )
 
@@ -196,7 +197,7 @@ SUMMARY_STATS_SQL = f"""WITH {DD_SALES_CTE}
 SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
        MIN(event_date) AS min_date,
        MAX(event_date) AS max_date,
-       {dd_dsum0('total_line_price')} AS total_revenue,
+       CAST({dd_dsum0('total_line_price')} AS DOUBLE) AS total_revenue,
        CAST(COUNT(DISTINCT fin_month_label) AS BIGINT) AS n_fiscal_months
 FROM sales"""
 

@@ -403,7 +403,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the raw scan dominates and the coarser grains are per-mille
     of it (operators/rollup.py)."""
     ev = load_table(spark, sf_dir, "events")
-    return multires_rollup(
+    rolled = multires_rollup(
         ev,
         ts="ts",
         group_by=["event_type"],
@@ -414,12 +414,16 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         resolutions=("hour", "day", "month"),
     )
+    # decimal through the grain re-aggregation; DOUBLE at the output boundary
+    return rolled.withColumn(
+        "total_value", F.col("total_value").cast("double")
+    )
 
 
 _MRR_LEVEL = """SELECT '{res}' AS resolution,
   date_trunc('{res}', ts) AS bucket_start, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  {vsum} AS total_value,
+  CAST({vsum} AS DOUBLE) AS total_value,
   MAX(value) AS max_value
 FROM events GROUP BY 2, 3"""
 

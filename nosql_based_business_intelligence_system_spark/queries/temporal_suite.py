@@ -184,7 +184,8 @@ def price_tier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("revenue"),
+            # decimal accumulation, DOUBLE at the output boundary
+            dsum(F.col("o_totalprice")).cast("double").alias("revenue"),
         )
     )
 
@@ -195,7 +196,7 @@ _TIER_VALUES = ", ".join(
 
 PRICE_TIER_TOTALS_SQL = f"""SELECT tier,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  {dd_dsum('o_totalprice')} AS revenue
+  CAST({dd_dsum('o_totalprice')} AS DOUBLE) AS revenue
 FROM orders
 JOIN (VALUES {_TIER_VALUES}) t(tier, lo, hi)
   ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
@@ -237,16 +238,18 @@ def purchase_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            # decimal zero-fill, DOUBLE at the output boundary
             F.coalesce(
                 "click_value", F.lit(0).cast(MONEY_DEC)
-            ).alias("click_value"),
+            ).cast("double").alias("click_value"),
         )
     )
 
 
 PURCHASE_NEARBY_CLICKS_SQL = f"""SELECT p.event_id, p.user_id, p.ts,
   CAST(COUNT(c.ts) AS BIGINT) AS n_clicks,
-  COALESCE({dd_dsum('c.value')}, CAST(0 AS DECIMAL(38,6))) AS click_value
+  CAST(COALESCE({dd_dsum('c.value')}, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
+    AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
@@ -312,7 +315,8 @@ def session_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end", "n_activity"
     ).agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        dsum(F.col("purchase_value")).alias("purchase_value"),
+        # decimal accumulation, DOUBLE at the output boundary
+        dsum(F.col("purchase_value")).cast("double").alias("purchase_value"),
     )
 
 
@@ -337,7 +341,7 @@ SESSION_PURCHASE_ATTRIBUTION_SQL = f"""WITH act AS (
 )
 SELECT s.user_id, s.session_start, s.session_end, s.n_activity,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       {dd_dsum('p.value')} AS purchase_value
+       CAST({dd_dsum('p.value')} AS DOUBLE) AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN sess s
   ON p.user_id = s.user_id

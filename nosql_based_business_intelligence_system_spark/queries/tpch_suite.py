@@ -111,22 +111,31 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
-        .select(F.col("l_orderkey").alias("orderkey"), F.col("o_date").alias("orderdate"), "revenue")
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_date").alias("orderdate"),
+            # top-k cut on the exact decimal; DOUBLE at the output boundary
+            F.col("revenue").cast("double").alias("revenue"),
+        )
     )
 
 
-TOP_BUILDING_ORDERS_SQL = f"""SELECT l_orderkey AS orderkey,
-       CAST(o_orderdate AS DATE) AS orderdate,
-       {dd_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
-  AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
-GROUP BY l_orderkey, orderdate
-ORDER BY revenue DESC, orderkey ASC
-LIMIT 10"""
+TOP_BUILDING_ORDERS_SQL = f"""SELECT orderkey, orderdate,
+       CAST(revenue AS DOUBLE) AS revenue
+FROM (
+  SELECT l_orderkey AS orderkey,
+         CAST(o_orderdate AS DATE) AS orderdate,
+         {dd_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+  GROUP BY l_orderkey, orderdate
+  ORDER BY revenue DESC, orderkey ASC
+  LIMIT 10
+)"""
 
 
 # --- Q5-style: regional revenue through the full star -----------------------
@@ -354,7 +363,8 @@ def segment_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
-            total.alias("total_value"),
+            # decimal accumulation, DOUBLE at the output boundary
+            total.cast("double").alias("total_value"),
             (total.cast("double") / F.count(F.lit(1))).alias("avg_value"),
         )
         .filter(F.col("n_orders") > 50)
@@ -364,7 +374,7 @@ def segment_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEGMENT_VALUE_SUMMARY_SQL = f"""SELECT c_mktsegment,
        CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {dd_dsum('o_totalprice')} AS total_value,
+       CAST({dd_dsum('o_totalprice')} AS DOUBLE) AS total_value,
        CAST({dd_dsum('o_totalprice')} AS DOUBLE) / COUNT(*) AS avg_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -472,17 +482,23 @@ def top_return_loss_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
+        # top-k cut on the exact decimal; DOUBLE at the output boundary
+        .withColumn("lost_revenue", F.col("lost_revenue").cast("double"))
     )
 
 
 TOP_RETURN_LOSS_CUSTOMERS_SQL = f"""SELECT c_custkey, c_name, c_acctbal,
-  {dd_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, c_acctbal
-ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20"""
+       CAST(lost_revenue AS DOUBLE) AS lost_revenue
+FROM (
+  SELECT c_custkey, c_name, c_acctbal,
+    {dd_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal
+  ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20
+)"""
 
 
 def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,13 +591,14 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(band).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 DISJUNCTIVE_PROMO_REVENUE_SQL = f"""SELECT
-  {dd_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+  CAST({dd_dsum('l_extendedprice * (1 - l_discount)')} AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -740,9 +757,8 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(F.to_date("l_shipdate")).cast("int").alias("ship_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            ),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double").alias("volume"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -751,7 +767,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 NATION_TRADE_FLOWS_SQL = f"""SELECT
   sn.n_name AS supp_nation, cn.n_name AS cust_nation,
   CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
-  {dd_dsum('l_extendedprice * (1 - l_discount)')} AS volume,
+  CAST({dd_dsum('l_extendedprice * (1 - l_discount)')} AS DOUBLE) AS volume,
   CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -812,8 +828,8 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "order_year",
-        "nation_volume",
-        "total_volume",
+        F.col("nation_volume").cast("double").alias("nation_volume"),
+        F.col("total_volume").cast("double").alias("total_volume"),
         (
             F.col("nation_volume").cast("double")
             / F.col("total_volume").cast("double")
@@ -835,9 +851,9 @@ NATION_MARKET_SHARE_SQL = f"""WITH base AS (
   WHERE r_name = '{_SHARE_REGION}'
 )
 SELECT order_year,
-  {dd_dsum(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")}
+  CAST({dd_dsum(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")} AS DOUBLE)
     AS nation_volume,
-  {dd_dsum('vol')} AS total_volume,
+  CAST({dd_dsum('vol')} AS DOUBLE) AS total_volume,
   CAST({dd_dsum(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")} AS DOUBLE)
     / CAST({dd_dsum('vol')} AS DOUBLE) AS market_share
 FROM base
@@ -908,7 +924,10 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decides (and the probe side here is the tiny max-revenue set anyway).
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return best.join(supp, best.l_suppkey == supp.s_suppkey).select(
-        "s_suppkey", "s_name", "total_revenue"
+        "s_suppkey",
+        "s_name",
+        # max-filter on the exact decimal; DOUBLE at the output boundary
+        F.col("total_revenue").cast("double").alias("total_revenue"),
     )
 
 
@@ -920,7 +939,7 @@ TOP_REVENUE_SUPPLIERS_SQL = f"""WITH rev AS (
     AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""
 
@@ -954,7 +973,9 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             F.to_date("o_orderdate").alias("order_date"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("order_total"),
+            # o_totalprice is already a 2-decimal double; a decimal cast
+            # would put DECIMAL in the output schema (driver hash hazard)
+            F.col("o_totalprice").alias("order_total"),
             "total_qty",
         )
     )
@@ -962,7 +983,7 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LARGE_VOLUME_CUSTOMERS_SQL = f"""SELECT c_name, c_custkey, o_orderkey,
   CAST(o_orderdate AS DATE) AS order_date,
-  CAST(o_totalprice AS DECIMAL(18,2)) AS order_total,
+  o_totalprice AS order_total,
   total_qty
 FROM (
   SELECT l_orderkey, SUM(l_quantity) AS total_qty

@@ -28,9 +28,10 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Revenue and the cumulative window sum are decimal (dsum0): decimal
     addition is exact, so neither the per-month partial-agg order nor the
-    window accumulation can drift vs the oracle. The growth ratio divides
-    after casting the exact decimals to double — one identical IEEE division
-    on both sides.
+    window accumulation can drift vs the oracle. Every money column is cast
+    to DOUBLE at the output boundary (the driver's hasher cannot compare
+    Decimal cells across engines); the single decimal->double cast of
+    identical exact decimals is deterministic on both sides.
     """
     monthly = (
         enriched_sales(spark, sf_dir)
@@ -43,11 +44,11 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_d = F.col("revenue").cast("double")
     return monthly.select(
         "fin_month_label",
-        "revenue",
+        rev_d.alias("revenue"),
         F.sum("revenue").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cumulative_revenue"),
-        prev.alias("prev_revenue"),
+        ).cast("double").alias("cumulative_revenue"),
+        prev_d.alias("prev_revenue"),
         F.when(prev > 0, (rev_d - prev_d) / prev_d).alias("mom_growth"),
     )
 
@@ -57,11 +58,11 @@ monthly AS (
   SELECT fin_month_label, {dd_dsum0('total_line_price')} AS revenue
   FROM sales GROUP BY fin_month_label
 )
-SELECT fin_month_label, revenue,
-  SUM(revenue) OVER (ORDER BY fin_month_label
+SELECT fin_month_label, CAST(revenue AS DOUBLE) AS revenue,
+  CAST(SUM(revenue) OVER (ORDER BY fin_month_label
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    AS cumulative_revenue,
-  LAG(revenue) OVER (ORDER BY fin_month_label) AS prev_revenue,
+    AS DOUBLE) AS cumulative_revenue,
+  CAST(LAG(revenue) OVER (ORDER BY fin_month_label) AS DOUBLE) AS prev_revenue,
   CASE WHEN LAG(revenue) OVER (ORDER BY fin_month_label) > 0
        THEN (CAST(revenue AS DOUBLE)
              - CAST(LAG(revenue) OVER (ORDER BY fin_month_label) AS DOUBLE))
@@ -177,7 +178,7 @@ def quarter_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "fin_quarter",
         "region_desc",
-        "revenue",
+        F.col("revenue").cast("double").alias("revenue"),
         (F.col("revenue").cast("double")
          / F.sum("revenue").over(w).cast("double")).alias("share_of_quarter"),
     )
@@ -189,7 +190,7 @@ per AS (
          {dd_dsum0('total_line_price')} AS revenue
   FROM sales GROUP BY fin_quarter, region_desc
 )
-SELECT fin_quarter, region_desc, revenue,
+SELECT fin_quarter, region_desc, CAST(revenue AS DOUBLE) AS revenue,
        CAST(revenue AS DOUBLE)
          / CAST(SUM(revenue) OVER (PARTITION BY fin_quarter) AS DOUBLE)
          AS share_of_quarter
@@ -259,8 +260,10 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_m",
             F.col("age").cast("bigint").alias("age"),
             "cohort_customers",
-            "cum_spend",
+            # decimal internally; DOUBLE at the output boundary (driver hash)
+            F.col("cum_spend").cast("double").alias("cum_spend"),
             # exact: decimal(38,6) * 1e6 is integral; bigint floor-div
+            # (computed from the exact decimal, not the double output)
             F.expr(
                 "CAST(cum_spend * 1000000 AS BIGINT) DIV cohort_customers"
             ).alias("ltv_per_customer_micros"),
@@ -290,7 +293,7 @@ COHORT_LTV_CURVE_SQL = f"""WITH per_order AS (
   FROM grid
 )
 SELECT c.cohort_m, CAST(c.age AS BIGINT) AS age, s.cohort_customers,
-       c.cum_spend,
+       CAST(c.cum_spend AS DOUBLE) AS cum_spend,
        CAST(c.cum_spend * 1000000 AS BIGINT) // s.cohort_customers
          AS ltv_per_customer_micros
 FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m"""
@@ -330,7 +333,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum("spend").alias("segment_spend"),
+        # decimal accumulation, DOUBLE at the output boundary (driver hash)
+        F.sum("spend").cast("double").alias("segment_spend"),
     )
 
 
@@ -352,7 +356,7 @@ CUSTOMER_RFM_SEGMENTS_SQL = f"""WITH rfm AS (
 )
 SELECT r_score, f_score, m_score,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       SUM(spend) AS segment_spend
+       CAST(SUM(spend) AS DOUBLE) AS segment_spend
 FROM scored GROUP BY r_score, f_score, m_score"""
 
 
@@ -385,8 +389,10 @@ def revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         "o_orderdate",
-        "day_revenue",
-        F.sum("day_revenue").over(w).alias("trailing_7d_revenue"),
+        F.col("day_revenue").cast("double").alias("day_revenue"),
+        F.sum("day_revenue").over(w).cast("double").alias(
+            "trailing_7d_revenue"
+        ),
         F.count(F.lit(1)).over(w).alias("n_days_in_frame"),
     )
 
@@ -401,8 +407,8 @@ REVENUE_TRAILING_7D_SQL = f"""WITH daily AS (
   SELECT o_orderdate, {dd_dsum0('o_totalprice')} AS day_revenue
   FROM orders GROUP BY o_orderdate
 )
-SELECT o_orderdate, day_revenue,
-  SUM(day_revenue) {_DD_7D_FRAME} AS trailing_7d_revenue,
+SELECT o_orderdate, CAST(day_revenue AS DOUBLE) AS day_revenue,
+  CAST(SUM(day_revenue) {_DD_7D_FRAME} AS DOUBLE) AS trailing_7d_revenue,
   CAST(COUNT(*) {_DD_7D_FRAME} AS BIGINT) AS n_days_in_frame
 FROM daily"""
 
@@ -432,7 +438,7 @@ def revenue_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.element_at(vals, (n / 2 + 1).cast("int")).cast("double")
     return daily.select(
         "day",
-        "day_revenue",
+        F.col("day_revenue").cast("double").alias("day_revenue"),
         F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0).alias(
             "rolling_median_7d"
         ),
@@ -444,7 +450,7 @@ REVENUE_ROLLING_MEDIAN_SQL = f"""WITH daily AS (
          {dd_dsum0('o_totalprice')} AS day_revenue
   FROM orders GROUP BY 1
 )
-SELECT day, day_revenue,
+SELECT day, CAST(day_revenue AS DOUBLE) AS day_revenue,
   CAST(median(CAST(day_revenue AS DOUBLE)) OVER (
     ORDER BY date_diff('day', DATE '1970-01-01', day)
     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
