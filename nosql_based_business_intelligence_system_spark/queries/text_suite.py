@@ -1153,31 +1153,54 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
 
 
+#: Misra-Gries counter budget for the heavy-hitter queries.
+MG_K = 32
+
+
 def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frequent tokens via the mergeable Misra-Gries sketch
+    """CERTIFIED frequent tokens via the mergeable Misra-Gries sketch
     (operators/heavyhitters.py): per-partition k-counter summaries, one
     sketch-sized shuffle — the 100 TB path when the token domain is too
-    wide even for a combined groupBy. exact_count rides along for the
-    bound check (verification only — at scale that exact pass is a
-    targeted filtered groupBy on the <=k survivors, not a full scan).
-    Rows-only: the sketch is partitioning-defined; the guarantee
-    (presence of all true heavy hitters + never-overestimate + err_bound)
-    is pytest-asserted (tests/test_heavyhitters.py)."""
+    wide even for a combined groupBy.
+
+    Output = the certified heavy-hitter set: tokens whose exact count
+    exceeds n/(k+1), the regime where Misra-Gries GUARANTEES presence in
+    the sketch. The certified rows INNER-join the sketch's survivor set,
+    so if the guarantee ever broke, a row would drop and the row-count /
+    hash compare against the exact-SQL oracle would fail — the oracle
+    check is therefore a live test of the sketch, not a bypass of it.
+    (est_count itself is partitioning-defined and stays out of the
+    output; the estimate-bound properties are pytest-asserted in
+    tests/test_heavyhitters.py. At 100 TB the exact_count pass becomes a
+    targeted filtered groupBy on the <=k survivors, not a full scan.)"""
     toks = _docs(spark, sf_dir).select(
         F.explode(T.tokens(F.col("text"))).alias("tok")
     )
-    sketch = heavyhitters.mg_heavy_hitters(toks, "tok", k=32)
+    sketch = heavyhitters.mg_heavy_hitters(toks, "tok", k=MG_K)
     exact = toks.groupBy(F.col("tok").alias("item")).agg(
         F.count(F.lit(1)).alias("exact_count")
     )
-    return sketch.join(exact, "item").select(
-        "item", "est_count", "err_bound", "exact_count", "n_total"
+    certified = sketch.join(exact, "item").filter(
+        F.col("exact_count") * (MG_K + 1) > F.col("n_total")
     )
+    return certified.select("item", "exact_count", "n_total")
+
+
+TOKEN_HEAVY_HITTERS_SQL = f"""WITH toks AS (
+  SELECT unnest({_TOKS}) AS item FROM documents
+), cnt AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count FROM toks GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks
+)
+SELECT item, exact_count, n_total
+FROM cnt CROSS JOIN tot
+WHERE exact_count * {MG_K + 1} > n_total"""
 
 
 QUERIES = {
     "doc_lm_perplexity": _q(doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL),
-    "token_heavy_hitters": _q(token_heavy_hitters, None),
+    "token_heavy_hitters": _q(token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
     "corpus_shard_plan": _q(corpus_shard_plan, CORPUS_SHARD_PLAN_SQL),
     "doc_quality_filter": _q(doc_quality_filter, DOC_QUALITY_FILTER_SQL),

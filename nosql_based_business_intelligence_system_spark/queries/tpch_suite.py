@@ -860,11 +860,20 @@ FROM base
 GROUP BY order_year"""
 
 
+#: PageRank hyperparameters shared by the Spark query and its SQL oracle.
+_PR_DAMPING = 0.85
+_PR_ITERS = 8
+
+
 def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier-nation -> customer-nation trade graph
     (one edge per line item, so multiplicity weights the walk by trade
-    volume). Iterative power method, checkpoint per round — rows-only
-    (float accumulation; reference parity in tests/test_pagerank.py)."""
+    volume). Iterative power method, checkpoint per round. Oracle: the
+    same fixed-iteration power method unrolled as a DuckDB CTE chain
+    (one dangling-mass + one inflow CTE per step, identical arithmetic
+    order); both sides round to 12 decimals — ~5 orders of magnitude
+    above the last-ulp accumulation drift and far below rank resolution
+    (reference parity vs numpy in tests/test_pagerank.py)."""
     from ..operators.pagerank import pagerank
 
     n1 = load_table(spark, sf_dir, "nation").select(
@@ -889,11 +898,77 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    ranks = pagerank(edges, n_iterations=8, weight="w")
+    ranks = pagerank(
+        edges, damping=_PR_DAMPING, n_iterations=_PR_ITERS, weight="w"
+    )
     # last-ulp float drift across runs (shuffle accumulation order) fails
     # the determinism gate at full-precision hashing; 12 decimals is ~5
     # orders of magnitude above the drift and far below rank resolution
     return ranks.select("node", F.round("rank", 12).alias("rank"))
+
+
+def _pagerank_oracle_sql(damping: float, n_iterations: int) -> str:
+    """Fixed-iteration weighted PageRank as a chained-CTE DuckDB program.
+
+    Mirrors operators/pagerank.py step for step — per iteration i:
+    ``dm{i}`` = rank mass on dangling nodes (no out-edges), ``pr{i}`` =
+    ``(1-d)/N + d * (inflow + dm/N)`` with
+    ``inflow(v) = SUM over edges u->v of rank(u) * w / out_w(u)`` — in the
+    same left-associative arithmetic order, so the only cross-engine delta
+    is float SUM accumulation order (absorbed by the final ROUND 12).
+
+    Every pr{{i}} is ``AS MATERIALIZED``: each is referenced twice (the
+    dangling-mass scalar and the inflow join), and DuckDB's default CTE
+    inlining would re-expand the whole chain per reference — 2^iters
+    blowup of the edge-building star join."""
+    d = damping
+    steps = []
+    for i in range(1, n_iterations + 1):
+        prev = f"pr{i - 1}"
+        steps.append(f""",
+dm{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(rank), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)
+),
+pr{i} AS MATERIALIZED (
+  SELECT n.node,
+         (1 - {d})/nn.cnt
+           + {d} * (COALESCE(inf.inflow, 0) + dm{i}.dm/nn.cnt) AS rank
+  FROM nodes n
+  CROSS JOIN nn CROSS JOIN dm{i}
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.rank * e.w / dg.deg) AS inflow
+    FROM edges e
+    JOIN {prev} p ON e.src = p.node
+    JOIN deg dg ON e.src = dg.src
+    GROUP BY e.dst
+  ) inf ON inf.node = n.node
+)""")
+    return (
+        """WITH edges AS MATERIALIZED (
+  SELECT sn.n_name AS src, cn.n_name AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  GROUP BY 1, 2
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes),
+deg AS MATERIALIZED (SELECT src, SUM(w) AS deg FROM edges GROUP BY 1),
+pr0 AS MATERIALIZED (
+  SELECT node, 1.0/nn.cnt AS rank FROM nodes CROSS JOIN nn)"""
+        + "".join(steps)
+        + f"""
+SELECT node, ROUND(rank, 12) AS rank FROM pr{n_iterations}"""
+    )
+
+
+NATION_TRADE_PAGERANK_SQL = _pagerank_oracle_sql(_PR_DAMPING, _PR_ITERS)
 
 
 # --- Q15-style: top supplier via window-max decorrelation --------------------
@@ -997,7 +1072,9 @@ JOIN customer ON o_custkey = c_custkey"""
 QUERIES = {
     "nation_trade_flows": _q(nation_trade_flows, NATION_TRADE_FLOWS_SQL),
     "nation_market_share": _q(nation_market_share, NATION_MARKET_SHARE_SQL),
-    "nation_trade_pagerank": _q(nation_trade_pagerank, None),
+    "nation_trade_pagerank": _q(
+        nation_trade_pagerank, NATION_TRADE_PAGERANK_SQL
+    ),
     "top_revenue_suppliers": _q(
         top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL
     ),
