@@ -307,6 +307,14 @@ def _nearest_cell(
     )
 
 
+#: Lloyd training points per centroid. FAISS trains IVF coarse quantizers
+#: on 39-256 points per centroid; the training sample is CAPPED at
+#: ``n_cells * IVF_TRAIN_PER_CELL`` rows no matter the corpus size, so
+#: quantizer training is O(1) in the corpus — the distributed work is one
+#: TakeOrdered pass to draw the sample.
+IVF_TRAIN_PER_CELL = 256
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -314,39 +322,52 @@ def ivf_assign(
     vec_col: str = "embedding",
     refine_iterations: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: deterministic hash-stratified seed centroids
-    refined by ``refine_iterations`` Lloyd steps, then each vector assigned
-    to its nearest centroid cell.
+    """IVF coarse quantizer: deterministic hash-ordered training sample,
+    Lloyd-refined centroids, then each corpus vector assigned to its
+    nearest centroid cell.
 
-    Seeds are the ``n_cells`` rows with the smallest md5(id) — a
-    deterministic pseudo-random spread over the corpus (the previous
-    lowest-id seeds clustered in insertion order and cost recall). Each
-    Lloyd step recomputes centroids as the element-wise mean of their
-    members: one posexplode + two grouped aggs — no UDF, no collect.
+    Training policy (PINNED — changing any of these changes results and
+    invalidates cross-round benchmarks): the training set is the
+    ``n_cells * IVF_TRAIN_PER_CELL`` corpus rows with the smallest
+    md5(id) — a deterministic pseudo-random draw (the md5 order is a
+    hash shuffle of the corpus, so the prefix is an unbiased sample; no
+    RNG, no seed parameter, identical on every run and partitioning),
+    planned as a lazy distributed TakeOrdered. Seeds are the first
+    ``n_cells`` rows of that same order; ``refine_iterations=1`` Lloyd
+    step by default recomputes each centroid as the element-wise mean of
+    its sampled members (empty cells keep their seed centroid). The
+    whole trainer stays LAZY — no collect, no checkpoint — so it
+    evaluates inside the consumer's broadcast exchange and identical
+    subtrees are deduped by ReuseExchange: the query runs as ONE job.
+    Round 2 ran Lloyd eagerly over the full corpus (checkpoint per
+    step), pricing each step at an extra assignment scan and a driver
+    sync (ann_ivf_topk 1.14s -> 1.98s at sf0.1); a capped sample is how
+    IVF quantizers are trained at scale (FAISS trains on 39-256 points
+    per centroid), and recall gates in tests/test_similarity.py are
+    unchanged.
 
-    Returns (assignments, centroids). At scale the assignment is one
-    broadcast join + argmin over K centroids; repartitioning the output by
-    ``cell`` colocates each cell for probe-time scans.
+    Returns (assignments, centroids). The assignment — the part that IS
+    corpus-sized — is one broadcast join + min_by argmin over K
+    centroids; repartitioning the output by ``cell`` colocates each
+    cell for probe-time scans.
     """
     c = corpus.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("v"))
     # orderBy+limit plans TakeOrderedAndProject (distributed top-k); the
-    # row_number window then runs on just the K seed rows.
-    seeds = (
+    # seed window then runs on just the K seed rows.
+    train = (
         c.withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h", id_col)
-        .limit(n_cells)
+        .limit(n_cells * IVF_TRAIN_PER_CELL)
     )
     wseed = Window.orderBy("__h", id_col)
-    # Checkpoint the K-row centroid table each round — without it every
-    # Lloyd step AND every downstream consumer re-executes the full
-    # training lineage (measured 2x+ on the registry queries).
-    centroids = seeds.select(
+    centroids = train.limit(n_cells).select(
         (F.row_number().over(wseed) - 1).alias("cell"),
         F.col("v").alias("centroid"),
-    ).localCheckpoint(eager=False)
+    )
+    tr = train.select(id_col, "v")
     for _ in range(max(refine_iterations, 0)):
-        members = _nearest_cell(c, centroids, id_col)
-        centroids = (
+        members = _nearest_cell(tr, centroids, id_col)
+        moved = (
             members.select("cell", F.posexplode("v").alias("pos", "x"))
             .groupBy("cell", "pos")
             .agg(F.avg("x").alias("m"))
@@ -355,9 +376,14 @@ def ivf_assign(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s.m,
-                ).alias("centroid")
+                ).alias("moved"),
             )
-        ).localCheckpoint(eager=False)
+        )
+        # a cell with no sampled members keeps its previous centroid
+        # (otherwise it would vanish from the K-row table)
+        centroids = centroids.join(moved, "cell", "left").select(
+            "cell", F.coalesce("moved", "centroid").alias("centroid")
+        )
     assignments = _nearest_cell(c, centroids, id_col)
     return assignments, centroids
 
