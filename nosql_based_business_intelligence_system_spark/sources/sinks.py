@@ -163,7 +163,10 @@ def write_excel_report(
     is xlsxwriter-gated (reference embeds matplotlib PNGs,
     Project.py:312-324).
 
-    ``charts`` maps sheet name -> (aggregated df, label_col, value_col).
+    ``charts`` maps sheet name -> (aggregated df, label_col, value_col) or
+    (df, label_col, value_col, kind) with kind "bar" (default) or "line"
+    — the reference report is one line chart (revenue trend,
+    Project.py:231-245) plus one bar chart (top products, :248-267).
     """
     try:
         import pandas as pd  # noqa: F401
@@ -174,13 +177,16 @@ def write_excel_report(
 
     import pandas as pd
 
-    from .charts import chart_png
+    from .charts import chart_png, line_chart_png
 
+    renderers = {"bar": chart_png, "line": line_chart_png}
     with pd.ExcelWriter(path, engine="xlsxwriter") as xw:
         for name, df in sheets.items():
             df.limit(10000).toPandas().to_excel(xw, sheet_name=name[:31], index=False)
-        for name, (df, label_col, value_col) in (charts or {}).items():
-            png = chart_png(df, label_col, value_col)
+        for name, spec in (charts or {}).items():
+            df, label_col, value_col = spec[:3]
+            kind = spec[3] if len(spec) > 3 else "bar"
+            png = renderers[kind](df, label_col, value_col)
             ws = xw.book.add_worksheet(name[:31])
             ws.insert_image(
                 "B2", f"{name}.png", {"image_data": io.BytesIO(png)}

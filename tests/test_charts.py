@@ -51,6 +51,60 @@ def test_bar_chart_pixels_match_values():
     assert any(px[h - 5][x] == charts.AXIS_RGB for x in range(w))  # x axis drawn
 
 
+def test_line_chart_pixels_match_values():
+    vals = [0.0, 1.0, 0.5, 1.0]
+    png = charts.render_line_chart_png(
+        vals, width=64, height=48, margin=4, marker_radius=1
+    )
+    w, h, px = _decode_png(png)
+    assert (w, h) == (64, 48)
+    line_cols = {
+        x: [y for y in range(h) if px[y][x] == charts.BAR_RGB]
+        for x in range(w)
+    }
+    line_cols = {x: ys for x, ys in line_cols.items() if ys}
+    assert line_cols, "no line rendered"
+    # the polyline is horizontally continuous between first and last point
+    xs = sorted(line_cols)
+    assert xs == list(range(xs[0], xs[-1] + 1)), "gap in polyline"
+    # peaks (1.0) reach higher (smaller y) than the valley (0.5); the
+    # peak points sit near the plot top, the 0.0 start near the baseline
+    top_y = min(min(ys) for ys in line_cols.values())
+    start_y = max(line_cols[xs[0]])
+    assert top_y < h // 2 < start_y
+    # markers thicken the line at the data points: some column must have
+    # a >=3-pixel vertical run (marker_radius=1 -> 3x3 square)
+    assert any(len(ys) >= 3 for ys in line_cols.values())
+    assert any(px[h - 5][x] == charts.AXIS_RGB for x in range(w))  # x axis
+
+
+def test_line_chart_single_point_and_empty():
+    png = charts.render_line_chart_png([2.0], width=32, height=32, margin=4)
+    w, h, px = _decode_png(png)
+    assert any(
+        px[y][x] == charts.BAR_RGB for y in range(h) for x in range(w)
+    ), "single-point marker missing"
+    with pytest.raises(ValueError, match="at least one value"):
+        charts.render_line_chart_png([])
+
+
+def test_line_chart_png_over_a1_aggregate(spark, sf_smoke):
+    from nosql_based_business_intelligence_system_spark.queries import QUERIES
+
+    monthly = QUERIES["sales_by_fiscal_month"].fn(spark, sf_smoke)
+    png = charts.line_chart_png(monthly, "fin_month_label", "revenue")
+    w, h, _ = _decode_png(png)
+    assert (w, h) == (640, 320)
+
+
+def test_line_chart_png_rejects_fact_table(spark, sf_smoke):
+    from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    with pytest.raises(ValueError, match="aggregate in Spark"):
+        charts.line_chart_png(li, "l_orderkey", "l_extendedprice")
+
+
 def test_chart_png_over_a1_aggregate(spark, sf_smoke):
     from nosql_based_business_intelligence_system_spark.queries import QUERIES
 
