@@ -60,9 +60,21 @@ def name_dictionary(
 
 
 #: Blocking passes: pass label -> key expression over the normalized name.
+#:
+#: first/last token cover multi-token names (a typo in one token leaves
+#: the other token's key intact). For SINGLE-token names both token keys
+#: collapse to the whole name, so any typo would change both — the
+#: prefix/suffix passes close that hole: a single edit at position p
+#: leaves the 4-char prefix intact when p > 4 and the 4-char suffix
+#: intact when p <= len-4, so names of >= 8 chars always keep at least
+#: one stable key under one edit. Residual recall limits (documented,
+#: not silent): single-token names shorter than 8 chars with an edit in
+#: the overlap zone, and >= 2 edits that straddle both ends.
 _BLOCK_PASSES = {
     "first_token": lambda name: F.split(name, " ").getItem(0),
     "last_token": lambda name: F.element_at(F.split(name, " "), -1),
+    "prefix4": lambda name: F.left(name, F.lit(4)),
+    "suffix4": lambda name: F.right(name, F.lit(4)),
 }
 
 
@@ -81,9 +93,12 @@ def fuzzy_name_pairs(
     the final distinct. ``rows_a``/``rows_b`` carry how many fact rows each
     spelling covers — the resolution decision ("which spelling wins") needs
     the frequencies, and carrying them here avoids a join-back.
-    """
-    from pyspark.storagelevel import StorageLevel
 
+    The prefix/suffix passes key on only 4 chars, so block sizes grow with
+    corpus size — at scale pass ``max_names_per_block`` to cap the O(b^2)
+    within-block comparison (the cap drops oversized blocks from those
+    passes only; token passes still cover their names).
+    """
     names = name_dictionary(df, name_col, id_col)
     keyed = None
     for tag, key_fn in _BLOCK_PASSES.items():
@@ -106,7 +121,10 @@ def fuzzy_name_pairs(
             )
             .drop("__bn")
         )
-    keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    # No persist: the self-join's two sides are the identical subplan
+    # exchanged on the same keys, so Catalyst reuses one shuffle
+    # (ReusedExchange, asserted in tests) — caching here would only leak
+    # storage across a long session since the caller owns materialization.
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(

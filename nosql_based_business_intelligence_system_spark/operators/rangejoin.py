@@ -181,11 +181,22 @@ def interval_overlap_join(
     pair exactly once with no distinct pass. Cost stays one shuffle per
     side on (key, bin); the same ``max_bins_per_interval`` guard raises on
     mis-sized bins instead of silently exploding.
+
+    Rows whose interval is inverted (``end < start``) are dropped on both
+    sides — an inverted interval overlaps nothing under the closed-bound
+    definition, so the drop is the semantics, not data loss; pre-validate
+    upstream if inverted intervals should be an error.
     """
     keys = [on] if isinstance(on, str) else list(on or [])
     for k in keys:
         if k not in left.columns or k not in right.columns:
             raise ValueError(f"join key {k!r} missing from one side")
+    if right_start in keys or right_end in keys:
+        raise ValueError(
+            "right_start/right_end cannot also be join keys in `on` — "
+            "key-equality on an interval bound degenerates the overlap "
+            "test; join on a separate key column instead"
+        )
     taken = set(left.columns)
     ren = {
         c: (c if c not in taken else f"{c}{suffix}")

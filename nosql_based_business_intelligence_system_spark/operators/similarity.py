@@ -577,6 +577,12 @@ def pq_train_encode(
     Scale shape: training is groupBy (j, code, pos) averages over the
     exploded corpus — partial aggregation applies; encoding is a broadcast
     join + per-(id, j) argmin. No UDF, no collect, no per-subspace jobs.
+
+    The subvector table is persisted and stays cached while the returned
+    lazy ``codes``/``codebooks`` are alive (they reference it; every
+    Lloyd round and the final encode reuse it). Long-lived drivers that
+    train many PQ indexes should ``spark.catalog.clearCache()`` between
+    trainings.
     """
     from pyspark.storagelevel import StorageLevel
 

@@ -20,8 +20,9 @@ _MAX_DIST = 3
 
 
 def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical part-name pairs (edit distance <= 3) from two-pass
-    token blocking — never an all-pairs comparison."""
+    """Near-identical part-name pairs (edit distance <= 3) from four-pass
+    blocking (tokens + 4-char prefix/suffix) — never an all-pairs
+    comparison."""
     part = load_table(spark, sf_dir, "part")
     return entity.fuzzy_name_pairs(
         part, "p_name", "p_partkey", max_distance=_MAX_DIST
@@ -29,7 +30,8 @@ def part_name_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The oracle mirrors the operator stage-for-stage: dictionary collapse,
-# two blocking passes (first/last token), levenshtein verify.
+# four blocking passes (first/last token, 4-char prefix/suffix),
+# levenshtein verify.
 _NAMES_CTE = """names AS (
   SELECT regexp_replace(lower(trim(p_name)), '\\s+', ' ', 'g') AS name,
          MIN(p_partkey) AS rep_id,
@@ -46,7 +48,9 @@ _PAIRS_CTE = f"""{_NAMES_CTE}, pairs AS (
     ON a.name < b.name
    AND (split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
      OR list_extract(string_split(a.name, ' '), -1)
-        = list_extract(string_split(b.name, ' '), -1))
+        = list_extract(string_split(b.name, ' '), -1)
+     OR left(a.name, 4) = left(b.name, 4)
+     OR right(a.name, 4) = right(b.name, 4))
   WHERE levenshtein(a.name, b.name) <= {_MAX_DIST}
 )"""
 

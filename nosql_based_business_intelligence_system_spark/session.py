@@ -86,9 +86,10 @@ def tune_for_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
-#: SparkContexts the package zip has been shipped to (id-keyed; a context
-#: outliving this module's lifetime only costs a re-ship).
-_SHIPPED: set[int] = set()
+#: Spark applicationIds the package zip has been shipped to. Keyed by
+#: applicationId, not ``id(sc)`` — id() values recycle after a context is
+#: GC'd, which could silently skip shipping to a fresh context.
+_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -106,23 +107,39 @@ def _ship_package(spark: SparkSession) -> None:
     import zipfile
 
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
+    sources = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fname in files:
+            if fname.endswith(".py"):
+                sources.append(os.path.join(root, fname))
     zpath = os.path.join(
         tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
     )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fname in files:
-                    if not fname.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fname)
-                    rel = os.path.join(
-                        pkg_name, os.path.relpath(full, pkg_dir)
-                    )
-                    zf.write(full, rel)
+    # Rebuild whenever any source is newer than the zip — a recycled pid
+    # (or an edited source in a long-lived process) must not ship stale
+    # code to executors. Write-then-rename keeps the publish atomic so a
+    # concurrent session never addPyFiles a half-written zip.
+    newest_src = max(os.path.getmtime(p) for p in sources)
+    stale = (
+        not os.path.exists(zpath)
+        or os.path.getmtime(zpath) <= newest_src
+    )
+    if stale:
+        fd, tmp = tempfile.mkstemp(
+            suffix=".zip", dir=tempfile.gettempdir()
+        )
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full in sorted(sources):
+                rel = os.path.join(
+                    pkg_name, os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(app_id)

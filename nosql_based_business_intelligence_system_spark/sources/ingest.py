@@ -164,6 +164,10 @@ def ingest_csv_quarantine(
     required, not an optimization: Spark disallows referencing only the
     internal corrupt-record column of an unpersisted CSV scan
     (SPARK-26108), and it also guarantees both halves see the same parse.
+    The cached scan stays registered for the session (both returned
+    frames reference it, so this function cannot unpersist it); a
+    long-lived driver that ingests many files should
+    ``spark.catalog.clearCache()`` between batches.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 

@@ -113,3 +113,54 @@ def test_single_token_typos_always_found_property(spark):
         assert pairs.get(key) == 1
 
     prop()
+
+
+def test_single_token_typo_found_via_prefix_suffix_blocking(spark):
+    """Property: for SINGLE-token names of >= 8 chars, one substitution
+    leaves either the 4-char prefix (edit position > 4) or the 4-char
+    suffix (edit position <= len-4) intact — the prefix4/suffix4 passes
+    must surface the pair that token blocking alone cannot (both token
+    keys collapse to the whole name)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import Row
+
+    word = st.text(alphabet="abcdef", min_size=8, max_size=12)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        name=word,
+        pos_frac=st.floats(min_value=0.0, max_value=1.0),
+        ch=st.sampled_from("xyz"),  # disjoint alphabet: distance exactly 1
+    )
+    def prop(name, pos_frac, ch):
+        pos = min(int(pos_frac * len(name)), len(name) - 1)
+        typo = f"{name[:pos]}{ch}{name[pos + 1:]}"
+        df = spark.createDataFrame(
+            [Row(id=1, name=name), Row(id=2, name=typo)]
+        )
+        pairs = {
+            (r.name_a, r.name_b): r.edit_distance
+            for r in entity.fuzzy_name_pairs(
+                df, "name", "id", max_distance=1
+            ).collect()
+        }
+        assert pairs.get(tuple(sorted([name, typo]))) == 1
+
+    prop()
+
+
+def test_pairs_self_join_holds_no_cache(spark):
+    """The blocking self-join must NOT cache (a persist here once leaked
+    storage across long sessions: nothing ever unpersisted it). Both
+    sides are the identical subplan, so Catalyst's exchange/stage reuse
+    covers the recompute concern without pinning blocks."""
+    from nosql_based_business_intelligence_system_spark.plans import inspect as I
+
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = entity.fuzzy_name_pairs(_df(spark), "name", "id", max_distance=1)
+    out.collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after == before  # no new pinned blocks
+    assert "InMemoryTableScan" not in I.explain_str(out, "formatted")

@@ -222,3 +222,22 @@ def test_interval_overlap_join_is_equi_join(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_interval_overlap_join_rejects_bound_as_key(spark):
+    """Passing an interval bound as a join key must raise an explicit
+    ValueError, not a KeyError from the rename-map lookup."""
+    df = spark.createDataFrame(
+        [Row(k=1, s="2024-01-01 00:00:00", e="2024-01-01 01:00:00")]
+    ).select(
+        "k",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    with pytest.raises(ValueError, match="join keys"):
+        interval_overlap_join(
+            df, df,
+            left_start="s", left_end="e",
+            right_start="s", right_end="e",
+            on=["k", "s"],
+        )
