@@ -335,55 +335,71 @@ def ivf_assign(
     planned as a lazy distributed TakeOrdered. Seeds are the first
     ``n_cells`` rows of that same order; ``refine_iterations=1`` Lloyd
     step by default recomputes each centroid as the element-wise mean of
-    its sampled members (empty cells keep their seed centroid). The
-    whole trainer stays LAZY — no collect, no checkpoint — so it
-    evaluates inside the consumer's broadcast exchange and identical
-    subtrees are deduped by ReuseExchange: the query runs as ONE job.
-    Round 2 ran Lloyd eagerly over the full corpus (checkpoint per
-    step), pricing each step at an extra assignment scan and a driver
-    sync (ann_ivf_topk 1.14s -> 1.98s at sf0.1); a capped sample is how
-    IVF quantizers are trained at scale (FAISS trains on 39-256 points
-    per centroid), and recall gates in tests/test_similarity.py are
-    unchanged.
+    its sampled members (empty cells keep their seed centroid).
+
+    Training runs DRIVER-SIDE over the bounded sample, FAISS-style: the
+    distributed work is one TakeOrdered pass that draws the capped
+    sample (<= n_cells * IVF_TRAIN_PER_CELL rows, corpus-independent);
+    Lloyd refinement is then numpy on the driver and the resulting
+    K-row model is emitted as a local relation, so every downstream
+    broadcast is a LocalTableScan. The two rejected alternatives both
+    measured slower and scale no better: a fully lazy Spark trainer
+    re-evaluates the sample + Lloyd lineage once per consumer (probe
+    broadcast AND assignment broadcast), and an eager Spark-side Lloyd
+    schedules ~10 tiny stages to average a few thousand rows. Collecting
+    a bounded training sample to train a broadcastable model is exactly
+    what a 1000-executor job does (FAISS trains its coarse quantizer on
+    39-256 points per centroid).
 
     Returns (assignments, centroids). The assignment — the part that IS
     corpus-sized — is one broadcast join + min_by argmin over K
     centroids; repartitioning the output by ``cell`` colocates each
     cell for probe-time scans.
     """
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
     c = corpus.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("v"))
-    # orderBy+limit plans TakeOrderedAndProject (distributed top-k); the
-    # seed window then runs on just the K seed rows.
-    train = (
+    # orderBy+limit plans TakeOrderedAndProject (distributed top-k) — ONE
+    # Spark job draws the bounded sample; Lloyd then runs driver-side in
+    # numpy over <= n_cells * IVF_TRAIN_PER_CELL rows (a Spark-side Lloyd
+    # loop schedules ~10 tiny stages for the same bounded arithmetic).
+    sample = (
         c.withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h", id_col)
         .limit(n_cells * IVF_TRAIN_PER_CELL)
+        .select("v")
+        .collect()
     )
-    wseed = Window.orderBy("__h", id_col)
-    centroids = train.limit(n_cells).select(
-        (F.row_number().over(wseed) - 1).alias("cell"),
-        F.col("v").alias("centroid"),
-    )
-    tr = train.select(id_col, "v")
+    X = np.array([r.v for r in sample], dtype=np.float64)
+    # Seeds: the first n_cells rows of the hash order (pinned policy).
+    cent = X[: min(n_cells, len(X))].copy()
     for _ in range(max(refine_iterations, 0)):
-        members = _nearest_cell(tr, centroids, id_col)
-        moved = (
-            members.select("cell", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s.m,
-                ).alias("moved"),
-            )
-        )
-        # a cell with no sampled members keeps its previous centroid
-        # (otherwise it would vanish from the K-row table)
-        centroids = centroids.join(moved, "cell", "left").select(
-            "cell", F.coalesce("moved", "centroid").alias("centroid")
-        )
+        # squared distance is argmin-equivalent to euclidean; argmin's
+        # first-occurrence tie-break matches min_by(struct(dist, cell))
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for cell in range(len(cent)):
+            members = X[assign == cell]
+            # a cell with no sampled members keeps its previous centroid
+            if len(members):
+                cent[cell] = members.mean(axis=0)
+    schema = StructType(
+        [
+            StructField("cell", IntegerType(), False),
+            StructField("centroid", ArrayType(DoubleType(), True), True),
+        ]
+    )
+    centroids = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
+        schema=schema,
+    )
     assignments = _nearest_cell(c, centroids, id_col)
     return assignments, centroids
 
@@ -457,15 +473,29 @@ def semantic_dedup_pairs(
     assignments, _ = ivf_assign(
         corpus, n_cells, id_col, vec_col, refine_iterations
     )
+    # Normalize ONCE per row before the self-join: higher-order array
+    # expressions don't whole-stage-codegen, so cosine-per-pair (two
+    # norms + a dot = 3 interpreted O(dim) loops per PAIR) prices the
+    # |cell|^2 stage 3x higher than dot-of-unit-vectors. O(n) norms
+    # beat O(pairs) norms. The norm is materialized in its own column
+    # first — referencing it inside the transform lambda would
+    # re-evaluate the aggregate per element.
+    assignments = (
+        assignments.withColumn("__nrm", V.norm(F.col("v")))
+        .withColumn(
+            "nv", F.transform("v", lambda x: x / F.col("__nrm"))
+        )
+        .select(id_col, "cell", "nv")
+    )
     # Both sides of the self-join consume `assignments` — checkpoint so
     # the cluster step runs once (persist-before-self-join discipline,
     # same as dedup.ngram_jaccard_dupes).
     assignments = assignments.localCheckpoint(eager=False)
     a = assignments.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col("v").alias("va")
+        F.col("cell"), F.col(id_col).alias("id_a"), F.col("nv").alias("va")
     )
     b = assignments.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col("v").alias("vb")
+        F.col("cell"), F.col(id_col).alias("id_b"), F.col("nv").alias("vb")
     )
     return (
         a.join(b, "cell")
@@ -474,7 +504,7 @@ def semantic_dedup_pairs(
             "cell",
             "id_a",
             "id_b",
-            V.cosine(F.col("va"), F.col("vb")).alias("score"),
+            V.dot(F.col("va"), F.col("vb")).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
