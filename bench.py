@@ -77,8 +77,16 @@ def main() -> None:
         for wq in (
             "sales_by_fiscal_month",   # fiscal exprs + star join + agg
             "monthly_revenue_gapfilled",  # sequence/window codegen
+            "monthly_revenue_running",  # running-window frame codegen
             "summary_stats",           # decimal aggregate codegen
             "doc_text_stats",          # text expression family
+            "doc_lm_perplexity",       # n-gram count/join family
+            "token_heavy_hitters",     # sketch mapInPandas + merge
+            "dedup_minhash",           # xxhash shingle/band family
+            "ann_ivf_topk",            # vector exprs + local-relation model
+            "part_name_entities",      # levenshtein + iterative closure
+            "distinct_count_sketches",  # HLL/theta sketch aggregates
+            "mongo_region_quarter_revenue",  # pipeline-frontend plans
         ):
             QUERIES[wq].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
