@@ -71,7 +71,13 @@ def main() -> None:
     # numbers measure execution, not first-touch Janino codegen (the
     # generated code is schema-keyed, so sf0.001 plans warm the same cache
     # entries the timed sf0.1 plans hit).
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
     warm_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir):
         for wq in (

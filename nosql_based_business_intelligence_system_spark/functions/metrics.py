@@ -53,19 +53,23 @@ def with_sales_metrics(
     price: str = "total_line_price",
     qty: str = "quantity",
     last_cost: str = "last_cost",
+    with_cost: bool = True,
 ) -> DataFrame:
-    """Add asp/cogs/gross_margin/gm_pct + quality flags in one projection."""
-    p, q, lc = F.col(price), F.col(qty), F.col(last_cost)
-    c = cogs(lc, q)
-    gm = gross_margin(p, c)
-    out = df.withColumns(
-        {
-            "asp": asp(p, q),
-            "cogs": c,
-            "gross_margin": gm,
-            "gm_pct": gm_pct(gm, p),
-        }
-    )
+    """Add asp/cogs/gross_margin/gm_pct + quality flags in one projection.
+
+    ``with_cost=False`` adds only the cost-free metrics (asp + flags) —
+    for star slices that eliminated the part join and so carry no
+    ``last_cost`` column.
+    """
+    p, q = F.col(price), F.col(qty)
+    out = df.withColumn("asp", asp(p, q))
+    if with_cost:
+        lc = F.col(last_cost)
+        c = cogs(lc, q)
+        gm = gross_margin(p, c)
+        out = out.withColumns(
+            {"cogs": c, "gross_margin": gm, "gm_pct": gm_pct(gm, p)}
+        )
     return out.withColumns(quality_flags(p, q))
 
 

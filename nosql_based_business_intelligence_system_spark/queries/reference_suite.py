@@ -28,7 +28,7 @@ def sales_by_fiscal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is a post-aggregation projection.
     """
     return (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"fin_month_label", "total_line_price", "gross_margin"})
         .groupBy("fin_month_label")
         .agg(
             sum0(F.col("total_line_price")).alias("revenue"),
@@ -81,7 +81,7 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark plans TakeOrderedAndProject — true top-k, no full sort.
     """
     return (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"product_desc", "total_line_price"})
         .groupBy("product_desc")
         .agg(sum0(F.col("total_line_price")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("product_desc"))
@@ -110,7 +110,7 @@ FROM (
 def sales_by_region_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project.py:211-217 — 3-key grouped sums (month x region x brand)."""
     return (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"fin_month_label", "region_desc", "brand_desc", "quantity", "total_line_price"})
         .groupBy("fin_month_label", "region_desc", "brand_desc")
         .agg(
             sum0(F.col("total_line_price")).alias("revenue"),
@@ -183,7 +183,7 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in partial-agg order and hash-diverges from any sequential oracle in the
     last ulp; decimal addition is exact, so the result is order-independent.
     """
-    return enriched_sales(spark, sf_dir).agg(
+    return enriched_sales(spark, sf_dir, columns={"event_date", "fin_month_label", "total_line_price"}).agg(
         F.count(F.lit(1)).alias("row_count"),
         F.min("event_date").alias("min_date"),
         F.max("event_date").alias("max_date"),
@@ -207,7 +207,7 @@ FROM sales"""
 
 def quality_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project.py:407-410 — count of rows tripping each quality flag."""
-    return enriched_sales(spark, sf_dir).agg(
+    return enriched_sales(spark, sf_dir, columns={"flag_negative_qty", "flag_negative_price", "flag_zero_price_nonzero_qty"}).agg(
         F.sum(F.col("flag_negative_qty").cast("bigint")).alias("n_negative_qty"),
         F.sum(F.col("flag_negative_price").cast("bigint")).alias("n_negative_price"),
         F.sum(F.col("flag_zero_price_nonzero_qty").cast("bigint")).alias(
@@ -238,7 +238,7 @@ FROM sales"""
 
 def line_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """asp/cogs/gross_margin/gm_pct verified row-by-row (Project.py:128-144)."""
-    return enriched_sales(spark, sf_dir).select(
+    return enriched_sales(spark, sf_dir, columns={"doc_number", "line_number", "quantity", "total_line_price", "asp", "cogs", "gross_margin", "gm_pct"}).select(
         "doc_number",
         "line_number",
         "quantity",
@@ -320,7 +320,7 @@ def monthly_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently skips empty months). sequence() generates the month spine;
     the sparse aggregate left-joins onto it."""
     monthly = (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"fin_month_label", "total_line_price"})
         .groupBy("fin_month_label")
         .agg(sum0(F.col("total_line_price")).alias("revenue"))
     )
@@ -374,7 +374,7 @@ def sales_by_fiscal_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     Project.py:371,391 but never computed; week semantics in
     functions.fiscal.fiscal_columns)."""
     return (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"fin_week_label", "quantity", "total_line_price"})
         .groupBy("fin_week_label")
         .agg(
             sum0(F.col("total_line_price")).alias("revenue"),

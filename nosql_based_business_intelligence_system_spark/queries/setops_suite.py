@@ -104,7 +104,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((region), (brand), ()) in one shuffle — issued via
     the ``spark.sql`` surface over a registered view of the enriched sales
     plan (same Catalyst plan as the DataFrame API would build)."""
-    enriched_sales(spark, sf_dir).createOrReplaceTempView("sales_gs")
+    enriched_sales(spark, sf_dir, columns={"region_desc", "brand_desc", "total_line_price"}).createOrReplaceTempView("sales_gs")
     return spark.sql(
         """
         SELECT region_desc, brand_desc,

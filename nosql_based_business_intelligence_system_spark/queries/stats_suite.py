@@ -31,7 +31,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP (region, brand): per-brand, per-region subtotals and grand
     total in one pass — Spark expands grouping sets in a single shuffle."""
     return (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"region_desc", "brand_desc", "total_line_price"})
         .rollup("region_desc", "brand_desc")
         .agg(
             F.sum("total_line_price").alias("revenue"),
@@ -71,7 +71,7 @@ def region_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Q1..Q4). Fixed pivot values keep the plan single-pass (no distinct
     pre-scan) and the schema stable — required at scale and for the oracle.
     """
-    base = enriched_sales(spark, sf_dir).withColumn(
+    base = enriched_sales(spark, sf_dir, columns={"region_desc", "fin_month_num", "total_line_price"}).withColumn(
         "qnum",
         (F.floor((F.col("fin_month_num") - F.lit(1)) / F.lit(3)) + F.lit(1)).cast("int"),
     )

@@ -34,7 +34,7 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical exact decimals is deterministic on both sides.
     """
     monthly = (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"fin_month_label", "total_line_price"})
         .groupBy("fin_month_label")
         .agg(dsum0(F.col("total_line_price")).alias("revenue"))
     )
@@ -74,7 +74,7 @@ FROM monthly"""
 def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-month trailing moving average of fiscal-month revenue."""
     monthly = (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"fin_month_label", "total_line_price"})
         .groupBy("fin_month_label")
         .agg(sum0(F.col("total_line_price")).alias("revenue"))
     )
@@ -98,7 +98,7 @@ FROM monthly"""
 def top_products_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank() per region partition; keep top-3 with deterministic tiebreak."""
     per = (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"product_desc", "region_desc", "total_line_price"})
         .groupBy("region_desc", "product_desc")
         .agg(sum0(F.col("total_line_price")).alias("revenue"))
     )
@@ -166,7 +166,7 @@ def quarter_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each region's share of total revenue within its fiscal quarter —
     window aggregate (sum over partition) against grouped data."""
     per = (
-        enriched_sales(spark, sf_dir)
+        enriched_sales(spark, sf_dir, columns={"region_desc", "fin_quarter", "total_line_price"})
         .groupBy("fin_quarter", "region_desc")
         .agg(dsum0(F.col("total_line_price")).alias("revenue"))
     )

@@ -22,8 +22,10 @@ def test_filters_push_to_scan(spark):
 
 
 def test_scan_only_needed_columns(spark):
+    # post join-elimination: top_products needs no orders join, so even
+    # l_orderkey drops out of the lineitem scan
     cols = I.scan_schema_columns(_df(spark, "top_products"), "lineitem")
-    assert set(cols) == {"l_orderkey", "l_partkey", "l_extendedprice"}
+    assert set(cols) == {"l_partkey", "l_extendedprice"}
     cols = I.scan_schema_columns(_df(spark, "revenue_forecast"), "lineitem")
     assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
 
@@ -150,3 +152,25 @@ def test_span_dedup_census_no_self_join(spark):
     plan = I.explain_str(_df(spark, "span_dedup_docs"), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_join_elimination(spark):
+    """enriched_sales(columns=...) must build ONLY the dim joins that
+    supply requested columns (informational-FK join elimination — sound
+    because every star edge is N:1 with star_fk_integrity-verified RI).
+    The full-join DuckDB oracle hashes prove result equivalence; this
+    pins the plan side: eliminated dims must not be scanned."""
+    plan = I.explain_str(_df(spark, "summary_stats"), "formatted")
+    # summary_stats requests no dim columns: lineitem is the only parquet
+    for t in ("orders", "customer", "nation", "region", "part"):
+        assert f"{t}.parquet" not in plan, t
+    # sales_by_fiscal_month needs gross_margin -> part, but no customer chain
+    plan = I.explain_str(_df(spark, "sales_by_fiscal_month"), "formatted")
+    assert "part.parquet" in plan
+    for t in ("orders", "customer", "nation", "region"):
+        assert f"{t}.parquet" not in plan, t
+    # region consumers keep the full key chain
+    plan = I.explain_str(_df(spark, "quarter_revenue_share"), "formatted")
+    for t in ("orders", "customer", "nation", "region"):
+        assert f"{t}.parquet" in plan, t
+    assert "part.parquet" not in plan

@@ -18,7 +18,10 @@ DEFAULT_SF = "/root/testdata/sf0.01"
 
 #: name -> one-line note on what the plan should show
 FLAGSHIPS = {
-    "sales_by_fiscal_month": "fiscal exprs codegen'd; dims broadcast; ONE agg shuffle",
+    "sales_by_fiscal_month": (
+        "fiscal cols via broadcast calendar-dim probe; dims broadcast; "
+        "ONE agg shuffle"
+    ),
     "sales_by_fiscal_week": "same spine, week-grain grouping",
     "top_products": "TakeOrderedAndProject (no global sort)",
     "regional_revenue": "5-way star join, dims broadcast",
