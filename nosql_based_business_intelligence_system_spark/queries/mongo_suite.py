@@ -32,7 +32,21 @@ REGION_QUARTER_PIPELINE = [
 
 
 def mongo_region_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mongo_pipeline(enriched_sales(spark, sf_dir), REGION_QUARTER_PIPELINE)
+    # columns= mirrors exactly the fields the pipeline references —
+    # join elimination applies to the Mongo frontend like any consumer
+    return mongo_pipeline(
+        enriched_sales(
+            spark,
+            sf_dir,
+            columns={
+                "region_desc",
+                "fin_quarter",
+                "quantity",
+                "total_line_price",
+            },
+        ),
+        REGION_QUARTER_PIPELINE,
+    )
 
 
 _IN = ", ".join(f"'{r}'" for r in REGIONS)
