@@ -266,6 +266,11 @@ def minhash_lsh_dupes(
             )
         ).alias("bk"),
     ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # materialize-before-self-join (same discipline as semantic_dedup_pairs
+    # and ngram_jaccard): both join sides consume `banded`, and without the
+    # checkpoint the shingle -> signature lineage executes once per side
+    # (measured ~1s of the 2.4s sf0.1 query)
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
