@@ -9,17 +9,21 @@ ratio to shift the corpus toward the target domain.
 Spark shape (everything is counts + joins; the corpus is scanned once per
 count table):
 
-1. hash every token n-gram into ``n_buckets`` (xxhash64 — stable across
-   partitionings) for target docs and for the full raw corpus;
+1. hash every token n-gram into ``n_buckets`` via an md5-derived bucket
+   (:func:`hash_bucket` — stable across partitionings AND across engines,
+   so the whole model has a DuckDB twin; xxhash64 is marginally cheaper
+   per gram but not portable, and bucketing is not the dominant cost);
 2. two grouped counts -> (bucket, c_target), (bucket, c_raw) — these are
    the "models", n_buckets rows each, broadcastable;
 3. per doc: explode its hashed n-grams, join the two count tables on the
    bucket key, sum ``log(p_target(b)) - log(p_raw(b))`` with add-one
    smoothing — one groupBy per doc id.
 
-Scores are floats through ``ln`` (libm output differs across engines at
-the last ulp), so registry entries verify rows-only; exact parity with a
-pure-Python reference model is pytest-proven instead.
+Scores run through ``ln`` (libm differs across engines at the last ulp),
+so oracle-compared outputs round ``logw`` identically on both sides
+(``round_digits``, same discipline as the LM-perplexity suite); exact
+model parity against a pure-Python reference is additionally
+pytest-proven at full precision.
 """
 
 from __future__ import annotations
@@ -28,6 +32,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+
+
+def hash_bucket(g: Column, n_buckets: int) -> Column:
+    """Engine-portable n-gram bucket: the first 15 hex chars of md5 (60
+    bits, bigint-safe) mod ``n_buckets``. Identical in DuckDB as
+    :func:`dd_hash_bucket` — verified byte-for-byte including unicode and
+    empty strings."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+
+
+def dd_hash_bucket(g: str, n_buckets: int) -> str:
+    """DuckDB twin of :func:`hash_bucket`."""
+    return f"((('0x' || substr(md5({g}), 1, 15))::BIGINT) % {n_buckets})"
 
 
 def _hashed_ngrams(
@@ -41,9 +61,7 @@ def _hashed_ngrams(
         if n > 1
         else toks
     )
-    return F.transform(
-        grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
-    )
+    return F.transform(grams, lambda g: hash_bucket(g, n_buckets))
 
 
 def ngram_count_model(
@@ -71,8 +89,11 @@ def importance_weights(
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int = 1 << 16,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Per-doc DSIR log importance weight: (id, n_grams, logw).
+    ``round_digits`` rounds logw (oracle comparisons round identically on
+    both engines; default None keeps full precision).
 
     ``logw = sum over doc n-grams of [log p_t(b) - log p_r(b)]`` with
     add-one smoothing over the bucket vocabulary; docs with no n-grams get
@@ -111,7 +132,7 @@ def importance_weights(
         - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
         + F.log(F.col("nr") + float(n_buckets))
     )
-    return (
+    out = (
         per_gram.crossJoin(F.broadcast(t_total))
         .crossJoin(F.broadcast(r_total))
         .groupBy(id_col)
@@ -123,6 +144,9 @@ def importance_weights(
             ).alias("logw"),
         )
     )
+    if round_digits is not None:
+        out = out.withColumn("logw", F.round("logw", round_digits))
+    return out
 
 
 def importance_resample(
@@ -133,6 +157,7 @@ def importance_resample(
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int = 1 << 16,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Top-``fraction`` of raw docs by importance weight (deterministic
     rank cutoff, ties broken on id — the paper's Gumbel-noise sampling is
@@ -140,9 +165,14 @@ def importance_resample(
     Returns the surviving (id, n_grams, logw) rows.
 
     orderBy + limit plans TakeOrderedAndProject (distributed per-partition
-    top-k + merge) — no single-partition global sort.
+    top-k + merge) — no single-partition global sort. Oracle-compared
+    callers pass ``round_digits`` so the sort key is the ROUNDED weight
+    on both engines — a last-ulp libm divergence near the rank boundary
+    must not flip which doc makes the cut.
     """
-    w = importance_weights(raw, target, content_col, id_col, n, n_buckets)
+    w = importance_weights(
+        raw, target, content_col, id_col, n, n_buckets, round_digits
+    )
     total = raw.count()
     keep = max(int(total * fraction), 1)
     # Zero-gram docs score a neutral 0.0, which would outrank any doc with

@@ -362,24 +362,87 @@ def _doc_chunks_sql() -> str:
 
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR log importance weights of every doc against the English-
-    labeled subset as the target domain (rows-only: ln() isn't hash-
-    portable across engines; exact model parity is pytest-proven in
-    tests/test_dsir.py)."""
+    labeled subset as the target domain. Fully oracle-checked: the
+    bucket hash is the engine-portable md5 bucket (dsir.hash_bucket) and
+    logw rounds to 6 decimals on both engines (libm-vs-JVM ln ulp
+    discipline, same as doc_lm_perplexity); full-precision model parity
+    is additionally pytest-proven in tests/test_dsir.py."""
     from ..operators import dsir
 
     d = _docs(spark, sf_dir)
-    return dsir.importance_weights(d, d.filter(F.col("lang") == "en"))
+    return dsir.importance_weights(
+        d, d.filter(F.col("lang") == "en"), round_digits=6
+    )
 
 
 def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25% most target-like docs by DSIR weight (deterministic
-    cutoff; TakeOrdered plan, no global sort)."""
+    cutoff; TakeOrdered plan, no global sort). Oracle-checked: sorts on
+    the ROUNDED weight so a last-ulp divergence can't flip the cut."""
     from ..operators import dsir
 
     d = _docs(spark, sf_dir)
     return dsir.importance_resample(
-        d, d.filter(F.col("lang") == "en"), fraction=0.25
+        d, d.filter(F.col("lang") == "en"), fraction=0.25, round_digits=6
     )
+
+
+def _dd_dsir_weights_cte() -> str:
+    """Shared DuckDB CTE chain computing (doc_id, n_grams, logw) — the
+    line-for-line twin of dsir.importance_weights at n=2, 2^16 buckets,
+    round 6."""
+    from ..operators.dsir import dd_hash_bucket
+
+    nb = 1 << 16
+    toks = T.dd_tokens("text")
+    grams = T.dd_shingles_all("t", 2)
+    return f"""raw AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), tgt AS (
+  SELECT {toks} AS t FROM documents WHERE lang = 'en'
+), rb AS (
+  SELECT doc_id, {dd_hash_bucket('g', nb)} AS bucket
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM raw)
+), tb AS (
+  SELECT {dd_hash_bucket('g', nb)} AS bucket
+  FROM (SELECT unnest({grams}) AS g FROM tgt)
+), tc AS (
+  SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY 1
+), rc AS (
+  SELECT bucket, COUNT(*) AS cr FROM rb GROUP BY 1
+), tt AS (SELECT SUM(ct) AS nt FROM tc),
+rt AS (SELECT SUM(cr) AS nr FROM rc),
+scored AS (
+  SELECT rb.doc_id, COUNT(*) AS n_grams,
+         SUM(ln(COALESCE(tc.ct, 0) + 1.0) - ln(tt.nt + {float(nb)})
+             - ln(COALESCE(rc.cr, 0) + 1.0) + ln(rt.nr + {float(nb)})
+         ) AS logw
+  FROM rb LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+  CROSS JOIN tt CROSS JOIN rt
+  GROUP BY rb.doc_id
+), weights AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+         ROUND(COALESCE(s.logw, 0.0), 6) AS logw
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+)"""
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""WITH {_dd_dsir_weights_cte()}
+SELECT doc_id, n_grams, logw FROM weights"""
+
+DSIR_SELECTED_DOCS_SQL = f"""WITH {_dd_dsir_weights_cte()},
+k AS (
+  SELECT GREATEST(CAST(FLOOR(COUNT(*) * 0.25) AS BIGINT), 1) AS k
+  FROM documents
+)
+SELECT doc_id, n_grams, logw FROM (
+  SELECT w.*, k.k,
+         ROW_NUMBER() OVER (
+           ORDER BY (n_grams > 0) DESC, logw DESC, doc_id ASC
+         ) AS rn
+  FROM weights w CROSS JOIN k
+) WHERE rn <= k"""
 
 
 # --- BPE vocabulary training -------------------------------------------------
@@ -1234,8 +1297,10 @@ QUERIES = {
     "span_dedup_docs": _q(span_dedup_docs, SPAN_DEDUP_DOCS_SQL),
     "span_dedup_stats": _q(span_dedup_stats, SPAN_DEDUP_STATS_SQL),
     "doc_chunks": _q(doc_chunks, _doc_chunks_sql()),
-    "dsir_importance_weights": _q(dsir_importance_weights, None),
-    "dsir_selected_docs": _q(dsir_selected_docs, None),
+    "dsir_importance_weights": _q(
+        dsir_importance_weights, DSIR_IMPORTANCE_WEIGHTS_SQL
+    ),
+    "dsir_selected_docs": _q(dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
     "bpe_vocab": _q(bpe_vocab, None),
     "bpe_token_counts": _q(bpe_token_counts, None),
     "dedup_minhash": _q(dedup_minhash, None),

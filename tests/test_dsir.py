@@ -28,14 +28,15 @@ N_BUCKETS = 1 << 16
 
 
 def _spark_hash_bucket(spark):
-    """xxhash64 buckets must come from Spark itself (the reference model
-    reuses them — the test checks the MATH, Spark owns the hash)."""
+    """Buckets must come from the operator's own expression (the reference
+    model reuses them — the test checks the MATH, dsir.hash_bucket owns
+    the hash)."""
     def f(grams):
         from pyspark.sql import functions as F
 
         df = spark.createDataFrame([(g,) for g in grams], "g string")
         rows = df.select(
-            "g", F.pmod(F.xxhash64("g"), F.lit(N_BUCKETS)).alias("b")
+            "g", dsir.hash_bucket(F.col("g"), N_BUCKETS).alias("b")
         ).collect()
         return {r.g: r.b for r in rows}
     return f
