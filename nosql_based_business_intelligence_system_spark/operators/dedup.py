@@ -199,6 +199,55 @@ def cross_corpus_dupes(
     )
 
 
+def mh_coefficients(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the multiply-shift MinHash
+    family ``h_i(x) = a_i * x + b_i`` over WRAPPING two's-complement
+    int64 (Dietzfelbinger et al.'s multiply-shift universal hashing —
+    Java long arithmetic gives the mod-2^64 wrap for free, and the
+    DuckDB twin emulates it exactly in HUGEINT). Coefficients derive
+    from md5 of the seed (no RNG; identical on every run, engine, and
+    partitioning); ``a_i`` is forced odd as the family requires."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a:{seed}:{i}".encode()).hexdigest()[:16], 16)
+        b = int(hashlib.md5(f"mh-b:{seed}:{i}".encode()).hexdigest()[:16], 16)
+        out.append(((a % (1 << 63)) | 1, b % (1 << 63)))
+    return out
+
+
+def _shingle_base_rows(
+    df: DataFrame, content_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, h) — one row per distinct n-word shingle with its 60-bit
+    engine-portable base hash (first 15 hex chars of md5 of the
+    space-joined gram, the same scheme dsir.hash_bucket uses). Window
+    ``lead`` builds the gram string in codegen, as shingle_rows does."""
+    tok = spread(df, id_col).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(T.tokens(F.col(content_col))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    last = F.lead("t", n - 1).over(w)
+    return (
+        tok.select(
+            "doc",
+            F.concat_ws(" ", *parts).alias("g"),
+            last.alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select(
+            "doc",
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     content_col: str = "text",
@@ -208,18 +257,23 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``num_hashes`` minimum shingle
-    hashes, each hash function a differently-seeded ``xxhash64``.
+    hashes under a universal hash family over an md5-derived base hash —
+    every piece ENGINE-PORTABLE, so LSH dedup results verify against the
+    DuckDB oracle (round-2 used seeded xxhash64, which no other engine
+    can reproduce).
 
-    Pure columnar: :func:`shingle_rows` -> one grouped agg computing all k
-    mins (one shuffle, narrow rows: id + k longs). No ML fit pass over the
-    data; the k hash functions are differently-seeded ``xxhash64`` over the
-    64-bit shingle hash.
+    Pure columnar: one base hash per distinct shingle, then one grouped
+    agg computing all k affine-transform mins (one shuffle, narrow rows:
+    id + k longs). The transforms are plain wrapping int64 multiply-adds
+    — native long arithmetic in whole-stage codegen, k multiply-adds per
+    shingle instead of k independent string hashes (a decimal mod-prime
+    variant measured +1.1s at sf0.1 for no portability gain).
     """
-    sh = shingle_rows(df, content_col, id_col, n).select("doc", "shingle")
-    sig = sh.groupBy("doc").agg(
+    base = _shingle_base_rows(df, content_col, id_col, n)
+    sig = base.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"m{i}")
-            for i in range(num_hashes)
+            F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"m{i}")
+            for i, (a, b) in enumerate(mh_coefficients(num_hashes, seed))
         ]
     )
     return sig.select(
@@ -246,8 +300,10 @@ def minhash_lsh_dupes(
     rather than corpus size squared. With r = num_hashes/bands = 2 the
     candidate probability at true Jaccard s is 1-(1-s^2)^bands — ~0.9999 at
     s=0.5 — and the agreement filter removes low-similarity candidates.
-    Not SQL-expressible (hash impl) -> rows-only check + self-consistency
-    tests (exact dupes must score 1.0).
+    Every stage (md5 base hash, universal-hash mins, band keys,
+    agreement count) is engine-portable, so the registry entry is FULLY
+    oracle-checked against a generated DuckDB twin; self-consistency
+    tests additionally pin that exact dupes score 1.0.
     """
     r = num_hashes // bands
     sig = minhash_signatures(df, content_col, id_col, n, num_hashes, seed)
@@ -259,7 +315,15 @@ def minhash_lsh_dupes(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(F.slice("sig", i * r + 1, r)).alias("key"),
+                        # engine-portable band key: the slice's literal
+                        # values (equality is all banding needs)
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", i * r + 1, r),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
                     )
                     for i in range(bands)
                 ]

@@ -474,9 +474,75 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup, fully oracle-checked: the md5 base hash,
+    universal-hash mins (exact decimal/HUGEINT arithmetic), band keys and
+    agreement count are all engine-portable, so the generated DuckDB twin
+    reproduces the banded candidate set and estimates bit-for-bit."""
     return dedup.minhash_lsh_dupes(
         _docs(spark, sf_dir), jaccard_threshold=0.5
     ).select("doc_a", "doc_b", "est_jaccard")
+
+
+def _dd_minhash_sql(
+    num_hashes: int = 64, bands: int = 32, seed: int = 42, n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Generated DuckDB twin of dedup.minhash_lsh_dupes at the registry
+    parameters — same coefficients (dedup.mh_coefficients), the same
+    two's-complement int64 wrap (emulated in HUGEINT: reduce mod 2^64,
+    then map the top half down), same band keys, same agreement
+    estimate."""
+    from ..operators.dedup import mh_coefficients
+
+    r = num_hashes // bands
+    coeffs = mh_coefficients(num_hashes, seed)
+    toks = T.dd_tokens("text")
+    grams = T.dd_shingles("t", n)  # distinct per-doc shingle strings
+    two64, two63 = 1 << 64, 1 << 63
+    def _wrap(a: int, b: int) -> str:
+        v = f"(({a}::HUGEINT * h + {b}) % {two64})"
+        return (
+            f"CAST(CASE WHEN {v} >= {two63} THEN {v} - {two64} "
+            f"ELSE {v} END AS BIGINT)"
+        )
+    min_cols = ",\n         ".join(
+        f"MIN({_wrap(a, b)}) AS m{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT *, {i} AS band, "
+        f"m{i * r}::VARCHAR || "
+        + " || ".join(
+            f"',' || m{i * r + j}::VARCHAR" for j in range(1, r)
+        )
+        + " AS key FROM sig"
+        for i in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), base AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM toks)
+), sig AS MATERIALIZED (
+  -- MATERIALIZED: the 32 band branches below each reference sig; DuckDB
+  -- inlines CTEs by default, which would recompute the 64-min aggregate
+  -- once per band
+  SELECT doc_id,
+         {min_cols}
+  FROM base GROUP BY doc_id
+), bands AS MATERIALIZED (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ({agree}) / {float(num_hashes)} AS est_jaccard
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM cand
+WHERE est_jaccard >= {threshold}"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,7 +1369,7 @@ QUERIES = {
     "dsir_selected_docs": _q(dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
     "bpe_vocab": _q(bpe_vocab, None),
     "bpe_token_counts": _q(bpe_token_counts, None),
-    "dedup_minhash": _q(dedup_minhash, None),
+    "dedup_minhash": _q(dedup_minhash, _dd_minhash_sql()),
     "dedup_simhash": _q(dedup_simhash, None),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
 }
