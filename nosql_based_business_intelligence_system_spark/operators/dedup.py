@@ -401,37 +401,51 @@ def minhash_lsh_dupes_ml(
     )
 
 
+#: SimHash fingerprint width: 60 bits — the md5-derived base hash
+#: (15 hex chars, the engine-portable scheme shared with MinHash/DSIR)
+#: supplies exactly 60 independent bits, and a nonneg-bigint fingerprint
+#: needs no sign-bit special case in either engine.
+SIMHASH_BITS = 60
+
+
 def simhash_fingerprints(
     df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc via explode + grouped bit votes.
+    """60-bit SimHash per doc via explode + grouped bit votes, over the
+    engine-portable md5 base hash (DuckDB twin reproduces fingerprints
+    bit-for-bit).
 
-    The naive formulation (64 array-aggregates per row, functions.text
-    .simhash64) produces a codegen-hostile expression tree; this one
-    explodes distinct tokens (narrow -> one shuffle on the id) and computes
-    the 64 bit votes as plain grouped sums — far cheaper to compile and the
-    shape that scales: shuffle rows = total distinct tokens.
+    The naive formulation (an array-aggregate per bit per row,
+    functions.text.simhash64) produces a codegen-hostile expression tree;
+    this one explodes distinct tokens (narrow -> one shuffle on the id)
+    and computes the bit votes as plain grouped sums — far cheaper to
+    compile and the shape that scales: shuffle rows = total distinct
+    tokens.
     """
     tok = spread(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(T.tokens(F.col(content_col)))).alias("t"),
     )
-    hashed = tok.select("doc", F.xxhash64("t").alias("h"))
+    hashed = tok.select(
+        "doc",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
     votes = hashed.groupBy("doc").agg(
         *[
             F.sum(
                 F.when(F.getbit(F.col("h"), F.lit(b)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     fp = F.lit(0).cast("bigint")
-    for b in range(64):
-        mask = (1 << b) if b < 63 else -(1 << 63)
+    for b in range(SIMHASH_BITS):
         fp = fp.bitwiseOR(
-            F.when(F.col(f"v{b}") > 0, F.lit(mask).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+            F.when(
+                F.col(f"v{b}") > 0, F.lit(1 << b).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
         )
     return votes.select("doc", fp.alias("fp"))
 
@@ -442,10 +456,12 @@ def simhash_dupes(
     id_col: str = "doc_id",
     max_hamming: int = 8,
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit fingerprints, banded by 16-bit chunks
+    """SimHash near-dup pairs: 60-bit fingerprints, banded by 15-bit chunks
     so candidate pairs share at least one exact band (pigeonhole: any pair
     within Hamming distance 3 shares a band; wider distances are best-effort
-    recall, standard SimHash practice). Not SQL-expressible -> rows-only.
+    recall, standard SimHash practice). Every stage is engine-portable,
+    so the registry entry is fully oracle-checked against a generated
+    DuckDB twin.
     """
     fp = simhash_fingerprints(df, content_col, id_col)
     bands = fp.select(
@@ -456,8 +472,8 @@ def simhash_dupes(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("fp"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("fp"), 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("key"),
                     )
                     for i in range(4)

@@ -546,7 +546,53 @@ WHERE est_jaccard >= {threshold}"""
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, fully oracle-checked: 60-bit fingerprints
+    over the portable md5 base hash, 15-bit band pigeonhole, bit_count
+    Hamming — all reproduced by the generated DuckDB twin."""
     return dedup.simhash_dupes(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _dd_simhash_sql(max_hamming: int = 3) -> str:
+    """Generated DuckDB twin of dedup.simhash_dupes: same 60-bit votes,
+    same fingerprint assembly, same 4 x 15-bit bands, same Hamming cut."""
+    from ..operators.dedup import SIMHASH_BITS
+
+    toks = T.dd_tokens("text")
+    vote_cols = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, fp, {i} AS band, (fp >> {15 * i}) & 32767 AS key "
+        "FROM fp"
+        for i in range(4)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+), votes AS MATERIALIZED (
+  SELECT doc_id,
+         {vote_cols}
+  FROM hashed GROUP BY doc_id
+), fp AS MATERIALIZED (
+  SELECT doc_id, ({fp_expr}) AS fp FROM votes
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}"""
 
 
 # --- JSON prop extraction over events (get_json_object) ---------------------
@@ -1370,6 +1416,6 @@ QUERIES = {
     "bpe_vocab": _q(bpe_vocab, None),
     "bpe_token_counts": _q(bpe_token_counts, None),
     "dedup_minhash": _q(dedup_minhash, _dd_minhash_sql()),
-    "dedup_simhash": _q(dedup_simhash, None),
+    "dedup_simhash": _q(dedup_simhash, _dd_simhash_sql()),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
 }
