@@ -209,3 +209,76 @@ def test_span_dedup_summary_consistent_with_per_doc(spark):
     assert summary.n_docs_affected == sum(
         1 for r in per_doc if r.n_removed_spans > 0
     )
+
+
+def test_minhash_signatures_match_duckdb(spark):
+    """The portable hash family is pinned cross-engine at the unit level:
+    Spark signatures equal a DuckDB recomputation (md5 base, wrapping
+    int64 multiply-add, same coefficients)."""
+    import duckdb
+
+    from nosql_based_business_intelligence_system_spark.operators.dedup import (
+        mh_coefficients,
+    )
+
+    docs = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs añejo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc: list(r.sig)
+           for r in dedup.minhash_signatures(df, num_hashes=8).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    two64, two63 = 1 << 64, 1 << 63
+    for doc_id, _ in docs:
+        sig = []
+        for a, b in mh_coefficients(8, 42):
+            v = con.execute(f"""
+              SELECT MIN(CAST(CASE WHEN w >= {two63} THEN w - {two64}
+                               ELSE w END AS BIGINT))
+              FROM (
+                SELECT (({a}::HUGEINT * h + {b}) % {two64}) AS w FROM (
+                  SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                  FROM (
+                    SELECT unnest(list_distinct(
+                      [array_to_string(t[i:i+2], ' ')
+                       for i in range(1, greatest(len(t)-2, 0) + 1)])) AS g
+                    FROM (SELECT list_filter(string_split(text, ' '),
+                                             x -> x <> '') AS t
+                          FROM d WHERE doc_id = {doc_id})
+                  )
+                )
+              )""").fetchone()[0]
+            sig.append(v)
+        assert got[doc_id] == sig, doc_id
+
+
+def test_simhash_fingerprints_match_duckdb(spark):
+    """60-bit SimHash fingerprints equal a DuckDB recomputation."""
+    import duckdb
+
+    from nosql_based_business_intelligence_system_spark.operators.dedup import (
+        SIMHASH_BITS,
+    )
+
+    docs = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc: r.fp for r in
+           dedup.simhash_fingerprints(df).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", docs)
+    for doc_id, _ in docs:
+        fp = 0
+        for b in range(SIMHASH_BITS):
+            v = con.execute(f"""
+              SELECT SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)
+              FROM (
+                SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                FROM (SELECT unnest(list_distinct(list_filter(
+                        string_split(text, ' '), x -> x <> ''))) AS tok
+                      FROM d WHERE doc_id = {doc_id})
+              )""").fetchone()[0]
+            if v > 0:
+                fp |= 1 << b
+        assert got[doc_id] == fp, doc_id
