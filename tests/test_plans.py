@@ -174,3 +174,32 @@ def test_star_join_elimination(spark):
     for t in ("orders", "customer", "nation", "region"):
         assert f"{t}.parquet" in plan, t
     assert "part.parquet" not in plan
+
+
+def test_star_join_elimination_value_equivalence(spark):
+    """Any column subset of the eliminated-join star must equal the same
+    projection of the FULL star — guards the dim->columns dependency map
+    in operators/star.py (a new derived column whose dim dependency is
+    missing from the map would silently produce analysis errors or, worse,
+    a slice that disagrees with the full view)."""
+    from nosql_based_business_intelligence_system_spark.operators.star import (
+        enriched_sales,
+    )
+
+    full = enriched_sales(spark, SF).localCheckpoint(eager=False)
+    subsets = [
+        {"total_line_price", "fin_month_label", "gross_margin"},
+        {"event_date", "quantity"},
+        {"region_desc", "fin_quarter", "total_line_price"},
+        {"mktsegment", "asp"},
+        {"nation_desc", "product_desc", "gm_pct"},
+        {"flag_negative_qty", "doc_number"},
+        {"customer_number", "last_cost", "fin_week_label"},
+    ]
+    for cols in subsets:
+        sliced = enriched_sales(spark, SF, columns=cols)
+        sel = sorted(cols)
+        a = sliced.select(*sel)
+        b = full.select(*sel)
+        assert a.exceptAll(b).count() == 0, cols
+        assert b.exceptAll(a).count() == 0, cols
