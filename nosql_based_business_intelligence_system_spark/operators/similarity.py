@@ -211,6 +211,23 @@ def cosine_pairs(
     )
 
 
+def sign_planes(seed: int, dim: int, n_planes: int):
+    """Deterministic Rademacher projection matrix (dim x n_planes) of
+    +-1.0 entries, each the low bit of md5("plane:{seed}:{p}:{d}") — no
+    RNG, identical on every engine/run/partitioning. Shared by the Spark
+    UDF and the DuckDB oracle generator so the two can never drift."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((dim, n_planes), dtype=np.float64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"plane:{seed}:{p}:{d}".encode()).digest()[0]
+            m[d, p] = 1.0 if (h & 1) else -1.0
+    return m
+
+
 def embedding_cosine_dupes(
     df: DataFrame,
     threshold: float = 0.8,
@@ -222,16 +239,24 @@ def embedding_cosine_dupes(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH.
 
-    Signature = sign bits of ``n_planes`` Gaussian projections (sign-LSH:
-    P[bits agree] = 1 - angle/pi, so high-cosine pairs collide in some
-    band w.h.p.); candidates share at least one of ``bands`` band keys;
-    exact cosine is computed on candidates only. Recall < 1 by design at
-    low thresholds — planted-duplicate recall is pytest-verified.
+    Signature = sign bits of ``n_planes`` Rademacher (+-1) projections —
+    Achlioptas-style random projections give the same sign-LSH guarantee
+    as Gaussian planes (P[bits agree] ~ 1 - angle/pi) while making every
+    plane entry an md5-derived literal BOTH engines can reproduce, so the
+    banded candidate set has a generated DuckDB twin (a Gaussian matrix
+    from a numpy RNG is replayable by nothing else). Candidates share at
+    least one of ``bands`` band keys; exact cosine is computed on
+    candidates only. Recall < 1 by design at low thresholds —
+    planted-duplicate recall is pytest-verified.
 
     The projection is a Pandas UDF on purpose: a (batch x dim) @ (dim x
     n_planes) matmul per Arrow batch vectorizes ~100x better than a per-
-    element fold expression; the hyperplanes are regenerated per batch from
-    the seed, so the operator stays deterministic and closure-free.
+    element fold expression; the plane matrix is rebuilt per batch from
+    the seed (no RNG state, closure-free). Sign boundaries are the one
+    cross-engine hazard: a projection within one ulp of zero could bit-
+    flip between numpy's SIMD summation and the twin's fold — it affects
+    candidate recall only, never an emitted score, and the final output
+    is the exact-cosine-filtered set.
     """
     from pyspark.sql.types import ArrayType, LongType
 
@@ -246,7 +271,7 @@ def embedding_cosine_dupes(
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         m = np.vstack(vecs.to_numpy())  # (batch, dim)
-        planes = np.random.default_rng(seed).standard_normal((m.shape[1], n_planes))
+        planes = sign_planes(seed, m.shape[1], n_planes)
         bits = (m @ planes) > 0  # (batch, n_planes)
         weights = 1 << np.arange(r)
         keys = [

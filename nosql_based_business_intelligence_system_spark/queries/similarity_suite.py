@@ -190,11 +190,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path; candidates from sign-LSH band buckets). The fixture
     embeddings are near-orthogonal (max pairwise cosine ~0.48), so this
     legitimately returns zero rows at a dedup threshold — planted-duplicate
-    recall is covered in tests/test_similarity.py. Rows-only check (the
-    band hash isn't SQL-portable)."""
+    recall is covered in tests/test_similarity.py. Fully oracle-checked:
+    the Rademacher planes are md5-derived literals the generated DuckDB
+    twin inlines, and candidate scores use the proven-portable
+    inner-product cosine."""
     return similarity.embedding_cosine_dupes(
         _emb(spark, sf_dir), threshold=0.9, n_planes=64, bands=4
     )
+
+
+def _dd_embedding_cosine_sql(
+    threshold: float = 0.9, n_planes: int = 64, bands: int = 4,
+    seed: int = 42, dim: int = 64,
+) -> str:
+    """Generated DuckDB twin of similarity.embedding_cosine_dupes at the
+    registry parameters: the +-1 plane matrix (similarity.sign_planes) is
+    inlined as signed terms per projection, band keys assemble the same
+    sign bits, and candidates score with the portable fold cosine. The
+    fixture embedding dim (64) is baked in — a dim change shows up as a
+    NULL-projection row-count mismatch, not silence."""
+    planes = similarity.sign_planes(seed, dim, n_planes)
+    r = n_planes // bands
+
+    def proj(p: int) -> str:
+        return "(" + "".join(
+            ("+" if planes[d, p] > 0 else "-") + f"v[{d + 1}]"
+            for d in range(dim)
+        ) + ")"
+
+    def band_key(b: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {proj(b * r + j)} > 0 THEN {1 << j}::BIGINT "
+            "ELSE 0::BIGINT END)"
+            for j in range(r)
+        )
+
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, v, {i} AS band, ({band_key(i)}) AS key FROM vecs"
+        for i in range(bands)
+    )
+    return f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id AS id, {V.dd_vec('embedding')} AS v FROM embeddings
+), bands AS MATERIALIZED (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.v AS va, b.v AS vb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, {V.dd_cosine('va', 'vb')} AS score
+FROM cand WHERE {V.dd_cosine('va', 'vb')} >= {threshold}"""
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +268,9 @@ QUERIES = {
     "ann_pq_topk": _q(ann_pq_topk, None),
     "semantic_dedup_survivors": _q(semantic_dedup_survivors, None),
     "embedding_near_pairs": _q(embedding_near_pairs, EMBEDDING_NEAR_PAIRS_SQL),
-    "dedup_embedding_cosine": _q(dedup_embedding_cosine, None),
+    "dedup_embedding_cosine": _q(
+        dedup_embedding_cosine, _dd_embedding_cosine_sql()
+    ),
     "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),
     "embedding_norm_stats": _q(embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
     "embedding_component_stats": _q(
