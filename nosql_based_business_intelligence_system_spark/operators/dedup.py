@@ -268,6 +268,10 @@ def minhash_signatures(
     — native long arithmetic in whole-stage codegen, k multiply-adds per
     shingle instead of k independent string hashes (a decimal mod-prime
     variant measured +1.1s at sf0.1 for no portability gain).
+
+    Requires ``spark.sql.ansi.enabled=false`` (the session factory and
+    ``tune_for_session`` both set it): the wrap is intentional, and ANSI
+    overflow checking would raise on the multiply.
     """
     base = _shingle_base_rows(df, content_col, id_col, n)
     sig = base.groupBy("doc").agg(

@@ -31,6 +31,11 @@ def test_queries_self_tune_on_ansi_session(spark, sf_smoke):
         assert got == baseline
         # the wrapper reset the conf for parity
         assert spark.conf.get("spark.sql.ansi.enabled") == "false"
+        # overflow-sensitive path: MinHash's wrapping multiply would raise
+        # under ANSI arithmetic — the wrapper must protect it too
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        qs["dedup_minhash"](spark, sf_smoke).count()
+        assert spark.conf.get("spark.sql.ansi.enabled") == "false"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
 
