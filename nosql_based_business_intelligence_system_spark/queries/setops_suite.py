@@ -125,17 +125,43 @@ FROM sales GROUP BY GROUPING SETS ((region_desc), (brand_desc), ())"""
 def distinct_count_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct-count sketches next to exact ground truth, per
     return flag: HLL++ (``approx_count_distinct``, mergeable across
-    partitions/segments — the 100 TB cardinality path) vs exact. rsd=0.05:
-    tighter sketches (0.02) inflate the per-group HLL buffers that ride the
-    Expand in mixed distinct/non-distinct agg plans, measured ~10x slower
-    for one digit of precision. Sketch values aren't portable across
-    engines -> rows-only; the relative-error bound is pytest-verified."""
+    partitions/segments — the 100 TB cardinality path) vs exact.
+
+    The exact counts run as distinct-then-count aggregates JOINED back to
+    the sketch aggregate rather than as ``countDistinct`` in the same agg:
+    mixing exact distincts with other aggregates plans an Expand that
+    replays every fact row once per distinct group (3x the shuffle, with
+    HLL buffers riding along) — measured 2.7s vs 0.8s at sf0.1, and the
+    gap grows with fact size since distinct-then-count dedupes map-side.
+    Sketch values aren't portable across engines -> rows-only; the
+    relative-error bound is pytest-verified."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    exact_orders = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    return (
+        approx.join(exact_orders, "l_returnflag")
+        .join(exact_parts, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            "exact_orders",
+            "approx_parts",
+            "exact_parts",
+        )
     )
 
 
@@ -150,10 +176,18 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity and error bound are pytest-asserted (tests/test_setops.py).
     """
     orders = load_table(spark, sf_dir, "orders")
+    # exact count as distinct-then-count joined back, not countDistinct in
+    # the sketch agg — the mixed plan's Expand replays every row per
+    # distinct group (see distinct_count_sketches)
+    exact = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("exact_customers"))
+    )
     leaves = orders.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.countDistinct("o_custkey").alias("exact_customers"),
-    )
+    ).join(exact, "o_orderpriority")
     leaf_rows = leaves.select(
         F.lit("priority").alias("level"),
         F.col("o_orderpriority").alias("key"),
