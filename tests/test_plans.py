@@ -93,6 +93,8 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         "vocab",
         # Misra-Gries merge: 1-row (k+1)-th-counter and stream-total aggs.
         "kth", "totals",
+        # lineitem_profile: 1-row per-column distinct-count aggregates.
+        "nd",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
