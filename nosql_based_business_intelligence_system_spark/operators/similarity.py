@@ -118,6 +118,94 @@ def lsh_topk(
     )
 
 
+def rp_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_tables: int = 8,
+    bucket_length: float = 4.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via deterministic bucketed random projections —
+    the E2LSH scheme :func:`lsh_topk` gets from spark.ml, rebuilt on
+    md5-derived Rademacher planes so a second engine can replay it.
+
+    Per table ``t``: key = floor(dot(v, plane_t) / bucket_length); a
+    corpus row is a candidate for a query iff they share a (table, key)
+    bucket. Exact cosine is computed on candidates only and the final
+    rank uses the exact score, so bucketing affects recall, never an
+    emitted value. spark.ml's BucketedRandomProjectionLSH draws Gaussian
+    planes from a JVM RNG no other engine can replay; Achlioptas-style
+    +-1 planes give the same LSH family guarantee with every entry an
+    md5 literal (:func:`sign_planes`), which is what makes the
+    ann_lsh_topk registry query hash-verifiable against a generated
+    DuckDB twin.
+
+    The projection is a fold EXPRESSION (not numpy): 0.0 + v[0]*p0 +
+    v[1]*p1 + ... accumulates left-to-right exactly like the twin's
+    inlined (+v[1]-v[2]...) sum, so bucket keys are bit-identical across
+    engines — a numpy matmul's SIMD summation could flip a key on a
+    floor boundary. O(dim * n_tables) interpreted work per row, once per
+    row, narrow output; candidate generation is a bucket equi-join, so
+    the shape scales the same way the banded-MinHash path does. Tune
+    ``bucket_length`` down / ``n_tables`` up for sparser buckets at
+    scale.
+    """
+    planes = sign_planes(seed, dim, n_tables)
+
+    def _keys(df: DataFrame, idname: str) -> DataFrame:
+        v0 = V.as_double(F.col(vec_col))
+        v = F.when(F.size(v0) == dim, v0).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"rp_bucket_topk: expected dim={dim}, got "),
+                    F.size(v0).cast("string"),
+                )
+            )
+        )
+        entries = []
+        for t in range(n_tables):
+            lits = F.array(*[F.lit(float(planes[d, t])) for d in range(dim)])
+            proj = F.aggregate(
+                F.zip_with(v, lits, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    F.floor(proj / F.lit(float(bucket_length))).alias("key"),
+                )
+            )
+        return df.select(
+            F.col(id_col).alias(idname),
+            v.alias(f"{idname[0]}v"),
+            F.explode(F.array(*entries)).alias("tk"),
+        ).select(idname, f"{idname[0]}v", "tk.t", "tk.key")
+
+    qk = _keys(queries, "query_id")
+    ck = _keys(corpus, "neighbor_id")
+    cand = (
+        qk.join(ck, ["t", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qv", "neighbor_id", "nv")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id",
+            "neighbor_id",
+            V.cosine(F.col("qv"), F.col("nv")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 #: Hard cap on :func:`cosine_pairs` input — it is the O(n^2) *verification
 #: baseline*; past this size the caller wants :func:`embedding_cosine_dupes`.
 COSINE_PAIRS_MAX_ROWS = 100_000
@@ -362,6 +450,16 @@ def ivf_assign(
     step by default recomputes each centroid as the element-wise mean of
     its sampled members (empty cells keep their seed centroid).
 
+    ``refine_iterations=0`` is the PORTABLE-QUANTIZER mode: the model is
+    exactly the first ``n_cells`` corpus rows of the md5 order (no Lloyd,
+    no float averaging anywhere), so cell assignment, probe order, and
+    every downstream score replay bit-for-bit in a second engine — the
+    oracle-checked registry queries (ann_ivf_topk,
+    semantic_dedup_survivors) run this mode and their generated DuckDB
+    twins re-derive the same centroids with ROW_NUMBER over md5(id).
+    Only ``n_cells`` rows are drawn in this mode (the Lloyd sample would
+    be dead weight).
+
     Training runs DRIVER-SIDE over the bounded sample, FAISS-style: the
     distributed work is one TakeOrdered pass that draws the capped
     sample (<= n_cells * IVF_TRAIN_PER_CELL rows, corpus-independent);
@@ -395,10 +493,13 @@ def ivf_assign(
     # Spark job draws the bounded sample; Lloyd then runs driver-side in
     # numpy over <= n_cells * IVF_TRAIN_PER_CELL rows (a Spark-side Lloyd
     # loop schedules ~10 tiny stages for the same bounded arithmetic).
+    sample_n = (
+        n_cells if refine_iterations <= 0 else n_cells * IVF_TRAIN_PER_CELL
+    )
     sample = (
         c.withColumn("__h", F.md5(F.col(id_col).cast("string")))
         .orderBy("__h", id_col)
-        .limit(n_cells * IVF_TRAIN_PER_CELL)
+        .limit(sample_n)
         .select("v")
         .collect()
     )

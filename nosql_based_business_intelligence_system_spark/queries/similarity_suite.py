@@ -1,9 +1,16 @@
 """Similarity-search suite over the ``embeddings`` table (north-star scope).
 
-Brute-force cosine top-k is oracle-checked (DuckDB list_inner_product over
-DOUBLE[] folds left-to-right like Spark's aggregate, so scores are
-bit-comparable). LSH and IVF variants are approximate -> rows-only, with
-recall-vs-brute-force covered in tests/test_similarity.py.
+Every entry is oracle-checked. Brute-force cosine top-k compares directly
+(DuckDB list_inner_product over DOUBLE[] folds left-to-right like Spark's
+aggregate, so scores are bit-comparable). The approximate paths (sign-LSH
+near-dup, RP-bucket LSH top-k, IVF cell probe, PQ-ADC with exact rerank,
+SemDeDup survivors) run their PORTABLE-DETERMINISM mode: every random
+ingredient (projection planes, coarse centroids, PQ codebooks) is either
+md5-derived or an md5-chosen corpus row, so a generated DuckDB twin
+replays candidate generation bit-for-bit — approximation affects recall
+(pytest-tested against brute force), never an unverified value. The
+float-trained (Lloyd-refined) quantizer variants remain available on the
+operators (``refine_iterations>0``) and keep their pytest coverage.
 """
 
 from __future__ import annotations
@@ -147,18 +154,235 @@ EMBEDDING_COMPONENT_STATS_SQL = f"""SELECT label,
 FROM embeddings GROUP BY label"""
 
 
+#: Registry LSH/IVF/PQ parameters — baked into both the Spark calls and the
+#: generated DuckDB twins below; change them in ONE place only.
+EMB_DIM = 64
+LSH_TABLES = 8
+LSH_BUCKET_LEN = 4.0
+IVF_CELLS = 16
+IVF_PROBE = 4
+PQ_M = 4
+PQ_CODES = 32
+PQ_RERANK = 8
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed top-10 (rows-only; recall tested in pytest)."""
+    """Bucketed random-projection LSH top-10, portable-determinism mode:
+    md5-derived Rademacher planes + fold-expression projections make the
+    bucket keys (and so the candidate set) engine-replayable — fully
+    hash-verified against the generated DuckDB twin. The spark.ml
+    BucketedRandomProjectionLSH variant (JVM-RNG planes, not replayable)
+    stays on the operator with pytest recall coverage."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.lsh_topk(emb, queries, k=TOP_K)
+    return similarity.rp_bucket_topk(
+        emb, queries, k=TOP_K, dim=EMB_DIM, n_tables=LSH_TABLES,
+        bucket_length=LSH_BUCKET_LEN,
+    )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat coarse-quantized top-10 (rows-only; recall tested in pytest)."""
+    """IVF-Flat cell-probe top-10, portable-quantizer mode
+    (``refine_iterations=0``): the coarse centroids are the first
+    IVF_CELLS corpus rows in md5(id) order — no float averaging anywhere,
+    so assignment, probe order, and scores replay bit-for-bit in the
+    generated DuckDB twin (hash-verified). The Lloyd-refined trainer
+    stays on the operator (pytest recall coverage); policy change from
+    the r3 pinned Lloyd=1 is recorded in PLANS.md."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.ivf_topk(emb, queries, k=TOP_K, n_cells=16, n_probe=4)
+    return similarity.ivf_topk(
+        emb, queries, k=TOP_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        refine_iterations=0,
+    )
+
+
+def _dd_euclid(a: str, b: str) -> str:
+    """DuckDB twin of functions.vectors.euclidean: sqrt of the left-to-right
+    fold of squared element diffs (list_inner_product of the diff list with
+    itself folds in the same order as Spark's aggregate)."""
+    d = f"list_transform(list_zip({a}, {b}), p -> p[1] - p[2])"
+    return f"sqrt(list_inner_product({d}, {d}))"
+
+
+def _dd_ivf_cells_ctes(n_cells: int) -> str:
+    """Shared CTE block: corpus as DOUBLE[], md5-order centroids, per-vector
+    distances to every centroid, and the min-dist cell assignment — the
+    DuckDB replay of similarity.ivf_assign(refine_iterations=0) +
+    _nearest_cell (same md5 seed order, same euclidean fold, same
+    (dist, cell) tie-break)."""
+    return f"""vecs AS MATERIALIZED (
+  SELECT vec_id AS id, {V.dd_vec('embedding')} AS v FROM embeddings
+), cents AS MATERIALIZED (
+  SELECT cell, centroid FROM (
+    SELECT (ROW_NUMBER() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1) AS cell,
+           v AS centroid
+    FROM vecs
+  ) WHERE cell < {n_cells}
+), dists AS MATERIALIZED (
+  SELECT s.id, s.v, c.cell, {_dd_euclid('s.v', 'c.centroid')} AS dist
+  FROM vecs s CROSS JOIN cents c
+), asn AS MATERIALIZED (
+  SELECT id, v, cell FROM (
+    SELECT id, v, cell,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)"""
+
+
+def _dd_ivf_topk_sql(
+    n_cells: int = IVF_CELLS, n_probe: int = IVF_PROBE,
+    k: int = TOP_K, n_query: int = N_QUERY_VECS,
+) -> str:
+    """Generated DuckDB twin of ann_ivf_topk (portable-quantizer mode).
+    Query vectors are corpus rows, so probe distances reuse the dists CTE."""
+    cos = V.dd_cosine("qv", "cv")
+    return f"""WITH {_dd_ivf_cells_ctes(n_cells)}, probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT id AS query_id, v AS qv, cell,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+    FROM dists WHERE id < {n_query}
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, p.qv, a.id AS neighbor_id, a.v AS cv
+  FROM probes p JOIN asn a USING (cell)
+  WHERE p.query_id <> a.id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, {cos} AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY {cos} DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= {k}"""
+
+
+def _dd_rp_topk_sql(
+    k: int = TOP_K, dim: int = EMB_DIM, n_tables: int = LSH_TABLES,
+    bucket_length: float = LSH_BUCKET_LEN, seed: int = 42,
+    n_query: int = N_QUERY_VECS,
+) -> str:
+    """Generated DuckDB twin of ann_lsh_topk: the +-1 plane matrix
+    (similarity.sign_planes) inlines as signed terms per projection —
+    left-assoc addition matches Spark's fold — and bucket keys are
+    floor(projection / bucket_length) on bit-identical projections."""
+    planes = similarity.sign_planes(seed, dim, n_tables)
+
+    def proj(t: int) -> str:
+        return "(" + "".join(
+            ("+" if planes[d, t] > 0 else "-") + f"v[{d + 1}]"
+            for d in range(dim)
+        ) + ")"
+
+    key_selects = "\n  UNION ALL ".join(
+        f"SELECT id, v, {t} AS t, "
+        f"CAST(floor({proj(t)} / {bucket_length}) AS BIGINT) AS key FROM vecs"
+        for t in range(n_tables)
+    )
+    cos = V.dd_cosine("qv", "cv")
+    return f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id AS id, {V.dd_vec('embedding')} AS v FROM embeddings
+), keys AS MATERIALIZED (
+  {key_selects}
+), cand AS (
+  SELECT DISTINCT q.id AS query_id, q.v AS qv, c.id AS neighbor_id, c.v AS cv
+  FROM keys q JOIN keys c ON q.t = c.t AND q.key = c.key AND q.id <> c.id
+  WHERE q.id < {n_query}
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, {cos} AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY {cos} DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM cand
+) WHERE rank <= {k}"""
+
+
+def _dd_pq_topk_sql(
+    m: int = PQ_M, k_codes: int = PQ_CODES, k: int = TOP_K,
+    rerank_factor: int = PQ_RERANK, n_query: int = N_QUERY_VECS,
+    dim: int = EMB_DIM,
+) -> str:
+    """Generated DuckDB twin of ann_pq_topk (refine_iterations=0):
+    codebooks are md5-chosen normalized subvectors (no Lloyd averaging),
+    encode is the same (dist, code) argmin, the ADC score pivots the
+    per-subspace table values and adds them in explicit j order to match
+    Spark's fold over sequence(0, m-1), and the final rank uses the
+    exact-cosine rerank over raw vectors."""
+    d_sub = dim // m
+    dist = _dd_euclid("s.sv", "c.centroid")
+    adc_sum = "(0.0" + "".join(
+        f" + MAX(CASE WHEN q.j = {j} THEN q.tv END)" for j in range(m)
+    ) + ")"
+    cos = V.dd_cosine("q.v0", "c.v0")
+    return f"""WITH vecs AS MATERIALIZED (
+  SELECT vec_id AS id, {V.dd_vec('embedding')} AS v0 FROM embeddings
+), sub AS MATERIALIZED (
+  SELECT id, j,
+         list_slice(
+           list_transform(v0, x -> x / sqrt(list_inner_product(v0, v0))),
+           j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS sv
+  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j) js
+), cb AS MATERIALIZED (
+  SELECT j, code, centroid FROM (
+    SELECT j,
+           ROW_NUMBER() OVER (
+             PARTITION BY j ORDER BY md5(concat_ws('|', id, j)), id) - 1 AS code,
+           sv AS centroid
+    FROM sub
+  ) WHERE code < {k_codes}
+), enc AS MATERIALIZED (
+  SELECT id, j, code FROM (
+    SELECT s.id, s.j, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.id, s.j ORDER BY {dist}, c.code) AS rn
+    FROM sub s JOIN cb c USING (j)
+  ) WHERE rn = 1
+), qtab AS MATERIALIZED (
+  SELECT s.id AS query_id, s.j, c.code,
+         list_inner_product(s.sv, c.centroid) AS tv
+  FROM sub s JOIN cb c USING (j)
+  WHERE s.id < {n_query}
+), adc AS (
+  SELECT q.query_id, e.id AS neighbor_id, {adc_sum} AS score
+  FROM enc e JOIN qtab q ON q.j = e.j AND q.code = e.code
+  WHERE q.query_id <> e.id
+  GROUP BY q.query_id, e.id
+), cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {k * rerank_factor}
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT cd.query_id, cd.neighbor_id, {cos} AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY cd.query_id
+           ORDER BY {cos} DESC, cd.neighbor_id ASC) AS BIGINT) AS rank
+  FROM cand cd
+  JOIN vecs q ON q.id = cd.query_id
+  JOIN vecs c ON c.id = cd.neighbor_id
+) WHERE rank <= {k}"""
+
+
+def _dd_semantic_dedup_sql(
+    n_cells: int = IVF_CELLS, threshold: float = 0.35,
+) -> str:
+    """Generated DuckDB twin of semantic_dedup_survivors: same portable
+    cell assignment as the IVF twin, unit-normalize per row, within-cell
+    pairs (id_a < id_b) whose normalized dot clears the threshold mark
+    the HIGHER id as a dupe; survivors are the anti-join."""
+    return f"""WITH {_dd_ivf_cells_ctes(n_cells)}, normed AS MATERIALIZED (
+  SELECT id, cell,
+         list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
+  FROM asn
+), dupes AS (
+  SELECT DISTINCT b.id FROM normed a
+  JOIN normed b ON a.cell = b.cell AND a.id < b.id
+  WHERE list_inner_product(a.nv, b.nv) >= {threshold}
+)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM dupes d WHERE d.id = e.vec_id)"""
 
 
 #: Exact near-pair query is bounded to this id range so the all-pairs join
@@ -243,30 +467,39 @@ FROM cand WHERE {V.dd_cosine('va', 'vb')} >= {threshold}"""
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-ADC top-10 with exact rerank (rows-only; recall tested in
-    pytest). Candidate stage scans only the m-byte code column."""
+    """PQ-ADC top-10 with exact rerank, portable-codebook mode
+    (``refine_iterations=0``): codewords are md5-chosen normalized
+    subvectors — deterministic, data-adaptive, and exactly replayable by
+    the generated DuckDB twin (hash-verified; the r3 Lloyd-trained
+    variant keeps pytest recall coverage). Candidate stage scans only
+    the m-byte code column."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.pq_topk(
-        emb, queries, k=TOP_K, m=4, k_codes=32, refine_iterations=1,
-        rerank_factor=8,
+        emb, queries, k=TOP_K, m=PQ_M, k_codes=PQ_CODES,
+        refine_iterations=0, rerank_factor=PQ_RERANK,
     )
 
 
 def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup keep-set over the embeddings table (rows-only; the IVF
-    cluster step isn't SQL-portable — kept-set invariants tested in
-    pytest). Threshold matches the exact near-pair query so survivors
-    drop the same planted neighborhood structure."""
+    """SemDeDup keep-set over the embeddings table, portable-quantizer
+    mode (``refine_iterations=0``) — the cluster step replays in the
+    generated DuckDB twin, so the survivor set is hash-verified (kept-set
+    invariants additionally pytest-tested). Threshold matches the exact
+    near-pair query so survivors drop the same planted neighborhood
+    structure."""
     return similarity.semantic_dedup_keep(
-        _emb(spark, sf_dir), n_cells=16, threshold=NEAR_PAIR_THRESHOLD
+        _emb(spark, sf_dir), n_cells=IVF_CELLS,
+        threshold=NEAR_PAIR_THRESHOLD, refine_iterations=0,
     ).select("vec_id", "label")
 
 
 QUERIES = {
     "ann_bruteforce_topk": _q(ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL),
-    "ann_pq_topk": _q(ann_pq_topk, None),
-    "semantic_dedup_survivors": _q(semantic_dedup_survivors, None),
+    "ann_pq_topk": _q(ann_pq_topk, _dd_pq_topk_sql()),
+    "semantic_dedup_survivors": _q(
+        semantic_dedup_survivors, _dd_semantic_dedup_sql()
+    ),
     "embedding_near_pairs": _q(embedding_near_pairs, EMBEDDING_NEAR_PAIRS_SQL),
     "dedup_embedding_cosine": _q(
         dedup_embedding_cosine, _dd_embedding_cosine_sql()
@@ -276,6 +509,6 @@ QUERIES = {
     "embedding_component_stats": _q(
         embedding_component_stats, EMBEDDING_COMPONENT_STATS_SQL
     ),
-    "ann_lsh_topk": _q(ann_lsh_topk, None),
-    "ann_ivf_topk": _q(ann_ivf_topk, None),
+    "ann_lsh_topk": _q(ann_lsh_topk, _dd_rp_topk_sql()),
+    "ann_ivf_topk": _q(ann_ivf_topk, _dd_ivf_topk_sql()),
 }

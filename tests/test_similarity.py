@@ -59,6 +59,49 @@ def test_lsh_recall_on_fixture(spark, sf_smoke):
     assert _recall(approx, exact) >= 0.5, "LSH recall collapsed"
 
 
+def test_rp_bucket_recall_on_fixture(spark, sf_smoke):
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    approx = similarity.rp_bucket_topk(
+        emb, queries, k=10, dim=64, n_tables=8, bucket_length=4.0
+    ).collect()
+    assert _recall(approx, exact) >= 0.5, "RP-bucket recall collapsed"
+
+
+def test_rp_bucket_scores_are_exact(spark, sf_smoke):
+    """Bucketing prunes candidates; every emitted score must equal the
+    brute-force cosine for that pair (never an approximated value)."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 3")
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in similarity.brute_force_topk(emb, queries, k=200).collect()
+    }
+    for r in similarity.rp_bucket_topk(
+        emb, queries, k=10, dim=64, n_tables=8, bucket_length=4.0
+    ).collect():
+        assert exact[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_rp_bucket_raises_on_wrong_dim(spark):
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0])])
+    with pytest.raises(Exception, match="expected dim"):
+        similarity.rp_bucket_topk(df, df, k=1, dim=64).collect()
+
+
+def test_ivf_portable_mode_recall(spark, sf_smoke):
+    """refine_iterations=0 (the oracle-checked registry mode): centroids
+    are md5-chosen corpus rows; recall must stay useful."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    exact = similarity.brute_force_topk(emb, queries, k=10).collect()
+    approx = similarity.ivf_topk(
+        emb, queries, k=10, n_cells=16, n_probe=4, refine_iterations=0
+    ).collect()
+    assert _recall(approx, exact) >= 0.4, "portable-IVF recall collapsed"
+
+
 def test_ivf_recall_on_fixture(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     queries = emb.filter("vec_id < 5")
