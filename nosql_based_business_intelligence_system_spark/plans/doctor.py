@@ -77,6 +77,12 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
     "theta_customer_overlap": {
         "cartesian_join": "1-row sketch tables combined into the report row"
     },
+    "hll_mergeable_rollup": {
+        "cartesian_join": (
+            "1-row union-estimate x 1-row exact-total tables combined "
+            "into the certified total row"
+        )
+    },
     "kll_mergeable_quantiles": {
         "cartesian_join": "1-row merged-sketch x 1-row global-exact tables"
     },

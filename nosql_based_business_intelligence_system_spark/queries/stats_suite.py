@@ -452,13 +452,25 @@ EVENTS_MULTIRES_ROLLUP_SQL = "\nUNION ALL\n".join(
 SKETCH_QS = (0.5, 0.9, 0.99)
 
 
-def order_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Value-space relative-error ceiling for the GK sketch at accuracy=10000,
+#: same as the pytest bound (tests/test_setops.py).
+GK_SKETCH_BOUND = 0.01
+
+#: Value-space relative-error ceiling for the KLL rollup (default k=200 ->
+#: ~1.65% rank error; 0.05 is the pytest bound on this distribution).
+KLL_SKETCH_BOUND = 0.05
+
+
+def order_value_quantile_sketch_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Exact percentile vs approx_percentile (Greenwald-Khanna sketch)
     side by side per order priority. Exact percentile needs the full
     sorted group — at 100 TB the mergeable sketch IS the path, and this
     query quantifies what that buys/costs (worst absolute relative error
-    across the probed quantiles). Rows-only: the sketch is Spark-internal
-    (no DuckDB twin); the error bound is pytest-asserted instead."""
+    across the probed quantiles). The approx values are Spark-internal
+    (this detail variant is the pytest surface); the registry entry is
+    the certified projection below."""
     o = load_table(spark, sf_dir, "orders")
     qs = list(SKETCH_QS)
     agg = o.groupBy("o_orderpriority").agg(
@@ -480,7 +492,44 @@ def order_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def order_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified sketch report (the registry/bench entry): the GK sketch
+    values are engine-specific, but its error guarantee is not — emit the
+    exact percentiles (Spark ``percentile`` and DuckDB ``quantile_cont``
+    interpolate identically on doubles, verified bit-exact) plus a
+    within-bound boolean; the twin recomputes exact and asserts TRUE, so
+    a hash match is a live cross-engine test of the sketch bound.
+    Estimates stay on :func:`order_value_quantile_sketch_detail`."""
+    d = order_value_quantile_sketch_detail(spark, sf_dir)
+    # GK's guarantee is on RANK (<= n/accuracy); the value-space slack is
+    # ~one inter-order-statistic gap, which shrinks as 1/n — so the bound
+    # widens for tiny groups (observed: 0.011 at n=273, 6e-4 at n=3k,
+    # 2e-4 at n=30k on this distribution).
+    bound = F.greatest(
+        F.lit(GK_SKETCH_BOUND), F.lit(5.0) / F.col("n_orders")
+    )
+    return d.select(
+        "o_orderpriority",
+        "n_orders",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        (F.col("max_rel_err") < bound).alias("within_bound"),
+    )
+
+
+ORDER_VALUE_QUANTILE_SKETCH_SQL = """SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact,
+  TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority"""
+
+
+def kll_mergeable_quantiles_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Two-level quantile rollup over MERGEABLE KLL sketches: leaf sketches
     per order priority (one fact scan), then the TOTAL row merges the leaf
     *sketches* (``kll_sketch_merge_double``) — the raw table is never
@@ -488,9 +537,9 @@ def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its sketch isn't exposed as a mergeable value); KLL is the
     datasketches pattern that makes 100 TB percentile rollups incremental:
     persist leaf sketches per partition/day, merge for any coarser grain.
-    Rows-only (sketch internals aren't engine-portable); the merge-equals-
-    direct identity and rank-error bound are pytest-asserted
-    (tests/test_setops.py)."""
+    The estimate columns are engine-specific (and KLL compaction is
+    internally randomized) — this detail variant is the pytest surface;
+    the registry entry is the certified projection below."""
     o = load_table(spark, sf_dir, "orders")
     qs = list(SKETCH_QS)
     leaves = o.groupBy("o_orderpriority").agg(
@@ -503,16 +552,15 @@ def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _ests(sk):
         return [
-            F.round(
-                F.kll_sketch_get_quantile_double(sk, F.lit(q)), 2
-            ).alias(f"p{int(q * 100)}_est")
+            F.kll_sketch_get_quantile_double(sk, F.lit(q)).alias(
+                f"p{int(q * 100)}_est"
+            )
             for q in qs
         ]
 
     def _exacts(col):
         return [
-            F.round(col[i], 2).alias(f"p{int(q * 100)}_exact")
-            for i, q in enumerate(qs)
+            col[i].alias(f"p{int(q * 100)}_exact") for i, q in enumerate(qs)
         ]
 
     leaf_rows = leaves.select(
@@ -546,6 +594,57 @@ def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_exacts(F.col("exact")),
     )
     return leaf_rows.unionByName(total)
+
+
+def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified KLL rollup report (the registry/bench entry; see
+    order_value_quantile_sketch for the pattern): exact percentiles per
+    leaf AND for the merged-total row, plus a within-bound boolean that
+    asserts every probed estimate tracked exact within
+    ``KLL_SKETCH_BOUND`` — on the total row the estimate came from the
+    sketch MERGE, so a hash match certifies the mergeable path, not just
+    the leaves. Estimates on :func:`kll_mergeable_quantiles_detail`."""
+    d = kll_mergeable_quantiles_detail(spark, sf_dir)
+    # KLL compaction is randomized; the bound must hold with margin on
+    # EVERY run or the certificate itself becomes flaky. Value-space
+    # error widens at tiny group sizes (observed worst-of-3-runs: 0.044
+    # at n=273, 0.011 at n=3k, 0.013 at n=30k), so the small-sample term
+    # keeps >=2.5x margin everywhere while the 5% ceiling governs at the
+    # sizes the sketch exists for.
+    bound = F.greatest(
+        F.lit(KLL_SKETCH_BOUND), F.lit(30.0) / F.col("n_orders")
+    )
+    ok = None
+    for p in (int(q * 100) for q in SKETCH_QS):
+        cond = (
+            F.abs(F.col(f"p{p}_est") - F.col(f"p{p}_exact"))
+            <= bound * F.abs(F.col(f"p{p}_exact"))
+        )
+        ok = cond if ok is None else (ok & cond)
+    return d.select(
+        "key",
+        "n_orders",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        ok.alias("within_bound"),
+    )
+
+
+KLL_MERGEABLE_QUANTILES_SQL = """SELECT o_orderpriority AS key,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact,
+  TRUE AS within_bound
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT '*' AS key, CAST(COUNT(*) AS BIGINT) AS n_orders,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact,
+  TRUE AS within_bound
+FROM orders"""
 
 
 def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,8 +876,12 @@ QUERIES = {
     "events_hourly_interpolated": _q(
         events_hourly_interpolated, EVENTS_HOURLY_INTERPOLATED_SQL
     ),
-    "order_value_quantile_sketch": _q(order_value_quantile_sketch, None),
-    "kll_mergeable_quantiles": _q(kll_mergeable_quantiles, None),
+    "order_value_quantile_sketch": _q(
+        order_value_quantile_sketch, ORDER_VALUE_QUANTILE_SKETCH_SQL
+    ),
+    "kll_mergeable_quantiles": _q(
+        kll_mergeable_quantiles, KLL_MERGEABLE_QUANTILES_SQL
+    ),
     "events_multires_rollup": _q(
         events_multires_rollup, EVENTS_MULTIRES_ROLLUP_SQL
     ),

@@ -5,6 +5,7 @@ from __future__ import annotations
 from nosql_based_business_intelligence_system_spark.queries.setops_suite import (
     customer_year_cohorts,
     distinct_count_sketches,
+    distinct_count_sketches_detail,
 )
 
 
@@ -17,9 +18,12 @@ def test_cohorts_partition_the_union(spark, sf_smoke):
 
 def test_hll_relative_error_within_bound(spark, sf_smoke):
     # rsd=0.05 is a standard deviation -> allow 3 sigma per group
-    for r in distinct_count_sketches(spark, sf_smoke).collect():
+    for r in distinct_count_sketches_detail(spark, sf_smoke).collect():
         assert abs(r.approx_orders - r.exact_orders) <= max(0.15 * r.exact_orders, 2)
         assert abs(r.approx_parts - r.exact_parts) <= max(0.15 * r.exact_parts, 2)
+    # the certified registry projection must assert the same bound
+    for r in distinct_count_sketches(spark, sf_smoke).collect():
+        assert r.orders_within_bound and r.parts_within_bound
 
 
 def test_gapfill_months_fills_sparse_series(spark):
@@ -40,13 +44,19 @@ def test_gapfill_months_fills_sparse_series(spark):
 
 
 def test_quantile_sketch_error_bound(spark, sf_correctness):
-    from nosql_based_business_intelligence_system_spark.queries.stats_suite import order_value_quantile_sketch
+    from nosql_based_business_intelligence_system_spark.queries.stats_suite import (
+        order_value_quantile_sketch,
+        order_value_quantile_sketch_detail,
+    )
 
-    rows = order_value_quantile_sketch(spark, sf_correctness).collect()
+    rows = order_value_quantile_sketch_detail(spark, sf_correctness).collect()
     assert rows and all(r.n_orders > 0 for r in rows)
     # GK sketch with accuracy=10000: relative rank error <= 1/10000; on
     # this distribution the value-space relative error stays under 1%
     assert max(r.max_rel_err for r in rows) < 0.01
+    # certified projection agrees
+    cert = order_value_quantile_sketch(spark, sf_correctness).collect()
+    assert cert and all(r.within_bound for r in cert)
 
 
 def test_hll_union_of_leaves_equals_direct_sketch(spark, sf_smoke):
@@ -99,12 +109,34 @@ def test_kll_merge_tracks_exact_quantiles(spark, sf_correctness):
     """Merged per-priority KLL sketches answer GLOBAL quantiles within the
     sketch's rank-error budget (default k=200 -> ~1.65% rank error; on
     this distribution value-space error stays well under 5%)."""
-    from nosql_based_business_intelligence_system_spark.queries.stats_suite import kll_mergeable_quantiles
+    from nosql_based_business_intelligence_system_spark.queries.stats_suite import (
+        kll_mergeable_quantiles,
+        kll_mergeable_quantiles_detail,
+    )
 
-    rows = {r.key: r for r in kll_mergeable_quantiles(spark, sf_correctness).collect()}
+    rows = {r.key: r for r in kll_mergeable_quantiles_detail(spark, sf_correctness).collect()}
     total = rows["*"]
     assert total.n_orders == sum(r.n_orders for k, r in rows.items() if k != "*")
     for p in (50, 90, 99):
         est = getattr(total, f"p{p}_est")
         exact = getattr(total, f"p{p}_exact")
         assert exact > 0 and abs(est - exact) / exact < 0.05
+    # certified projection asserts the same bound on every row
+    cert = kll_mergeable_quantiles(spark, sf_correctness).collect()
+    assert cert and all(r.within_bound for r in cert)
+
+
+def test_hll_rollup_certified_bounds(spark, sf_correctness):
+    """The certified HLL rollup must bound-check both levels, with the
+    total row's estimate coming from the sketch union."""
+    from nosql_based_business_intelligence_system_spark.queries.setops_suite import (
+        hll_mergeable_rollup,
+        hll_mergeable_rollup_detail,
+    )
+
+    detail = {(r.level, r.key): r for r in hll_mergeable_rollup_detail(spark, sf_correctness).collect()}
+    assert ("total", "*") in detail
+    assert all(r.exact_customers is not None for r in detail.values())
+    cert = hll_mergeable_rollup(spark, sf_correctness).collect()
+    assert {(r.level, r.key) for r in cert} == set(detail)
+    assert all(r.within_bound for r in cert)
