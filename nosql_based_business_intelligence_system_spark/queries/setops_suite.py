@@ -301,15 +301,23 @@ SELECT 'total' AS level, '*' AS key,
 FROM orders"""
 
 
-def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Value-space relative-error ceiling for theta set-algebra estimates
+#: (nominal 4096 entries -> rsd ~1.6%; 0.05 is the 3-sigma pytest bound;
+#: datasketches theta hashing is deterministic given the data).
+THETA_SKETCH_BOUND = 0.05
+
+
+def theta_customer_overlap_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Year-over-year buyer overlap via MERGEABLE theta sketches: one fact
     scan builds a per-year customer sketch, then union / intersection /
     difference are computed on the SKETCHES — no re-scan, no shuffled
     distinct over the raw keys. That algebra is what HLL cannot do
     (HLL unions only) and is the 100 TB path for retention/churn overlap
     questions; exact countDistinct columns ride along for the error check.
-    Sketch estimates aren't engine-portable -> rows-only; the error bound
-    vs exact is pytest-asserted (tests/test_setops.py).
+    Estimates are engine-specific (this detail variant is the pytest
+    surface); the registry entry is the certified projection below.
     """
     orders = load_table(spark, sf_dir, "orders")
     yr = F.year("o_orderdate")
@@ -360,11 +368,64 @@ def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap.crossJoin(exact_sets)
 
 
+def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certified theta set-algebra report (see distinct_count_sketches
+    for the pattern): exact per-year / union / intersection / difference
+    cardinalities plus one within-bound boolean covering all five
+    estimates — union, retained, and churned came from SKETCH algebra,
+    so a hash match certifies set operations the raw keys were never
+    rescanned for. Estimates on :func:`theta_customer_overlap_detail`."""
+    d = theta_customer_overlap_detail(spark, sf_dir)
+    pairs = (
+        ("est_1995", "exact_a"),
+        ("est_1996", "exact_b"),
+        ("est_union", "exact_union"),
+        ("est_retained", "exact_retained"),
+        ("est_churned", "exact_churned"),
+    )
+    ok = None
+    for est, exact in pairs:
+        cond = (
+            F.abs(F.col(est) - F.col(exact))
+            <= F.lit(THETA_SKETCH_BOUND) * F.col(exact)
+        )
+        ok = cond if ok is None else (ok & cond)
+    return d.select(
+        F.col("exact_a").alias("exact_1995"),
+        F.col("exact_b").alias("exact_1996"),
+        "exact_union",
+        "exact_retained",
+        "exact_churned",
+        ok.alias("within_bound"),
+    )
+
+
+THETA_CUSTOMER_OVERLAP_SQL = """WITH y95 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+), y96 AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE year(CAST(o_orderdate AS DATE)) = 1996
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM y95) AS exact_1995,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM y96) AS exact_1996,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT o_custkey FROM y95 UNION SELECT o_custkey FROM y96)) AS exact_union,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)) AS exact_retained,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+     (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)) AS exact_churned,
+  TRUE AS within_bound"""
+
+
 QUERIES = {
     "hll_mergeable_rollup": _q(
         hll_mergeable_rollup, HLL_MERGEABLE_ROLLUP_SQL
     ),
-    "theta_customer_overlap": _q(theta_customer_overlap, None),
+    "theta_customer_overlap": _q(
+        theta_customer_overlap, THETA_CUSTOMER_OVERLAP_SQL
+    ),
     "nations_with_parties": _q(nations_with_parties, NATIONS_WITH_PARTIES_SQL),
     "customer_year_cohorts": _q(customer_year_cohorts, CUSTOMER_YEAR_COHORTS_SQL),
     "token_frequencies": _q(token_frequencies, TOKEN_FREQUENCIES_SQL),

@@ -88,9 +88,12 @@ def test_theta_overlap_within_sketch_error(spark, sf_correctness):
     """Theta set algebra (union/intersection/difference on SKETCHES) must
     track the exact set operations; below the sketch's nominal capacity
     the estimates are exact, so 5% is a loose ceiling."""
-    from nosql_based_business_intelligence_system_spark.queries.setops_suite import theta_customer_overlap
+    from nosql_based_business_intelligence_system_spark.queries.setops_suite import (
+        theta_customer_overlap,
+        theta_customer_overlap_detail,
+    )
 
-    r = theta_customer_overlap(spark, sf_correctness).collect()[0]
+    r = theta_customer_overlap_detail(spark, sf_correctness).collect()[0]
     for est, exact in (
         (r.est_1995, r.exact_a),
         (r.est_1996, r.exact_b),
@@ -103,6 +106,9 @@ def test_theta_overlap_within_sketch_error(spark, sf_correctness):
     assert abs((r.est_1995 + r.est_1996) - (r.est_union + r.est_retained)) <= max(
         1.0, 0.05 * r.exact_union
     )
+    # certified projection asserts the same bound
+    cert = theta_customer_overlap(spark, sf_correctness).collect()[0]
+    assert cert.within_bound and cert.exact_union == r.exact_union
 
 
 def test_kll_merge_tracks_exact_quantiles(spark, sf_correctness):
