@@ -1,0 +1,179 @@
+"""Skew ENGAGEMENT tests: the guards exist structurally (test_scale.py
+asserts salted-join correctness and hot-key detection) — these tests feed
+deliberately hostile data and assert the guards actually fire: candidate
+volume collapses when the guard is on, recall survives, and AQE's skew
+split shows up in the adaptive plan of a 90%-single-key sort-merge join.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from nosql_based_business_intelligence_system_spark.operators import dedup
+from nosql_based_business_intelligence_system_spark.operators.entity import (
+    fuzzy_name_pairs,
+)
+
+
+def _stopword_corpus(spark, n_docs: int = 120):
+    """Every doc ends with the same 3-gram ('terms and conditions') — one
+    degenerate shingle shared corpus-wide — while bodies are per-doc
+    unique, except two planted near-duplicates that share a long unique
+    body (their shared shingles have df=2, so a df cap never drops them).
+    """
+    docs = [
+        Row(
+            doc_id=i,
+            text=(
+                f"alpha{i} bravo{i} charlie{i} delta{i} echo{i} foxtrot{i} "
+                f"golf{i} hotel{i} india{i} juliet{i} terms and conditions"
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    base = (
+        "planted alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november"
+    )
+    docs.append(Row(doc_id=9001, text=f"{base} tokenA terms and conditions"))
+    docs.append(Row(doc_id=9002, text=f"{base} tokenB terms and conditions"))
+    return spark.createDataFrame(docs)
+
+
+def test_shingle_guard_collapses_stopword_candidates(spark):
+    corpus = _stopword_corpus(spark)
+    n = corpus.count()
+    # unguarded: the shared 'terms and conditions' shingle keys an all-pairs
+    # join — candidate count is quadratic in the corpus
+    unguarded = dedup.shingle_doc_pairs(corpus, max_docs_per_shingle=None).count()
+    assert unguarded >= n * (n - 1) / 2, "fixture failed to create the hot shingle"
+    # guarded: the hot shingle is dropped before the join; candidates fall to
+    # pairs sharing a NON-degenerate shingle (the planted dup + the shared base)
+    guarded_pairs = dedup.shingle_doc_pairs(corpus, max_docs_per_shingle=5)
+    guarded = guarded_pairs.count()
+    assert guarded < unguarded / 10, (unguarded, guarded)
+    # recall: the planted near-dup must still surface, with high jaccard
+    planted = guarded_pairs.filter(
+        (F.col("doc_a") == 9001) & (F.col("doc_b") == 9002)
+    ).collect()
+    assert planted and planted[0].jaccard > 0.5
+
+
+def test_entity_block_cap_drops_stopword_block_only(spark):
+    # single shared last token 'inc' puts every name in one last_token
+    # block; distinct first tokens keep the other passes cold
+    rows = [Row(entity_id=i, name=f"unique{i:04d} inc") for i in range(300)]
+    # planted typo pair sharing a first token
+    rows.append(Row(entity_id=9001, name="acmecorp inc"))
+    rows.append(Row(entity_id=9002, name="acmecorq inc"))
+    df = spark.createDataFrame(rows)
+    unguarded = fuzzy_name_pairs(
+        df, "name", "entity_id", max_distance=2, max_names_per_block=None
+    ).count()
+    guarded_pairs = fuzzy_name_pairs(
+        df, "name", "entity_id", max_distance=2, max_names_per_block=50
+    )
+    guarded = guarded_pairs.count()
+    # the planted pair survives: its prefix4 ('acme') block is tiny even
+    # though the shared 'inc' block was dropped
+    assert guarded_pairs.filter(
+        (F.col("name_a") == "acmecorp inc") & (F.col("name_b") == "acmecorq inc")
+    ).count() == 1
+    # verified pairs were already levenshtein-filtered, so compare the
+    # POST-verify volume: the stopword block emits unique{a}/unique{b}
+    # pairs at distance <= 2 that the cap must remove
+    assert guarded < unguarded, (unguarded, guarded)
+
+
+@contextlib.contextmanager
+def _conf(spark, **kv):
+    old = {}
+    for k, v in kv.items():
+        key = k.replace("__", ".")
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, v in old.items():
+            if v is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """90%-single-key probe side against a non-broadcastable build side:
+    with thresholds scaled to the fixture, AQE must mark the sort-merge
+    join's hot partition as skewed (plan shows the skew annotation) —
+    the runtime half of the skew story, complementing the salting
+    operator (operators/skew.py) for when keys are not KNOWN hot."""
+    import hashlib
+
+    # incompressible payloads: the skew threshold applies to COMPRESSED
+    # shuffle bytes, and a repeated-constant string deflates to ~nothing
+    left = spark.createDataFrame(
+        [
+            Row(k=7, v=hashlib.md5(str(i).encode()).hexdigest() * 3)
+            for i in range(60_000)
+        ]
+        + [Row(k=i % 40, v="y") for i in range(6_000)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=i, w="z" * 32) for i in range(40)]
+    )
+    with _conf(
+        spark,
+        **{
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2",
+            "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "64KB",
+            "spark__sql__adaptive__advisoryPartitionSizeInBytes": "64KB",
+            "spark__sql__adaptive__coalescePartitions__minPartitionSize": "16KB",
+        },
+    ):
+        j = left.join(right, "k")
+        # execute THIS dataset (count() would plan a different query and
+        # leave j's adaptive plan unfinalized)
+        assert len(j.collect()) == 66_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan, plan
+
+
+def test_aqe_skew_join_disengaged_on_uniform_data(spark):
+    """Control: uniform keys under the same scaled thresholds must NOT
+    trigger the skew split — the guard engages on skew, not always."""
+    left = spark.createDataFrame(
+        [Row(k=i % 40, v="y" * 64) for i in range(66_000)]
+    )
+    right = spark.createDataFrame([Row(k=i, w="z" * 32) for i in range(40)])
+    with _conf(
+        spark,
+        **{
+            "spark__sql__autoBroadcastJoinThreshold": "-1",
+            "spark__sql__adaptive__skewJoin__skewedPartitionFactor": "2",
+            "spark__sql__adaptive__skewJoin__skewedPartitionThresholdInBytes": "64KB",
+            "spark__sql__adaptive__advisoryPartitionSizeInBytes": "64KB",
+        },
+    ):
+        j = left.join(right, "k")
+        assert len(j.collect()) == 66_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" not in plan, plan
+
+
+def test_minhash_banding_immune_to_stopword_shingle(spark):
+    """MinHash-LSH's candidate volume is governed by SIGNATURE collisions,
+    not shingle document frequency — the stopword corpus must not blow up
+    its candidate stage the way it does the raw shingle join, and the
+    planted near-dup still surfaces."""
+    corpus = _stopword_corpus(spark)
+    pairs = dedup.minhash_lsh_dupes(corpus, jaccard_threshold=0.5)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (9001, 9002) in found
+    # near-identical signatures require near-identical shingle SETS; the
+    # unique token{i} body keeps unrelated docs out
+    assert len(found) < 50
