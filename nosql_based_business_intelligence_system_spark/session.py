@@ -56,6 +56,15 @@ def get_spark(
         master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     )
     conf = dict(SCALE_CONF)
+    # In local mode the driver JVM IS the whole cluster; the 1g default
+    # heap cannot hold a 64 MB broadcast build + 32 task threads once the
+    # data passes ~sf1 (observed: broadcast OOM at 6M-row lineitem). On a
+    # real cluster this is executor/driver sizing; locally it's one knob.
+    # Static conf: only effective for the process's FIRST JVM launch —
+    # harness-owned sessions keep their own sizing.
+    conf.setdefault(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    )
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
     if extra_conf:
         conf.update(extra_conf)

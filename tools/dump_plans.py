@@ -132,6 +132,54 @@ FLAGSHIPS = {
 }
 
 
+#: Hand-maintained scale notes, emitted verbatim ahead of the generated
+#: plans so they survive regeneration.
+SCALE_NOTES = """## Scale notes (round 4)
+
+**sf1 rehearsal (2026-08-14).** The driver ships sf<=0.1; a synthetic sf1
+(10x sf0.1, FK-consistent key-shifted replication with per-replica text/
+embedding perturbation — `tools/make_sf.py`) ran the full 20-query
+headline set on the same local[32]: **55.9s vs 20.1s at sf0.1 — 2.8x wall
+for 10x data, every query sub-linear** (best-of-2 per query):
+
+| query | sf0.1 s | sf1 s | ratio | | query | sf0.1 s | sf1 s | ratio |
+|---|---|---|---|---|---|---|---|---|
+| sales_by_fiscal_month | 0.80 | 1.44 | 1.8x | | ann_bruteforce_topk | 0.71 | 2.79 | 3.9x |
+| pricing_summary | 0.45 | 0.68 | 1.5x | | ann_ivf_topk | 1.25 | 3.55 | 2.8x |
+| top_building_orders | 0.78 | 2.66 | 3.4x | | doc_text_stats | 0.54 | 3.16 | 5.9x |
+| regional_revenue | 0.70 | 1.44 | 2.0x | | doc_lm_perplexity | 1.92 | 7.03 | 3.7x |
+| nation_trade_flows | 0.88 | 2.10 | 2.4x | | token_heavy_hitters | 1.53 | 3.45 | 2.3x |
+| large_volume_customers | 0.63 | 1.95 | 3.1x | | events_multires_rollup | 0.67 | 0.81 | 1.2x |
+| monthly_revenue_running | 1.05 | 1.36 | 1.3x | | mongo_region_quarter_revenue | 1.17 | 2.39 | 2.0x |
+| revenue_trailing_7d | 0.43 | 0.90 | 2.1x | | part_name_entities | 2.09 | 3.08 | 1.5x |
+| dedup_minhash | 2.40 | 12.62 | 5.3x | | distinct_count_sketches | 0.94 | 2.54 | 2.7x |
+| dedup_exact_summary | 0.25 | 0.50 | 2.1x | | summary_stats | 0.93 | 1.47 | 1.6x |
+
+No query exceeds 5.9x for 10x data (the document-bound pair —
+doc_text_stats, dedup_minhash — scales with the 10x documents table and
+stays sub-linear). One config finding fixed along the way: local mode's
+default 1g driver heap OOM'd building a 64 MB broadcast at sf1 —
+`session.get_spark` now sizes the local JVM (`SPARK_GRAFT_DRIVER_MEM`,
+default 16g); on a cluster this is ordinary executor/driver sizing.
+
+**IVF/PQ registry policy change (round 4).** The r3 pinned policy
+(Lloyd=1 over a 4096-row md5 sample) is superseded ON THE REGISTRY
+QUERIES by the portable-quantizer mode `refine_iterations=0`: centroids /
+PQ codewords are md5-chosen corpus rows, so `ann_ivf_topk`, `ann_pq_topk`
+and `semantic_dedup_survivors` now replay bit-for-bit in generated DuckDB
+twins (hash-verified, previously rows-only) — the r4 verdict's lead item.
+Latency side effect: ann_ivf_topk 1.82s (r3 driver) -> 1.25s (no sample
+draw, no Lloyd). The Lloyd-refined trainer remains the operator default
+for quality-sensitive callers and keeps pytest recall coverage; r1-r3
+ann_ivf/ann_pq bench numbers are not directly comparable to r4+.
+
+**Bench methodology (round 4).** Warm-up is one full untimed iteration of
+every headline query at the target sf (r3 warmed 12 expression families
+at sf0.001 and left ~3s of first-touch cost in the driver's timings);
+timed numbers are best-of-2 per query, declared as `iters` in the JSON.
+"""
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF
 
@@ -145,6 +193,8 @@ def main() -> int:
         "",
         f"Generated by `tools/dump_plans.py` at `{sf_dir}` "
         "(regenerate after plan-affecting changes).",
+        "",
+        SCALE_NOTES,
         "",
     ]
     for name, note in FLAGSHIPS.items():

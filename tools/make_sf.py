@@ -1,0 +1,120 @@
+"""Synthesize a larger scale factor from an existing fixture directory by
+FK-consistent replication — the sf1 scale-rehearsal generator (the driver
+ships sf0.001/0.01/0.1 only; /root/testdata is read-only).
+
+Each replica r in [0, factor) shifts every surrogate key by
+``r * (max(key) + 1)`` on BOTH sides of each FK edge, so the star joins
+keep exactly the reference cardinality ratios (every join fans out 10x in
+rows, never in matches-per-row). Dimension leaves (region/nation) are
+shared across replicas, as they would be at any TPC-H scale. Document
+text gets a per-replica suffix token and embeddings a tiny per-replica
+component perturbation so the dedup/ANN workloads don't degenerate into
+10 exact copies of every item (which would measure the dup-heavy edge
+case, not the scale path).
+
+Usage: python tools/make_sf.py [out_dir] [factor] [src_dir]
+       (defaults: /tmp/sfX, 10, /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+#: table -> list of (column, key-space) pairs; the key space's max+1 is the
+#: per-replica offset, applied to every column that references it.
+KEYED = {
+    "customer": [("c_custkey", "cust")],
+    "supplier": [("s_suppkey", "supp")],
+    "part": [("p_partkey", "part")],
+    "orders": [("o_orderkey", "order"), ("o_custkey", "cust")],
+    "lineitem": [
+        ("l_orderkey", "order"),
+        ("l_partkey", "part"),
+        ("l_suppkey", "supp"),
+    ],
+    "events": [("event_id", "event"), ("user_id", "cust")],
+    "documents": [("doc_id", "doc")],
+    "embeddings": [("vec_id", "vec")],
+}
+
+#: key space -> (source table, source column) for the offset probe.
+SPACES = {
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "order": ("orders", "o_orderkey"),
+    "event": ("events", "event_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+
+def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    offs = {
+        space: con.execute(
+            f"SELECT max({col}) + 1 FROM read_parquet('{src}/{tbl}.parquet')"
+        ).fetchone()[0]
+        for space, (tbl, col) in SPACES.items()
+    }
+    for t in TABLES:
+        src_sql = f"read_parquet('{src}/{t}.parquet')"
+        if t not in KEYED:  # shared dimension leaves
+            con.execute(
+                f"COPY (SELECT * FROM {src_sql}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            continue
+        shifts = {c: offs[space] for c, space in KEYED[t]}
+        cols = [
+            d[0]
+            for d in con.execute(f"DESCRIBE SELECT * FROM {src_sql}").fetchall()
+        ]
+        exprs = []
+        for c in cols:
+            if c in shifts:
+                exprs.append(f"{c} + r.r * {shifts[c]} AS {c}")
+            elif t == "documents" and c == "text":
+                # keep replicas textually distinct (see module docstring)
+                exprs.append("text || ' replica' || CAST(r.r AS VARCHAR) AS text")
+            elif t == "documents" and c == "n_chars":
+                exprs.append(
+                    "n_chars + length(' replica' || CAST(r.r AS VARCHAR)) AS n_chars"
+                )
+            elif t == "embeddings" and c == "embedding":
+                # perturb ONE component per replica so near-dup structure
+                # is preserved (cosine to the original stays ~1 - 1e-4)
+                # without exact 10-way duplicate groups; keep FLOAT[] type
+                exprs.append(
+                    "CAST(list_transform(CAST(embedding AS DOUBLE[]), "
+                    "(x, i) -> CASE WHEN i = 1 + (r.r % 64) "
+                    "THEN x + 0.01 * r.r ELSE x END) AS FLOAT[]) "
+                    "AS embedding"
+                )
+            else:
+                exprs.append(c)
+        q = (
+            f"COPY (SELECT {', '.join(exprs)} FROM {src_sql} "
+            f"CROSS JOIN (SELECT unnest(generate_series(0, {factor - 1})) AS r) r) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        con.execute(q)
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfX"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    make_sf(out, factor, src)
