@@ -1,0 +1,68 @@
+"""Per-commit cross-engine pins for the round-4 portable-determinism
+oracles: each query's Spark output must equal its generated DuckDB twin
+bit-for-bit at sf0.001 — the same compare the driver runs at sf0.01, but
+inside pytest so a drift in any md5-derived ingredient (planes, centroid
+choice, codebook order, fold order) fails the suite immediately instead
+of at the next driver round.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nosql_based_business_intelligence_system_spark.queries import QUERIES
+
+#: The queries whose verification depends on engine-replayable randomness
+#: or certified sketch bounds (flipped from rows-only in round 4).
+PINNED = (
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_lsh_topk",
+    "semantic_dedup_survivors",
+    "distinct_count_sketches",
+    "hll_mergeable_rollup",
+    "order_value_quantile_sketch",
+    "kll_mergeable_quantiles",
+    "theta_customer_overlap",
+)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0:
+            return "0"
+        return repr(v)
+    return v
+
+
+def _table(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_twin_matches_bit_for_bit(spark, sf_smoke, name):
+    import duckdb
+
+    q = QUERIES[name]
+    assert q.oracle is not None, f"{name} lost its oracle"
+    sdf = q.fn(spark, sf_smoke)
+    got = _table([tuple(r) for r in sdf.collect()], sdf.columns)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/{t}.parquet')"
+        )
+    cur = con.execute(q.oracle)
+    cols = [d[0] for d in cur.description]
+    want = _table(cur.fetchall(), cols)
+    assert sorted(sdf.columns) == sorted(cols)
+    assert got == want
