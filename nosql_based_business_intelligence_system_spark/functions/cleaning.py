@@ -61,20 +61,36 @@ def dsum0(c: Column) -> Column:
     return F.coalesce(dsum(c), F.lit(0).cast(MONEY_DEC))
 
 
+def dec2d(c: Column) -> Column:
+    """Engine-portable DECIMAL -> DOUBLE output cast, via STRING.
+
+    A direct decimal->double cast is NOT portable once the scaled integer
+    passes 2^53 (values above ~9e9 at scale 6): DuckDB computes
+    hugeint / 10^scale in double arithmetic, which double-rounds, while
+    Java's BigDecimal.doubleValue() rounds once — observed 1-ulp
+    divergence at sf1 (301466167380.900000 -> ...380.9 vs ...380.89996).
+    decimal->string is exact on both engines and string->double is
+    correctly rounded on both (Double.parseDouble / fast_float), so this
+    path yields THE nearest double to the exact decimal, identically.
+    Twin: :func:`dd_dec2d`."""
+    return c.cast("string").cast("double")
+
+
 def dsumd(c: Column) -> Column:
     """:func:`dsum` with the exact decimal cast back to DOUBLE at the output
-    boundary. Accumulation stays decimal (order-independent); the single final
-    decimal->double cast is deterministic, so two engines that agree on the
-    decimal agree on the double. Use this — not bare :func:`dsum` — for any
-    column that lands in a query's *output* schema: the external driver's
-    hasher normalizes Decimal cells differently between Spark and DuckDB
-    (round-2 verdict: all 15 hash failures were DECIMAL-typed outputs)."""
-    return dsum(c).cast("double")
+    boundary (via :func:`dec2d` — see its portability note). Accumulation
+    stays decimal (order-independent); the boundary cast is then the unique
+    correctly-rounded double on both engines. Use this — not bare
+    :func:`dsum` — for any column that lands in a query's *output* schema:
+    the external driver's hasher normalizes Decimal cells differently
+    between Spark and DuckDB (round-2 verdict: all 15 hash failures were
+    DECIMAL-typed outputs)."""
+    return dec2d(dsum(c))
 
 
 def dsum0d(c: Column) -> Column:
     """:func:`dsum0` cast back to DOUBLE at the output boundary."""
-    return dsum0(c).cast("double")
+    return dec2d(dsum0(c))
 
 
 def dd_dsum(expr: str) -> str:
@@ -88,14 +104,21 @@ def dd_dsum0(expr: str) -> str:
     return f"coalesce({dd_dsum(expr)}, CAST(0 AS DECIMAL(38,6)))"
 
 
+def dd_dec2d(expr: str) -> str:
+    """DuckDB twin of :func:`dec2d` (decimal -> exact VARCHAR ->
+    correctly-rounded DOUBLE; the direct cast double-rounds above 2^53
+    scaled units)."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def dd_dsumd(expr: str) -> str:
     """DuckDB twin of :func:`dsumd`."""
-    return f"CAST({dd_dsum(expr)} AS DOUBLE)"
+    return dd_dec2d(dd_dsum(expr))
 
 
 def dd_dsum0d(expr: str) -> str:
     """DuckDB twin of :func:`dsum0d`."""
-    return f"CAST({dd_dsum0(expr)} AS DOUBLE)"
+    return dd_dec2d(dd_dsum0(expr))
 
 
 def flag(pred: Column) -> Column:

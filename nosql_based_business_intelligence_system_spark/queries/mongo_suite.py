@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import dd_dsumd, dec2d
 from ..operators.mongo_query import mongo_pipeline
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from .base import Query as _q
@@ -23,7 +24,9 @@ REGION_QUARTER_PIPELINE = [
     {
         "$group": {
             "_id": {"region_desc": "$region_desc", "fin_quarter": "$fin_quarter"},
-            "revenue": {"$sum": "$total_line_price"},
+            # Mongo's own exact-accumulation idiom: Decimal128 sums.
+            # quantity is integer-valued, so its double sum is exact as-is
+            "revenue": {"$sum": {"$toDecimal": "$total_line_price"}},
             "units": {"$sum": "$quantity"},
             "n_lines": {"$sum": 1},
         }
@@ -34,7 +37,7 @@ REGION_QUARTER_PIPELINE = [
 def mongo_region_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns= mirrors exactly the fields the pipeline references —
     # join elimination applies to the Mongo frontend like any consumer
-    return mongo_pipeline(
+    out = mongo_pipeline(
         enriched_sales(
             spark,
             sf_dir,
@@ -47,13 +50,15 @@ def mongo_region_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         REGION_QUARTER_PIPELINE,
     )
+    # decimal inside the pipeline; portable DOUBLE at the driver boundary
+    return out.withColumn("revenue", dec2d(F.col("revenue")))
 
 
 _IN = ", ".join(f"'{r}'" for r in REGIONS)
 
 MONGO_REGION_QUARTER_REVENUE_SQL = f"""WITH {DD_SALES_CTE}
 SELECT region_desc, fin_quarter,
-       SUM(total_line_price) AS revenue,
+       {dd_dsumd('total_line_price')} AS revenue,
        SUM(quantity) AS units,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM sales
@@ -120,12 +125,13 @@ def mongo_receivables_with_payments(spark: SparkSession, sf_dir: str) -> DataFra
             {
                 "$group": {
                     "_id": "$customer_number",
-                    "total_paid": {"$sum": "$tot_payment"},
+                    # Decimal128-style exact sum; portable double below
+                    "total_paid": {"$sum": {"$toDecimal": "$tot_payment"}},
                     "n_payments": {"$count": {}},
                 }
             }
         ],
-    )
+    ).withColumn("total_paid", dec2d(F.col("total_paid")))
     return mongo_pipeline(
         recv,
         [
@@ -165,7 +171,7 @@ def _mongo_receivables_with_payments_sql() -> str:
 
     return f"""WITH recv AS ({AR_AGING_BUCKETS_SQL}),
 pay AS (
-  SELECT user_id AS customer_number, SUM(value) AS total_paid,
+  SELECT user_id AS customer_number, {dd_dsumd('value')} AS total_paid,
          CAST(COUNT(*) AS BIGINT) AS n_payments
   FROM events GROUP BY 1
 )
@@ -369,9 +375,9 @@ def mongo_priority_monthly_running(spark: SparkSession, sf_dir: str) -> DataFram
     orders = load_table(spark, sf_dir, "orders")
     out = mongo_pipeline(orders, MONGO_RUNNING_PIPELINE)
     # decimal accumulation inside the pipeline (incl. the running window);
-    # DOUBLE at the output boundary (driver hash)
+    # portable DOUBLE at the output boundary (driver hash)
     for c in ("revenue", "running_revenue", "prev_revenue"):
-        out = out.withColumn(c, F.col(c).cast("double"))
+        out = out.withColumn(c, dec2d(F.col(c)))
     return out
 
 
@@ -381,10 +387,10 @@ MONGO_PRIORITY_MONTHLY_RUNNING_SQL = """WITH m AS (
          CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY 1, 2
 )
-SELECT ym, pri, CAST(revenue AS DOUBLE) AS revenue, n_orders,
-  CAST(SUM(revenue) OVER w_cum AS DOUBLE) AS running_revenue,
+SELECT ym, pri, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue, n_orders,
+  CAST(CAST(SUM(revenue) OVER w_cum AS VARCHAR) AS DOUBLE) AS running_revenue,
   CAST(ROW_NUMBER() OVER w_ord AS INTEGER) AS month_seq,
-  CAST(LAG(revenue, 1) OVER w_ord AS DOUBLE) AS prev_revenue,
+  CAST(CAST(LAG(revenue, 1) OVER w_ord AS VARCHAR) AS DOUBLE) AS prev_revenue,
   AVG(n_orders) OVER w_3 AS avg_3m_orders
 FROM m
 WINDOW w_ord AS (PARTITION BY pri ORDER BY ym),
@@ -507,8 +513,8 @@ def mongo_monthly_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = mongo_pipeline(
         load_table(spark, sf_dir, "orders"), MONTHLY_PRICE_TIER_PIPELINE
     )
-    # decimal accumulation inside the pipeline; DOUBLE at the output boundary
-    return out.withColumn("revenue", F.col("revenue").cast("double"))
+    # decimal accumulation inside the pipeline; portable DOUBLE boundary
+    return out.withColumn("revenue", dec2d(F.col("revenue")))
 
 
 MONGO_MONTHLY_PRICE_TIERS_SQL = f"""SELECT
@@ -518,7 +524,7 @@ MONGO_MONTHLY_PRICE_TIERS_SQL = f"""SELECT
   CASE WHEN o_totalprice >= {_TIER_LARGE} THEN 'large'
        WHEN o_totalprice >= {_TIER_MEDIUM} THEN 'medium'
        ELSE 'small' END AS tier,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders
 GROUP BY 1, 2"""

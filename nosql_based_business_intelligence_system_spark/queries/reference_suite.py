@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import fiscal
-from ..functions.cleaning import dd_dsum0, dsum0, sum0
+from ..functions.cleaning import dd_dsum0, dd_dsum0d, dsum0, dsum0d, sum0
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from ..sources.tables import load_table
 
@@ -31,8 +31,11 @@ def sales_by_fiscal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_sales(spark, sf_dir, columns={"fin_month_label", "total_line_price", "gross_margin"})
         .groupBy("fin_month_label")
         .agg(
-            sum0(F.col("total_line_price")).alias("revenue"),
-            sum0(F.col("gross_margin")).alias("gross_margin"),
+            # decimal accumulation (order-independent), double at the output
+            # boundary: the sf1 rehearsal showed plain double sums drifting
+            # from the oracle in the 10th digit once groups pass ~50k rows
+            dsum0d(F.col("total_line_price")).alias("revenue"),
+            dsum0d(F.col("gross_margin")).alias("gross_margin"),
         )
         .withColumn("gm_pct", F.col("gross_margin") / F.col("revenue"))
     )
@@ -40,9 +43,9 @@ def sales_by_fiscal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALES_BY_FISCAL_MONTH_SQL = f"""WITH {DD_SALES_CTE}
 SELECT fin_month_label,
-       coalesce(SUM(total_line_price), 0.0) AS revenue,
-       coalesce(SUM(gross_margin), 0.0) AS gross_margin,
-       coalesce(SUM(gross_margin), 0.0) / coalesce(SUM(total_line_price), 0.0) AS gm_pct
+       {dd_dsum0d('total_line_price')} AS revenue,
+       {dd_dsum0d('gross_margin')} AS gross_margin,
+       {dd_dsum0d('gross_margin')} / {dd_dsum0d('total_line_price')} AS gm_pct
 FROM sales GROUP BY fin_month_label"""
 
 
@@ -83,7 +86,7 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         enriched_sales(spark, sf_dir, columns={"product_desc", "total_line_price"})
         .groupBy("product_desc")
-        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+        .agg(dsum0d(F.col("total_line_price")).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("product_desc"))
         .limit(15)
         .select(
@@ -98,7 +101,7 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_PRODUCTS_SQL = f"""WITH {DD_SALES_CTE}
 SELECT substring(product_desc, 1, 30) || '...' AS product_label, revenue
 FROM (
-  SELECT product_desc, coalesce(SUM(total_line_price), 0.0) AS revenue
+  SELECT product_desc, {dd_dsum0d('total_line_price')} AS revenue
   FROM sales GROUP BY product_desc
   ORDER BY revenue DESC, product_desc ASC LIMIT 15
 )"""
@@ -113,7 +116,9 @@ def sales_by_region_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_sales(spark, sf_dir, columns={"fin_month_label", "region_desc", "brand_desc", "quantity", "total_line_price"})
         .groupBy("fin_month_label", "region_desc", "brand_desc")
         .agg(
-            sum0(F.col("total_line_price")).alias("revenue"),
+            dsum0d(F.col("total_line_price")).alias("revenue"),
+            # quantity is integer-valued: its double sum is exact in any
+            # order, no decimal needed
             sum0(F.col("quantity")).alias("units"),
         )
     )
@@ -121,7 +126,7 @@ def sales_by_region_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALES_BY_REGION_BRAND_SQL = f"""WITH {DD_SALES_CTE}
 SELECT fin_month_label, region_desc, brand_desc,
-       coalesce(SUM(total_line_price), 0.0) AS revenue,
+       {dd_dsum0d('total_line_price')} AS revenue,
        coalesce(SUM(quantity), 0.0) AS units
 FROM sales GROUP BY fin_month_label, region_desc, brand_desc"""
 
@@ -154,7 +159,7 @@ def ar_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fin_month_label", fiscal.fiscal_columns(F.col("event_date"))["fin_month_label"]
     )
     return df.groupBy("fin_month_label", "region_desc").agg(
-        sum0(F.col("total_due")).alias("ar_total")
+        dsum0d(F.col("total_due")).alias("ar_total")
     )
 
 
@@ -167,7 +172,7 @@ AR_BY_REGION_SQL = f"""WITH ar AS (
   JOIN region r ON n.n_regionkey = r.r_regionkey
 )
 SELECT strftime(fin_anchor, '%Y-%m') AS fin_month_label, region_desc,
-       coalesce(SUM(total_due), 0.0) AS ar_total
+       {dd_dsum0d('total_due')} AS ar_total
 FROM ar GROUP BY fin_month_label, region_desc"""
 
 
@@ -187,8 +192,8 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("row_count"),
         F.min("event_date").alias("min_date"),
         F.max("event_date").alias("max_date"),
-        # decimal accumulation, DOUBLE at the output boundary (driver hash)
-        dsum0(F.col("total_line_price")).cast("double").alias("total_revenue"),
+        # decimal accumulation, portable DOUBLE at the output boundary
+        dsum0d(F.col("total_line_price")).alias("total_revenue"),
         F.countDistinct("fin_month_label").alias("n_fiscal_months"),
     )
 
@@ -197,7 +202,7 @@ SUMMARY_STATS_SQL = f"""WITH {DD_SALES_CTE}
 SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
        MIN(event_date) AS min_date,
        MAX(event_date) AS max_date,
-       CAST({dd_dsum0('total_line_price')} AS DOUBLE) AS total_revenue,
+       {dd_dsum0d('total_line_price')} AS total_revenue,
        CAST(COUNT(DISTINCT fin_month_label) AS BIGINT) AS n_fiscal_months
 FROM sales"""
 
@@ -298,7 +303,7 @@ def sales_by_fiscal_month_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, spark, "event_date", start="1992-01-01", end="2002-12-31"
     )
     return enriched.groupBy("fin_month_label").agg(
-        sum0(F.col("total_line_price")).alias("revenue")
+        dsum0d(F.col("total_line_price")).alias("revenue")
     )
 
 
@@ -309,7 +314,7 @@ SALES_BY_FISCAL_MONTH_DIM_SQL = f"""WITH anchored AS (
   FROM lineitem
 )
 SELECT strftime(fin_anchor, '%Y-%m') AS fin_month_label,
-       coalesce(SUM(total_line_price), 0.0) AS revenue
+       {dd_dsum0d('total_line_price')} AS revenue
 FROM anchored GROUP BY 1"""
 
 
@@ -322,7 +327,7 @@ def monthly_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         enriched_sales(spark, sf_dir, columns={"fin_month_label", "total_line_price"})
         .groupBy("fin_month_label")
-        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+        .agg(dsum0d(F.col("total_line_price")).alias("revenue"))
     )
     return gapfill_months(monthly)
 
@@ -352,7 +357,7 @@ def gapfill_months(
 
 MONTHLY_REVENUE_GAPFILLED_SQL = f"""WITH {DD_SALES_CTE}
 , monthly AS (
-  SELECT fin_month_label, coalesce(SUM(total_line_price), 0.0) AS revenue
+  SELECT fin_month_label, {dd_dsum0d('total_line_price')} AS revenue
   FROM sales GROUP BY fin_month_label
 ), bounds AS (
   SELECT MIN(fin_month_label) AS lo, MAX(fin_month_label) AS hi FROM monthly
@@ -377,7 +382,7 @@ def sales_by_fiscal_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_sales(spark, sf_dir, columns={"fin_week_label", "quantity", "total_line_price"})
         .groupBy("fin_week_label")
         .agg(
-            sum0(F.col("total_line_price")).alias("revenue"),
+            dsum0d(F.col("total_line_price")).alias("revenue"),
             sum0(F.col("quantity")).alias("units"),
         )
     )
@@ -385,7 +390,7 @@ def sales_by_fiscal_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SALES_BY_FISCAL_WEEK_SQL = f"""WITH {DD_SALES_CTE}
 SELECT fin_week_label,
-       coalesce(SUM(total_line_price), 0.0) AS revenue,
+       {dd_dsum0d('total_line_price')} AS revenue,
        coalesce(SUM(quantity), 0.0) AS units
 FROM sales GROUP BY fin_week_label"""
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.cleaning import dd_dsumd
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from ..sources.tables import load_table
 from .base import Query as _q
@@ -105,10 +106,13 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``spark.sql`` surface over a registered view of the enriched sales
     plan (same Catalyst plan as the DataFrame API would build)."""
     enriched_sales(spark, sf_dir, columns={"region_desc", "brand_desc", "total_line_price"}).createOrReplaceTempView("sales_gs")
+    # decimal accumulation + portable string-cast boundary, spelled in SQL
+    # (same dsumd/dec2d semantics as the DataFrame queries)
     return spark.sql(
         """
         SELECT region_desc, brand_desc,
-               SUM(total_line_price) AS revenue,
+               CAST(CAST(SUM(CAST(total_line_price AS DECIMAL(38,6))) AS STRING)
+                    AS DOUBLE) AS revenue,
                CAST(GROUPING(region_desc) * 2 + GROUPING(brand_desc) AS BIGINT) AS gid
         FROM sales_gs
         GROUP BY GROUPING SETS ((region_desc), (brand_desc), ())
@@ -117,7 +121,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GROUPING_SETS_REVENUE_SQL = f"""WITH {DD_SALES_CTE}
-SELECT region_desc, brand_desc, SUM(total_line_price) AS revenue,
+SELECT region_desc, brand_desc, {dd_dsumd('total_line_price')} AS revenue,
        CAST(GROUPING(region_desc) * 2 + GROUPING(brand_desc) AS BIGINT) AS gid
 FROM sales GROUP BY GROUPING SETS ((region_desc), (brand_desc), ())"""
 

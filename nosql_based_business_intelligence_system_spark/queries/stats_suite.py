@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import MONEY_DEC, dd_dsum
+from ..functions.cleaning import (
+    MONEY_DEC,
+    dd_dec2d,
+    dd_dsum,
+    dd_dsumd,
+    dec2d,
+    dsumd,
+)
 from ..operators.fill import densify, fill_series
 from ..operators.rollup import multires_rollup
 from ..operators.star import DD_SALES_CTE, enriched_sales
@@ -34,14 +41,14 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         enriched_sales(spark, sf_dir, columns={"region_desc", "brand_desc", "total_line_price"})
         .rollup("region_desc", "brand_desc")
         .agg(
-            F.sum("total_line_price").alias("revenue"),
+            dsumd(F.col("total_line_price")).alias("revenue"),
             F.grouping_id().alias("gid"),
         )
     )
 
 
 REVENUE_ROLLUP_SQL = f"""WITH {DD_SALES_CTE}
-SELECT region_desc, brand_desc, SUM(total_line_price) AS revenue,
+SELECT region_desc, brand_desc, {dd_dsumd('total_line_price')} AS revenue,
        CAST(GROUPING(region_desc) * 2 + GROUPING(brand_desc) AS BIGINT) AS gid
 FROM sales GROUP BY ROLLUP (region_desc, brand_desc)"""
 
@@ -78,24 +85,25 @@ def region_quarter_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.groupBy("region_desc")
         .pivot("qnum", [1, 2, 3, 4])
-        .agg(F.sum("total_line_price"))
+        .agg(dsumd(F.col("total_line_price")))
         .toDF("region_desc", "q1_revenue", "q2_revenue", "q3_revenue", "q4_revenue")
     )
 
 
 REGION_QUARTER_PIVOT_SQL = f"""WITH {DD_SALES_CTE}
 SELECT region_desc,
-  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 1 THEN total_line_price END) AS q1_revenue,
-  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 2 THEN total_line_price END) AS q2_revenue,
-  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 3 THEN total_line_price END) AS q3_revenue,
-  SUM(CASE WHEN (fin_month_num - 1) // 3 + 1 = 4 THEN total_line_price END) AS q4_revenue
+  {dd_dsumd(f'CASE WHEN (fin_month_num - 1) // 3 + 1 = 1 THEN total_line_price END')} AS q1_revenue,
+  {dd_dsumd(f'CASE WHEN (fin_month_num - 1) // 3 + 1 = 2 THEN total_line_price END')} AS q2_revenue,
+  {dd_dsumd(f'CASE WHEN (fin_month_num - 1) // 3 + 1 = 3 THEN total_line_price END')} AS q3_revenue,
+  {dd_dsumd(f'CASE WHEN (fin_month_num - 1) // 3 + 1 = 4 THEN total_line_price END')} AS q4_revenue
 FROM sales GROUP BY region_desc"""
 
 
 def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per segment (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``; at 100 TB swap for approx_percentile and a
-    documented tolerance)."""
+    """Exact interpolated percentiles per segment (the twin replicates
+    Spark's interpolation via _dd_spark_percentile — quantile_cont drifts
+    an ulp on duplicate-heavy data; at 100 TB swap for approx_percentile
+    and a documented tolerance)."""
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
@@ -109,12 +117,41 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORDER_VALUE_PERCENTILES_SQL = """SELECT c_mktsegment,
-  quantile_cont(o_totalprice, 0.5) AS p50,
-  quantile_cont(o_totalprice, 0.9) AS p90,
-  quantile_cont(o_totalprice, 0.99) AS p99
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment"""
+
+
+def _dd_spark_percentile(q: float, v: str = "v", n: str = "n") -> str:
+    """DuckDB expression replicating Spark's ``percentile`` bit-for-bit
+    over rows carrying 0-indexed rank ``rk`` (ordered by {v}) and group
+    size {n}: position = q * (n-1) in DOUBLE; result =
+    (ceil(pos) - pos) * lowerValue + (pos - floor(pos)) * higherValue,
+    EXCEPT when the two order statistics are equal, where Spark
+    short-circuits to the value itself (its weights only sum to ~1, so
+    the weighted form of two EQUAL values drifts an ulp — the sf1
+    divergence DuckDB's quantile_cont exhibits on duplicate-heavy data).
+    """
+    pos = f"(CAST({q} AS DOUBLE) * CAST({n} - 1 AS DOUBLE))"
+    lo = f"MAX(CASE WHEN rk = CAST(floor({pos}) AS BIGINT) THEN {v} END)"
+    hi = f"MAX(CASE WHEN rk = CAST(ceil({pos}) AS BIGINT) THEN {v} END)"
+    return (
+        f"(CASE WHEN {lo} = {hi} THEN {lo} "
+        f"ELSE (ceil({pos}) - {pos}) * {lo} + ({pos} - floor({pos})) * {hi} "
+        f"END)"
+    )
+
+ORDER_VALUE_PERCENTILES_SQL = f"""WITH base AS (
+  SELECT c_mktsegment, o_totalprice AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ranked AS (
+  SELECT c_mktsegment, v,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY v) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM base
+)
+SELECT c_mktsegment,
+  {_dd_spark_percentile(0.5)} AS p50,
+  {_dd_spark_percentile(0.9)} AS p90,
+  {_dd_spark_percentile(0.99)} AS p99
+FROM ranked GROUP BY c_mktsegment, n"""
 
 
 def lineitem_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,13 +194,14 @@ def ar_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     age = F.datediff(F.lit(AR_AS_OF).cast("date"), F.to_date("o_orderdate"))
     edges = AGING_BUCKETS
-    cols = {"total_due": F.sum("o_totalprice").alias("total_due")}
-    aggs = [cols["total_due"]]
+    # decimal accumulation even at customer grain: a handful of double
+    # addends still sums in engine-specific order (sf1 rehearsal finding)
+    aggs = [dsumd(F.col("o_totalprice")).alias("total_due")]
     for i, lo in enumerate(edges):
         hi = edges[i + 1] if i + 1 < len(edges) else None
         cond = (age >= lo) & (age < hi) if hi is not None else age >= lo
         name = "amt_current" if lo == 0 else f"amt_{lo}_days"
-        aggs.append(F.sum(F.when(cond, F.col("o_totalprice")).otherwise(0.0)).alias(name))
+        aggs.append(dsumd(F.when(cond, F.col("o_totalprice")).otherwise(0.0)).alias(name))
     return (
         orders.groupBy(F.col("o_custkey").alias("customer_number")).agg(*aggs)
     )
@@ -177,12 +215,15 @@ def _dd_aging_cases() -> str:
         hi = edges[i + 1] if i + 1 < len(edges) else None
         cond = f"{age} >= {lo} AND {age} < {hi}" if hi is not None else f"{age} >= {lo}"
         name = "amt_current" if lo == 0 else f"amt_{lo}_days"
-        parts.append(f"SUM(CASE WHEN {cond} THEN o_totalprice ELSE 0.0 END) AS {name}")
+        parts.append(
+            dd_dsumd(f"CASE WHEN {cond} THEN o_totalprice ELSE 0.0 END")
+            + f" AS {name}"
+        )
     return ",\n  ".join(parts)
 
 
 AR_AGING_BUCKETS_SQL = f"""SELECT o_custkey AS customer_number,
-  SUM(o_totalprice) AS total_due,
+  {dd_dsumd('o_totalprice')} AS total_due,
   {_dd_aging_cases()}
 FROM orders WHERE o_orderstatus = 'O'
 GROUP BY o_custkey"""
@@ -377,17 +418,17 @@ def weekday_revenue_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(d, "EEEE").alias("day_name"),
         )
         .agg(
-            F.sum("l_extendedprice").alias("revenue"),
+            dsumd(F.col("l_extendedprice")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 # DuckDB dayofweek: Sun=0..Sat=6; Spark dayofweek: Sun=1..Sat=7 -> +1.
-WEEKDAY_REVENUE_PATTERN_SQL = """SELECT
+WEEKDAY_REVENUE_PATTERN_SQL = f"""SELECT
   CAST(dayofweek(CAST(l_shipdate AS DATE)) + 1 AS INTEGER) AS dow,
   dayname(CAST(l_shipdate AS DATE)) AS day_name,
-  SUM(l_extendedprice) AS revenue,
+  {dd_dsumd('l_extendedprice')} AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem GROUP BY 1, 2"""
 
@@ -400,14 +441,14 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hour_of_day"), F.col("event_type")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.avg("value").alias("avg_value"),
+        (dsumd(F.col("value")) / F.count(F.lit(1))).alias("avg_value"),
     )
 
 
-EVENTS_HOURLY_PROFILE_SQL = """SELECT
+EVENTS_HOURLY_PROFILE_SQL = f"""SELECT
   CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  AVG(value) AS avg_value
+  {dd_dsumd('value')} / COUNT(*) AS avg_value
 FROM events GROUP BY 1, 2"""
 
 
@@ -429,16 +470,16 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         resolutions=("hour", "day", "month"),
     )
-    # decimal through the grain re-aggregation; DOUBLE at the output boundary
+    # decimal through the grain re-aggregation; portable DOUBLE boundary
     return rolled.withColumn(
-        "total_value", F.col("total_value").cast("double")
+        "total_value", dec2d(F.col("total_value"))
     )
 
 
 _MRR_LEVEL = """SELECT '{res}' AS resolution,
   date_trunc('{res}', ts) AS bucket_start, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST({vsum} AS DOUBLE) AS total_value,
+  CAST(CAST({vsum} AS VARCHAR) AS DOUBLE) AS total_value,
   MAX(value) AS max_value
 FROM events GROUP BY 2, 3"""
 
@@ -518,13 +559,22 @@ def order_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORDER_VALUE_QUANTILE_SKETCH_SQL = """SELECT o_orderpriority,
+_RANKED_BY_PRIORITY = """ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(o_totalprice AS DOUBLE)) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)"""
+
+ORDER_VALUE_QUANTILE_SKETCH_SQL = f"""WITH {_RANKED_BY_PRIORITY}
+SELECT o_orderpriority,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact,
+  {_dd_spark_percentile(0.5)} AS p50_exact,
+  {_dd_spark_percentile(0.9)} AS p90_exact,
+  {_dd_spark_percentile(0.99)} AS p99_exact,
   TRUE AS within_bound
-FROM orders GROUP BY o_orderpriority"""
+FROM ranked GROUP BY o_orderpriority, n"""
 
 
 def kll_mergeable_quantiles_detail(
@@ -631,20 +681,27 @@ def kll_mergeable_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KLL_MERGEABLE_QUANTILES_SQL = """SELECT o_orderpriority AS key,
+KLL_MERGEABLE_QUANTILES_SQL = f"""WITH {_RANKED_BY_PRIORITY},
+ranked_all AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DOUBLE)) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM orders
+)
+SELECT o_orderpriority AS key,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact,
+  {_dd_spark_percentile(0.5)} AS p50_exact,
+  {_dd_spark_percentile(0.9)} AS p90_exact,
+  {_dd_spark_percentile(0.99)} AS p99_exact,
   TRUE AS within_bound
-FROM orders GROUP BY o_orderpriority
+FROM ranked GROUP BY o_orderpriority, n
 UNION ALL
 SELECT '*' AS key, CAST(COUNT(*) AS BIGINT) AS n_orders,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS p50_exact,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
-  quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS p99_exact,
+  {_dd_spark_percentile(0.5)} AS p50_exact,
+  {_dd_spark_percentile(0.9)} AS p90_exact,
+  {_dd_spark_percentile(0.99)} AS p99_exact,
   TRUE AS within_bound
-FROM orders"""
+FROM ranked_all GROUP BY n"""
 
 
 def events_hourly_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.cleaning import dd_dsumd
 from ..sources.tables import load_table
 from ..streaming import windows as W
 from ..operators.seqmatch import sequence_stages
@@ -27,12 +28,12 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.tumbling_counts(_events(spark, sf_dir), "1 hour")
 
 
-EVENTS_TUMBLING_HOURLY_SQL = """SELECT
+EVENTS_TUMBLING_HOURLY_SQL = f"""SELECT
   date_trunc('hour', ts) AS window_start,
   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
   event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  SUM(value) AS total_value
+  {dd_dsumd('value')} AS total_value
 FROM events GROUP BY 1, 2, 3"""
 
 
@@ -152,7 +153,7 @@ def payments_by_fiscal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.value/ts to tot_payment/deposit_date): payment totals per
     FISCAL month — the fiscal calendar applied to a second date domain."""
     from ..functions import fiscal
-    from ..functions.cleaning import sum0
+    from ..functions.cleaning import dsum0d
     from ..sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -160,7 +161,7 @@ def payments_by_fiscal_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enriched = fiscal.with_fiscal_columns(ev, "deposit_date")
     return enriched.groupBy("fin_month_label").agg(
-        sum0(F.col("tot_payment")).alias("total_payments"),
+        dsum0d(F.col("tot_payment")).alias("total_payments"),
         F.count(F.lit(1)).alias("n_payments"),
     )
 
@@ -171,7 +172,7 @@ PAYMENTS_BY_FISCAL_MONTH_SQL = f"""WITH anchored AS (
   FROM events
 )
 SELECT strftime(fin_anchor, '%Y-%m') AS fin_month_label,
-       coalesce(SUM(tot_payment), 0.0) AS total_payments,
+       {{dd_total}} AS total_payments,
        CAST(COUNT(*) AS BIGINT) AS n_payments
 FROM anchored GROUP BY 1"""
 
@@ -179,8 +180,11 @@ FROM anchored GROUP BY 1"""
 def _payments_sql() -> str:
     from ..functions import fiscal
 
+    from ..functions.cleaning import dd_dsum0d
+
     return PAYMENTS_BY_FISCAL_MONTH_SQL.format(
-        anchor=fiscal.dd_fiscal_anchor("CAST(ts AS DATE)")
+        anchor=fiscal.dd_fiscal_anchor("CAST(ts AS DATE)"),
+        dd_total=dd_dsum0d("tot_payment"),
     )
 
 

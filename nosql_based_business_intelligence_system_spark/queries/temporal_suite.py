@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import MONEY_DEC, dd_dsum, dsum
+from ..functions.cleaning import dd_dec2d, dd_dsumd, dec2d, MONEY_DEC, dd_dsum, dsum
 from ..operators.asof import asof_join
 from ..operators.rangejoin import band_join, interval_join, interval_overlap_join
 from ..operators.scd import scd2_from_events
@@ -184,8 +184,8 @@ def price_tier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tier")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            # decimal accumulation, DOUBLE at the output boundary
-            dsum(F.col("o_totalprice")).cast("double").alias("revenue"),
+            # decimal accumulation, portable DOUBLE boundary
+            dec2d(dsum(F.col("o_totalprice"))).alias("revenue"),
         )
     )
 
@@ -196,7 +196,7 @@ _TIER_VALUES = ", ".join(
 
 PRICE_TIER_TOTALS_SQL = f"""SELECT tier,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST({dd_dsum('o_totalprice')} AS DOUBLE) AS revenue
+  {dd_dsumd('o_totalprice')} AS revenue
 FROM orders
 JOIN (VALUES {_TIER_VALUES}) t(tier, lo, hi)
   ON o_totalprice >= lo AND (hi IS NULL OR o_totalprice < hi)
@@ -238,17 +238,17 @@ def purchase_nearby_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
-            # decimal zero-fill, DOUBLE at the output boundary
-            F.coalesce(
-                "click_value", F.lit(0).cast(MONEY_DEC)
-            ).cast("double").alias("click_value"),
+            # decimal zero-fill, portable DOUBLE boundary
+            dec2d(
+                F.coalesce("click_value", F.lit(0).cast(MONEY_DEC))
+            ).alias("click_value"),
         )
     )
 
 
 PURCHASE_NEARBY_CLICKS_SQL = f"""SELECT p.event_id, p.user_id, p.ts,
   CAST(COUNT(c.ts) AS BIGINT) AS n_clicks,
-  CAST(COALESCE({dd_dsum('c.value')}, CAST(0 AS DECIMAL(38,6))) AS DOUBLE)
+  {dd_dec2d(f"COALESCE({dd_dsum('c.value')}, CAST(0 AS DECIMAL(38,6)))")}
     AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
@@ -315,8 +315,8 @@ def session_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "session_start", "session_end", "n_activity"
     ).agg(
         F.count(F.lit(1)).alias("n_purchases"),
-        # decimal accumulation, DOUBLE at the output boundary
-        dsum(F.col("purchase_value")).cast("double").alias("purchase_value"),
+        # decimal accumulation, portable DOUBLE boundary
+        dec2d(dsum(F.col("purchase_value"))).alias("purchase_value"),
     )
 
 
@@ -341,7 +341,7 @@ SESSION_PURCHASE_ATTRIBUTION_SQL = f"""WITH act AS (
 )
 SELECT s.user_id, s.session_start, s.session_end, s.n_activity,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       CAST({dd_dsum('p.value')} AS DOUBLE) AS purchase_value
+       {dd_dsumd('p.value')} AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN sess s
   ON p.user_id = s.user_id

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import dd_dsum, dsum
+from ..functions.cleaning import dd_dec2d, dd_dsum, dd_dsumd, dec2d, dsum, dsumd
 from ..sources.tables import load_table
 from .base import Query as _q
 
@@ -44,32 +44,36 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.to_date("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantity is integer-valued -> its double sum/avg are exact in
+            # any order; the money sums/avgs accumulate in exact decimal and
+            # cross the output boundary via the portable string cast (sf1
+            # rehearsal: double money sums drift with partial-agg order)
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsumd(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_disc_price"
             ),
-            F.sum(
+            dsumd(
                 F.col("l_extendedprice")
                 * (1 - F.col("l_discount"))
                 * (1 + F.col("l_tax"))
             ).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            (dsumd(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            (dsumd(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
 
 
-PRICING_SUMMARY_SQL = """SELECT l_returnflag, l_linestatus,
+PRICING_SUMMARY_SQL = f"""SELECT l_returnflag, l_linestatus,
   SUM(l_quantity) AS sum_qty,
-  SUM(l_extendedprice) AS sum_base_price,
-  SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-  SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+  {dd_dsumd('l_extendedprice')} AS sum_base_price,
+  {dd_dsumd('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+  {dd_dsumd('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
   AVG(l_quantity) AS avg_qty,
-  AVG(l_extendedprice) AS avg_price,
-  AVG(l_discount) AS avg_disc,
+  {dd_dsumd('l_extendedprice')} / COUNT(*) AS avg_price,
+  {dd_dsumd('l_discount')} / COUNT(*) AS avg_disc,
   CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
@@ -114,14 +118,14 @@ def top_building_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("o_date").alias("orderdate"),
-            # top-k cut on the exact decimal; DOUBLE at the output boundary
-            F.col("revenue").cast("double").alias("revenue"),
+            # top-k cut on the exact decimal; portable DOUBLE boundary
+            dec2d(F.col("revenue")).alias("revenue"),
         )
     )
 
 
 TOP_BUILDING_ORDERS_SQL = f"""SELECT orderkey, orderdate,
-       CAST(revenue AS DOUBLE) AS revenue
+       {dd_dec2d('revenue')} AS revenue
 FROM (
   SELECT l_orderkey AS orderkey,
          CAST(o_orderdate AS DATE) AS orderdate,
@@ -175,12 +179,12 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return df.groupBy(F.col("n_name").alias("nation")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
 
 
-REGIONAL_REVENUE_SQL = """SELECT n_name AS nation,
-       SUM(l_extendedprice * (1 - l_discount)) AS revenue
+REGIONAL_REVENUE_SQL = f"""SELECT n_name AS nation,
+       {dd_dsumd('l_extendedprice * (1 - l_discount)')} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -208,11 +212,11 @@ def revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("forecast_revenue"))
+        .agg(dsumd(F.col("l_extendedprice") * F.col("l_discount")).alias("forecast_revenue"))
     )
 
 
-REVENUE_FORECAST_SQL = """SELECT SUM(l_extendedprice * l_discount) AS forecast_revenue
+REVENUE_FORECAST_SQL = f"""SELECT {dd_dsumd('l_extendedprice * l_discount')} AS forecast_revenue
 FROM lineitem
 WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
   AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
@@ -327,15 +331,14 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.join(part, li.l_partkey == part.p_partkey).agg(
         (
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-            / F.sum(rev)
+            * dsumd(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / dsumd(rev)
         ).alias("promo_revenue_pct")
     )
 
 
-PROMO_REVENUE_SHARE_SQL = """SELECT 100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-             / SUM(l_extendedprice * (1 - l_discount)) AS promo_revenue_pct
+PROMO_REVENUE_SHARE_SQL = f"""SELECT 100.0 * {dd_dsumd("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+             / {dd_dsumd('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
   AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'"""
@@ -364,8 +367,8 @@ def segment_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
             # decimal accumulation, DOUBLE at the output boundary
-            total.cast("double").alias("total_value"),
-            (total.cast("double") / F.count(F.lit(1))).alias("avg_value"),
+            dec2d(total).alias("total_value"),
+            (dec2d(total) / F.count(F.lit(1))).alias("avg_value"),
         )
         .filter(F.col("n_orders") > 50)
     )
@@ -374,8 +377,8 @@ def segment_value_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEGMENT_VALUE_SUMMARY_SQL = f"""SELECT c_mktsegment,
        CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST({dd_dsum('o_totalprice')} AS DOUBLE) AS total_value,
-       CAST({dd_dsum('o_totalprice')} AS DOUBLE) / COUNT(*) AS avg_value
+       {dd_dsumd('o_totalprice')} AS total_value,
+       {dd_dsumd('o_totalprice')} / COUNT(*) AS avg_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 HAVING COUNT(*) > 50"""
@@ -441,23 +444,23 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partial-agg order; the /count and /7.0 happen in double identically
     # on both sides (one IEEE division over identical operands).
     avg_qty = li.groupBy("l_partkey").agg(
-        ((dsum(F.col("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ((dec2d(dsum(F.col("l_quantity"))) / F.count(F.lit(1)))
          * F.lit(0.2)).alias("qty_cut")
     )
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(avg_qty, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg((dsum(F.col("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .agg((dec2d(dsum(F.col("l_extendedprice"))) / F.lit(7.0)).alias("avg_yearly"))
     )
 
 
 SMALL_QUANTITY_REVENUE_SQL = f"""SELECT
-  CAST({dd_dsum('l_extendedprice')} AS DOUBLE) / 7.0 AS avg_yearly
+  {dd_dsumd('l_extendedprice')} / 7.0 AS avg_yearly
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand = 'Brand#1'
   AND l.l_quantity < (
-    SELECT CAST({dd_dsum('l_quantity')} AS DOUBLE) / COUNT(*) * 0.2
+    SELECT {dd_dsumd('l_quantity')} / COUNT(*) * 0.2
     FROM lineitem WHERE l_partkey = l.l_partkey
   )"""
 
@@ -483,12 +486,12 @@ def top_return_loss_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
         # top-k cut on the exact decimal; DOUBLE at the output boundary
-        .withColumn("lost_revenue", F.col("lost_revenue").cast("double"))
+        .withColumn("lost_revenue", dec2d(F.col("lost_revenue")))
     )
 
 
 TOP_RETURN_LOSS_CUSTOMERS_SQL = f"""SELECT c_custkey, c_name, c_acctbal,
-       CAST(lost_revenue AS DOUBLE) AS lost_revenue
+       {dd_dec2d('lost_revenue')} AS lost_revenue
 FROM (
   SELECT c_custkey, c_name, c_acctbal,
     {dd_dsum('l_extendedprice * (1 - l_discount)')} AS lost_revenue
@@ -515,19 +518,19 @@ def supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy(F.col("n_name").alias("supplier_nation"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            dsumd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_lines"),
-            F.avg("l_discount").alias("avg_discount"),
+            (dsumd(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_discount"),
         )
     )
 
 
-SUPPLIER_NATION_REVENUE_SQL = """SELECT n_name AS supplier_nation,
-  SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+SUPPLIER_NATION_REVENUE_SQL = f"""SELECT n_name AS supplier_nation,
+  {dd_dsumd('l_extendedprice * (1 - l_discount)')} AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_lines,
-  AVG(l_discount) AS avg_discount
+  {dd_dsumd('l_discount')} / COUNT(*) AS avg_discount
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
@@ -542,25 +545,34 @@ def above_segment_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cust = load_table(spark, sf_dir, "customer")
-    seg_avg = F.avg("c_acctbal").over(Window.partitionBy("c_mktsegment"))
+    # the segment average must be bit-identical across engines or a
+    # customer sitting within an ulp of it flips membership: exact decimal
+    # window sum, portable string cast, one IEEE division
+    seg_avg = dec2d(
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).over(
+            Window.partitionBy("c_mktsegment")
+        )
+    ) / F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
     return (
         cust.withColumn("seg_avg", seg_avg)
         .filter(F.col("c_acctbal") > F.col("seg_avg"))
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("c_acctbal").alias("total_balance"),
+            dsumd(F.col("c_acctbal")).alias("total_balance"),
         )
     )
 
 
-ABOVE_SEGMENT_AVG_CUSTOMERS_SQL = """SELECT c_mktsegment,
+ABOVE_SEGMENT_AVG_CUSTOMERS_SQL = f"""SELECT c_mktsegment,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
-  SUM(c_acctbal) AS total_balance
-FROM customer c
-WHERE c_acctbal > (
-  SELECT AVG(c_acctbal) FROM customer i WHERE i.c_mktsegment = c.c_mktsegment
-)
+  {dd_dsumd('c_acctbal')} AS total_balance
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+         {dd_dec2d('SUM(CAST(c_acctbal AS DECIMAL(38,6))) OVER (PARTITION BY c_mktsegment)')}
+           / COUNT(*) OVER (PARTITION BY c_mktsegment) AS seg_avg
+  FROM customer
+) WHERE c_acctbal > seg_avg
 GROUP BY c_mktsegment"""
 
 
@@ -591,14 +603,14 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(band).agg(
-        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("double").alias("revenue"),
+        dec2d(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 DISJUNCTIVE_PROMO_REVENUE_SQL = f"""SELECT
-  CAST({dd_dsum('l_extendedprice * (1 - l_discount)')} AS DOUBLE) AS revenue,
+  {dd_dsumd('l_extendedprice * (1 - l_discount)')} AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
@@ -757,8 +769,8 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(F.to_date("l_shipdate")).cast("int").alias("ship_year"),
         )
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-            .cast("double").alias("volume"),
+            dec2d(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("volume"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -767,7 +779,7 @@ def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
 NATION_TRADE_FLOWS_SQL = f"""SELECT
   sn.n_name AS supp_nation, cn.n_name AS cust_nation,
   CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS ship_year,
-  CAST({dd_dsum('l_extendedprice * (1 - l_discount)')} AS DOUBLE) AS volume,
+  {dd_dsumd('l_extendedprice * (1 - l_discount)')} AS volume,
   CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -828,11 +840,11 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "order_year",
-        F.col("nation_volume").cast("double").alias("nation_volume"),
-        F.col("total_volume").cast("double").alias("total_volume"),
+        dec2d(F.col("nation_volume")).alias("nation_volume"),
+        dec2d(F.col("total_volume")).alias("total_volume"),
         (
-            F.col("nation_volume").cast("double")
-            / F.col("total_volume").cast("double")
+            dec2d(F.col("nation_volume"))
+            / dec2d(F.col("total_volume"))
         ).alias("market_share"),
     )
 
@@ -851,11 +863,11 @@ NATION_MARKET_SHARE_SQL = f"""WITH base AS (
   WHERE r_name = '{_SHARE_REGION}'
 )
 SELECT order_year,
-  CAST({dd_dsum(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")} AS DOUBLE)
+  {dd_dsumd(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")}
     AS nation_volume,
-  CAST({dd_dsum('vol')} AS DOUBLE) AS total_volume,
-  CAST({dd_dsum(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")} AS DOUBLE)
-    / CAST({dd_dsum('vol')} AS DOUBLE) AS market_share
+  {dd_dsumd('vol')} AS total_volume,
+  {dd_dsumd(f"CASE WHEN supp_nation = '{_SHARE_NATION}' THEN vol ELSE 0.0 END")}
+    / {dd_dsumd('vol')} AS market_share
 FROM base
 GROUP BY order_year"""
 
@@ -1001,8 +1013,8 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.join(supp, best.l_suppkey == supp.s_suppkey).select(
         "s_suppkey",
         "s_name",
-        # max-filter on the exact decimal; DOUBLE at the output boundary
-        F.col("total_revenue").cast("double").alias("total_revenue"),
+        # max-filter on the exact decimal; portable DOUBLE boundary
+        dec2d(F.col("total_revenue")).alias("total_revenue"),
     )
 
 
@@ -1014,7 +1026,7 @@ TOP_REVENUE_SUPPLIERS_SQL = f"""WITH rev AS (
     AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+SELECT s_suppkey, s_name, {dd_dec2d('total_revenue')} AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"""
 

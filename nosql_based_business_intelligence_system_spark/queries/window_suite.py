@@ -17,7 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import dd_dsum0, dsum0, sum0
+from ..functions.cleaning import (
+    dd_dec2d,
+    dd_dsum,
+    dd_dsum0,
+    dd_dsum0d,
+    dec2d,
+    dsum0,
+    dsum0d,
+    sum0,
+)
 from ..operators.star import DD_SALES_CTE, enriched_sales
 from .base import Query as _q
 
@@ -40,14 +49,16 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("fin_month_label")
     prev = F.lag("revenue").over(w)
-    prev_d = prev.cast("double")
-    rev_d = F.col("revenue").cast("double")
+    prev_d = dec2d(prev)
+    rev_d = dec2d(F.col("revenue"))
     return monthly.select(
         "fin_month_label",
         rev_d.alias("revenue"),
-        F.sum("revenue").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).cast("double").alias("cumulative_revenue"),
+        dec2d(
+            F.sum("revenue").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("cumulative_revenue"),
         prev_d.alias("prev_revenue"),
         F.when(prev > 0, (rev_d - prev_d) / prev_d).alias("mom_growth"),
     )
@@ -58,15 +69,13 @@ monthly AS (
   SELECT fin_month_label, {dd_dsum0('total_line_price')} AS revenue
   FROM sales GROUP BY fin_month_label
 )
-SELECT fin_month_label, CAST(revenue AS DOUBLE) AS revenue,
-  CAST(SUM(revenue) OVER (ORDER BY fin_month_label
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    AS DOUBLE) AS cumulative_revenue,
-  CAST(LAG(revenue) OVER (ORDER BY fin_month_label) AS DOUBLE) AS prev_revenue,
+SELECT fin_month_label, {dd_dec2d('revenue')} AS revenue,
+  {dd_dec2d("SUM(revenue) OVER (ORDER BY fin_month_label ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cumulative_revenue,
+  {dd_dec2d('LAG(revenue) OVER (ORDER BY fin_month_label)')} AS prev_revenue,
   CASE WHEN LAG(revenue) OVER (ORDER BY fin_month_label) > 0
-       THEN (CAST(revenue AS DOUBLE)
-             - CAST(LAG(revenue) OVER (ORDER BY fin_month_label) AS DOUBLE))
-            / CAST(LAG(revenue) OVER (ORDER BY fin_month_label) AS DOUBLE)
+       THEN ({dd_dec2d('revenue')}
+             - {dd_dec2d('LAG(revenue) OVER (ORDER BY fin_month_label)')})
+            / {dd_dec2d('LAG(revenue) OVER (ORDER BY fin_month_label)')}
        END AS mom_growth
 FROM monthly"""
 
@@ -76,22 +85,29 @@ def revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         enriched_sales(spark, sf_dir, columns={"fin_month_label", "total_line_price"})
         .groupBy("fin_month_label")
-        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+        .agg(dsum0(F.col("total_line_price")).alias("revenue"))
     )
+    # exact decimal frame sum, portable cast, ONE double division — a
+    # double AVG over the frame would re-accumulate in engine-specific
+    # order, and decimal AVG quotient scales differ between engines
     w = Window.orderBy("fin_month_label").rowsBetween(-2, 0)
     return monthly.select(
-        "fin_month_label", "revenue", F.avg("revenue").over(w).alias("revenue_ma3")
+        "fin_month_label",
+        dec2d(F.col("revenue")).alias("revenue"),
+        (dec2d(F.sum("revenue").over(w)) / F.count(F.lit(1)).over(w)).alias(
+            "revenue_ma3"
+        ),
     )
 
 
 REVENUE_MOVING_AVG_SQL = f"""WITH {DD_SALES_CTE},
 monthly AS (
-  SELECT fin_month_label, coalesce(SUM(total_line_price), 0.0) AS revenue
+  SELECT fin_month_label, {dd_dsum0('total_line_price')} AS revenue
   FROM sales GROUP BY fin_month_label
 )
-SELECT fin_month_label, revenue,
-  AVG(revenue) OVER (ORDER BY fin_month_label
-                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS revenue_ma3
+SELECT fin_month_label, {dd_dec2d('revenue')} AS revenue,
+  {dd_dec2d("SUM(revenue) OVER (ORDER BY fin_month_label ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")}
+    / (COUNT(*) OVER (ORDER BY fin_month_label ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS revenue_ma3
 FROM monthly"""
 
 
@@ -100,7 +116,7 @@ def top_products_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         enriched_sales(spark, sf_dir, columns={"product_desc", "region_desc", "total_line_price"})
         .groupBy("region_desc", "product_desc")
-        .agg(sum0(F.col("total_line_price")).alias("revenue"))
+        .agg(dsum0d(F.col("total_line_price")).alias("revenue"))
     )
     w = Window.partitionBy("region_desc").orderBy(
         F.desc("revenue"), F.asc("product_desc")
@@ -114,7 +130,7 @@ def top_products_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_PRODUCTS_PER_REGION_SQL = f"""WITH {DD_SALES_CTE},
 per AS (
   SELECT region_desc, product_desc,
-         coalesce(SUM(total_line_price), 0.0) AS revenue
+         {dd_dsum0d('total_line_price')} AS revenue
   FROM sales GROUP BY region_desc, product_desc
 )
 SELECT * FROM (
@@ -178,9 +194,9 @@ def quarter_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "fin_quarter",
         "region_desc",
-        F.col("revenue").cast("double").alias("revenue"),
-        (F.col("revenue").cast("double")
-         / F.sum("revenue").over(w).cast("double")).alias("share_of_quarter"),
+        dec2d(F.col("revenue")).alias("revenue"),
+        (dec2d(F.col("revenue"))
+         / dec2d(F.sum("revenue").over(w))).alias("share_of_quarter"),
     )
 
 
@@ -190,9 +206,9 @@ per AS (
          {dd_dsum0('total_line_price')} AS revenue
   FROM sales GROUP BY fin_quarter, region_desc
 )
-SELECT fin_quarter, region_desc, CAST(revenue AS DOUBLE) AS revenue,
-       CAST(revenue AS DOUBLE)
-         / CAST(SUM(revenue) OVER (PARTITION BY fin_quarter) AS DOUBLE)
+SELECT fin_quarter, region_desc, {dd_dec2d('revenue')} AS revenue,
+       {dd_dec2d('revenue')}
+         / {dd_dec2d('SUM(revenue) OVER (PARTITION BY fin_quarter)')}
          AS share_of_quarter
 FROM per"""
 
@@ -202,10 +218,14 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals (the window shuffles once on the post-aggregation rows)."""
     from ..sources.tables import load_table
 
+    from ..functions.cleaning import dsum
+
+    # per-customer spend in exact decimal: a double sum's partial-agg
+    # order can flip ntile boundaries between engines (seen at sf1)
     spend = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sum("o_totalprice").alias("spend"))
+        .agg(dsum(F.col("o_totalprice")).alias("spend"))
     )
     w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
     return (
@@ -213,9 +233,9 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("spend").alias("decile_spend"),
-            F.min("spend").alias("min_spend"),
-            F.max("spend").alias("max_spend"),
+            dec2d(F.sum("spend")).alias("decile_spend"),
+            dec2d(F.min("spend")).alias("min_spend"),
+            dec2d(F.max("spend")).alias("max_spend"),
         )
     )
 
@@ -260,8 +280,8 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_m",
             F.col("age").cast("bigint").alias("age"),
             "cohort_customers",
-            # decimal internally; DOUBLE at the output boundary (driver hash)
-            F.col("cum_spend").cast("double").alias("cum_spend"),
+            # decimal internally; portable DOUBLE at the output boundary
+            dec2d(F.col("cum_spend")).alias("cum_spend"),
             # exact: decimal(38,6) * 1e6 is integral; bigint floor-div
             # (computed from the exact decimal, not the double output)
             F.expr(
@@ -293,7 +313,7 @@ COHORT_LTV_CURVE_SQL = f"""WITH per_order AS (
   FROM grid
 )
 SELECT c.cohort_m, CAST(c.age AS BIGINT) AS age, s.cohort_customers,
-       CAST(c.cum_spend AS DOUBLE) AS cum_spend,
+       {dd_dec2d('c.cum_spend')} AS cum_spend,
        CAST(c.cum_spend * 1000000 AS BIGINT) // s.cohort_customers
          AS ltv_per_customer_micros
 FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m"""
@@ -333,8 +353,8 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        # decimal accumulation, DOUBLE at the output boundary (driver hash)
-        F.sum("spend").cast("double").alias("segment_spend"),
+        # decimal accumulation, portable DOUBLE at the output boundary
+        dec2d(F.sum("spend")).alias("segment_spend"),
     )
 
 
@@ -356,17 +376,20 @@ CUSTOMER_RFM_SEGMENTS_SQL = f"""WITH rfm AS (
 )
 SELECT r_score, f_score, m_score,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       CAST(SUM(spend) AS DOUBLE) AS segment_spend
+       {dd_dec2d('SUM(spend)')} AS segment_spend
 FROM scored GROUP BY r_score, f_score, m_score"""
 
 
-CUSTOMER_VALUE_DECILES_SQL = """SELECT decile,
+CUSTOMER_VALUE_DECILES_SQL = f"""SELECT decile,
   CAST(COUNT(*) AS BIGINT) AS n_customers,
-  SUM(spend) AS decile_spend, MIN(spend) AS min_spend, MAX(spend) AS max_spend
+  {dd_dec2d('SUM(spend)')} AS decile_spend,
+  {dd_dec2d('MIN(spend)')} AS min_spend,
+  {dd_dec2d('MAX(spend)')} AS max_spend
 FROM (
   SELECT o_custkey, spend,
          CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS BIGINT) AS decile
-  FROM (SELECT o_custkey, SUM(o_totalprice) AS spend FROM orders GROUP BY o_custkey)
+  FROM (SELECT o_custkey, {dd_dsum('o_totalprice')} AS spend
+        FROM orders GROUP BY o_custkey)
 ) GROUP BY decile"""
 
 
@@ -389,10 +412,8 @@ def revenue_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return daily.select(
         "o_orderdate",
-        F.col("day_revenue").cast("double").alias("day_revenue"),
-        F.sum("day_revenue").over(w).cast("double").alias(
-            "trailing_7d_revenue"
-        ),
+        dec2d(F.col("day_revenue")).alias("day_revenue"),
+        dec2d(F.sum("day_revenue").over(w)).alias("trailing_7d_revenue"),
         F.count(F.lit(1)).over(w).alias("n_days_in_frame"),
     )
 
@@ -407,8 +428,8 @@ REVENUE_TRAILING_7D_SQL = f"""WITH daily AS (
   SELECT o_orderdate, {dd_dsum0('o_totalprice')} AS day_revenue
   FROM orders GROUP BY o_orderdate
 )
-SELECT o_orderdate, CAST(day_revenue AS DOUBLE) AS day_revenue,
-  CAST(SUM(day_revenue) {_DD_7D_FRAME} AS DOUBLE) AS trailing_7d_revenue,
+SELECT o_orderdate, {dd_dec2d('day_revenue')} AS day_revenue,
+  {dd_dec2d(f'SUM(day_revenue) {_DD_7D_FRAME}')} AS trailing_7d_revenue,
   CAST(COUNT(*) {_DD_7D_FRAME} AS BIGINT) AS n_days_in_frame
 FROM daily"""
 
@@ -434,11 +455,11 @@ def revenue_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vals = F.array_sort(F.collect_list("day_revenue").over(w))
     n = F.size(vals)
-    lo = F.element_at(vals, ((n + 1) / 2).cast("int")).cast("double")
-    hi = F.element_at(vals, (n / 2 + 1).cast("int")).cast("double")
+    lo = dec2d(F.element_at(vals, ((n + 1) / 2).cast("int")))
+    hi = dec2d(F.element_at(vals, (n / 2 + 1).cast("int")))
     return daily.select(
         "day",
-        F.col("day_revenue").cast("double").alias("day_revenue"),
+        dec2d(F.col("day_revenue")).alias("day_revenue"),
         F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0).alias(
             "rolling_median_7d"
         ),
@@ -450,8 +471,8 @@ REVENUE_ROLLING_MEDIAN_SQL = f"""WITH daily AS (
          {dd_dsum0('o_totalprice')} AS day_revenue
   FROM orders GROUP BY 1
 )
-SELECT day, CAST(day_revenue AS DOUBLE) AS day_revenue,
-  CAST(median(CAST(day_revenue AS DOUBLE)) OVER (
+SELECT day, {dd_dec2d('day_revenue')} AS day_revenue,
+  CAST(median({dd_dec2d('day_revenue')}) OVER (
     ORDER BY date_diff('day', DATE '1970-01-01', day)
     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
     AS rolling_median_7d

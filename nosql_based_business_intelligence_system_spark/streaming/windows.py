@@ -75,13 +75,21 @@ def tumbling_counts(
     window_size: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Per-type event counts/value sums in tumbling event-time windows."""
+    """Per-type event counts/value sums in tumbling event-time windows.
+
+    total_value accumulates in exact decimal and lands as a portable
+    double (functions.cleaning.dsumd): double sums drift with partial-agg
+    order vs any sequential oracle — observed at the sf1 rehearsal.
+    Decimal aggregation is stream-safe (partial aggregation + state
+    merge are both exact adds)."""
+    from ..functions.cleaning import dsumd
+
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.window("ts", window_size).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            dsumd(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -177,6 +177,33 @@ ann_ivf/ann_pq bench numbers are not directly comparable to r4+.
 every headline query at the target sf (r3 warmed 12 expression families
 at sf0.001 and left ~3s of first-touch cost in the driver's timings);
 timed numbers are best-of-2 per query, declared as `iters` in the JSON.
+
+**sf1 correctness sweep & the money-portability campaign (round 4).** The
+full 152-query registry was also ORACLE-VERIFIED at the synthetic sf1 —
+which initially failed 29 queries, every one a money aggregate that had
+been green at sf<=0.1 by summation-order luck. Three distinct hazards were
+isolated and closed engine-wide:
+1. *Double money sums drift with partial-agg order.* Every money SUM/AVG
+   now accumulates in exact DECIMAL(38,6) (`dsum*` helpers; Mongo
+   pipelines use the Decimal128 idiom `{"$sum": {"$toDecimal": ...}}`).
+2. *The decimal->double output cast itself double-rounds.* Above 2^53
+   scaled units (~9e9 at scale 6) DuckDB computes hugeint/10^scale in
+   double arithmetic while Java rounds once — 1-ulp divergence. All
+   boundaries now cast via STRING (`dec2d`/`dd_dec2d`): decimal->string
+   is exact and string->double is correctly rounded on both engines, so
+   the result is THE nearest double, identically.
+3. *Exact-percentile interpolation differs on duplicate-heavy data.*
+   Spark short-circuits lowerKey==higherKey to the value; DuckDB's
+   quantile_cont computes the weighted form whose weights sum to ~1
+   (1-ulp drift). The twins now replicate Spark's formula from order
+   statistics (`stats_suite._dd_spark_percentile`).
+After the campaign the registry is 148-hash-green + 4 rows-only at
+sf0.001, sf0.01, sf0.1 AND sf1 — correctness claims no longer depend on
+fixture scale. Cost: headline 20.1s -> 22.0s at sf0.1 (decimal
+accumulation is ~3x a double sum; concentrated in pricing_summary's
+8-way aggregate +1.2s) — accepted: order-independent money arithmetic is
+what makes the results reproducible on ANY partitioning, which is the
+100 TB contract.
 """
 
 
