@@ -26,6 +26,14 @@ PINNED = (
     "order_value_quantile_sketch",
     "kll_mergeable_quantiles",
     "theta_customer_overlap",
+    # money-portability campaign representatives: exact decimal
+    # accumulation + dec2d string-cast boundary + Spark-replica
+    # percentile interpolation (one per hazard class)
+    "sales_by_fiscal_month",
+    "pricing_summary",
+    "monthly_revenue_running",
+    "order_value_percentiles",
+    "mongo_region_quarter_revenue",
 )
 
 

@@ -138,24 +138,24 @@ SCALE_NOTES = """## Scale notes (round 4)
 
 **sf1 rehearsal (2026-08-14).** The driver ships sf<=0.1; a synthetic sf1
 (10x sf0.1, FK-consistent key-shifted replication with per-replica text/
-embedding perturbation — `tools/make_sf.py`) ran the full 20-query
-headline set on the same local[32]: **55.9s vs 20.1s at sf0.1 — 2.8x wall
-for 10x data, every query sub-linear** (best-of-2 per query):
+embedding perturbation — `tools/make_sf.py`) runs the full 20-query
+headline set on the same local[32]: **49.8s vs 22.0s at sf0.1 — 2.3x wall
+for 10x data, every query sub-linear** (best-of-2, post money-campaign):
 
 | query | sf0.1 s | sf1 s | ratio | | query | sf0.1 s | sf1 s | ratio |
 |---|---|---|---|---|---|---|---|---|
-| sales_by_fiscal_month | 0.80 | 1.44 | 1.8x | | ann_bruteforce_topk | 0.71 | 2.79 | 3.9x |
-| pricing_summary | 0.45 | 0.68 | 1.5x | | ann_ivf_topk | 1.25 | 3.55 | 2.8x |
-| top_building_orders | 0.78 | 2.66 | 3.4x | | doc_text_stats | 0.54 | 3.16 | 5.9x |
-| regional_revenue | 0.70 | 1.44 | 2.0x | | doc_lm_perplexity | 1.92 | 7.03 | 3.7x |
-| nation_trade_flows | 0.88 | 2.10 | 2.4x | | token_heavy_hitters | 1.53 | 3.45 | 2.3x |
-| large_volume_customers | 0.63 | 1.95 | 3.1x | | events_multires_rollup | 0.67 | 0.81 | 1.2x |
-| monthly_revenue_running | 1.05 | 1.36 | 1.3x | | mongo_region_quarter_revenue | 1.17 | 2.39 | 2.0x |
-| revenue_trailing_7d | 0.43 | 0.90 | 2.1x | | part_name_entities | 2.09 | 3.08 | 1.5x |
-| dedup_minhash | 2.40 | 12.62 | 5.3x | | distinct_count_sketches | 0.94 | 2.54 | 2.7x |
-| dedup_exact_summary | 0.25 | 0.50 | 2.1x | | summary_stats | 0.93 | 1.47 | 1.6x |
+| sales_by_fiscal_month | 1.55 | 1.60 | 1.0x | | ann_bruteforce_topk | 0.64 | 2.66 | 4.1x |
+| pricing_summary | 1.62 | 1.74 | 1.1x | | ann_ivf_topk | 1.19 | 3.82 | 3.2x |
+| top_building_orders | 0.77 | 2.64 | 3.4x | | doc_text_stats | 0.52 | 3.19 | 6.2x |
+| regional_revenue | 0.74 | 1.37 | 1.9x | | doc_lm_perplexity | 1.61 | 5.51 | 3.4x |
+| nation_trade_flows | 0.90 | 1.55 | 1.7x | | token_heavy_hitters | 1.19 | 3.30 | 2.8x |
+| large_volume_customers | 0.64 | 1.89 | 3.0x | | events_multires_rollup | 0.69 | 0.55 | 0.8x |
+| monthly_revenue_running | 1.11 | 1.07 | 1.0x | | mongo_region_quarter_revenue | 1.28 | 2.10 | 1.6x |
+| revenue_trailing_7d | 0.48 | 0.69 | 1.5x | | part_name_entities | 2.13 | 3.19 | 1.5x |
+| dedup_minhash | 2.66 | 9.37 | 3.5x | | distinct_count_sketches | 0.99 | 2.16 | 2.2x |
+| dedup_exact_summary | 0.29 | 0.38 | 1.3x | | summary_stats | 0.96 | 1.00 | 1.0x |
 
-No query exceeds 5.9x for 10x data (the document-bound pair —
+No query exceeds 6.2x for 10x data (the document-bound pair —
 doc_text_stats, dedup_minhash — scales with the 10x documents table and
 stays sub-linear). One config finding fixed along the way: local mode's
 default 1g driver heap OOM'd building a 64 MB broadcast at sf1 —
