@@ -219,10 +219,10 @@ def mongo_order_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ],
     )
-    # decimal accumulation inside the pipeline; DOUBLE at the output boundary
+    # decimal accumulation inside the pipeline; portable DOUBLE boundary
     return out.withColumn(
-        "total_value", F.col("total_value").cast("double")
-    ).withColumn("max_value", F.col("max_value").cast("double"))
+        "total_value", dec2d(F.col("total_value"))
+    ).withColumn("max_value", dec2d(F.col("max_value")))
 
 
 _BUCKET_CASE = "CASE " + " ".join(
@@ -233,8 +233,8 @@ _BUCKET_CASE = "CASE " + " ".join(
 
 MONGO_ORDER_VALUE_BUCKETS_SQL = f"""SELECT {_BUCKET_CASE} AS _id,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-  CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value,
+  CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS max_value
 FROM orders GROUP BY 1"""
 
 
@@ -268,13 +268,13 @@ def mongo_monthly_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     )
-    # decimal accumulation inside the pipeline; DOUBLE at the output boundary
-    return out.withColumn("total_value", F.col("total_value").cast("double"))
+    # decimal accumulation inside the pipeline; portable DOUBLE boundary
+    return out.withColumn("total_value", dec2d(F.col("total_value")))
 
 
 MONGO_MONTHLY_ORDER_STATS_SQL = """SELECT strftime(o_orderdate, '%Y-%m') AS ym,
   CAST(COUNT(*) AS BIGINT) AS n_orders,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM orders GROUP BY 1"""
 
 
