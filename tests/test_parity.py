@@ -98,3 +98,64 @@ def test_metrics_guards(spark):
     assert out[1].asp is None
     assert out[2].gm_pct is None
     assert out[3].asp is None and out[3].cogs is None
+
+
+def test_dec2d_matches_duckdb_above_2pow53_scaled_units(spark):
+    """The sf1-discovered cast hazard, pinned: a DECIMAL(38,6) whose scaled
+    integer exceeds 2^53 must cast to the SAME double on both engines via
+    the string path (direct casts double-round differently: DuckDB gave
+    ...380.89996 where Java gave ...380.9 for 301466167380.900000)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.functions.cleaning import (
+        dd_dec2d,
+        dec2d,
+    )
+
+    cases = ["301466167380.900000", "9007199254740993.100001",
+             "-301466167380.900000", "123.456789"]
+    con = duckdb.connect()
+    for v in cases:
+        got = (
+            spark.range(1)
+            .select(dec2d(F.lit(v).cast("decimal(38,6)")).alias("d"))
+            .collect()[0]
+            .d
+        )
+        dec_expr = "CAST('" + v + "' AS DECIMAL(38,6))"
+        want = con.execute("SELECT " + dd_dec2d(dec_expr)).fetchone()[0]
+        assert got == want, (v, got, want)
+        # and it is the correctly-rounded double of the exact decimal
+        assert got == float(v)
+
+
+def test_spark_percentile_twin_on_duplicate_heavy_data(spark):
+    """The second sf1 hazard, pinned: Spark's percentile short-circuits
+    equal order statistics to the exact value; the manual DuckDB twin
+    (_dd_spark_percentile) must reproduce it where quantile_cont drifts
+    an ulp (weights summing to ~1 over two EQUAL values)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.queries.stats_suite import (
+        _dd_spark_percentile,
+    )
+
+    # 11 copies of one value then a spread: p50 lands between two equal
+    # order statistics at a fractional position
+    vals = [495070.57] * 11 + [600000.11, 700000.23, 800000.37]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    for q in (0.5, 0.37, 0.9):
+        sp = df.agg(F.expr(f"percentile(v, {q})").alias("p")).collect()[0].p
+        dk = con.execute(
+            f"""SELECT {_dd_spark_percentile(q)} FROM (
+                  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk,
+                         COUNT(*) OVER () AS n FROM t) GROUP BY n"""
+        ).fetchone()[0]
+        assert sp == dk, (q, sp, dk)
