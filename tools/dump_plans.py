@@ -199,11 +199,12 @@ isolated and closed engine-wide:
    statistics (`stats_suite._dd_spark_percentile`).
 After the campaign the registry is 148-hash-green + 4 rows-only at
 sf0.001, sf0.01, sf0.1 AND sf1 — correctness claims no longer depend on
-fixture scale. Cost: headline 20.1s -> 22.0s at sf0.1 (decimal
-accumulation is ~3x a double sum; concentrated in pricing_summary's
-8-way aggregate +1.2s) — accepted: order-independent money arithmetic is
-what makes the results reproducible on ANY partitioning, which is the
-100 TB contract.
+fixture scale. Cost: visible per-query (pricing_summary 0.45->1.6s,
+sales_by_fiscal_month 0.8->1.5s — decimal accumulation is ~3x a double
+sum) while the headline total stays in the 20-22s band at sf0.1 (idle
+runs vary ~10%; final recorded run 19.8s) — accepted: order-independent
+money arithmetic is what makes results reproducible on ANY partitioning,
+which is the 100 TB contract.
 """
 
 
