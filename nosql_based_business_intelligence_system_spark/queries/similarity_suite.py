@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..functions.cleaning import dd_dsumd, dsumd
 from ..operators import similarity
 from ..sources.tables import load_table
 from .base import Query as _q
@@ -111,7 +112,10 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.avg("nrm").alias("avg_norm"),
+            # decimal-accumulated mean: double sums of arbitrary floats are
+            # partial-agg-order-dependent (config-fragile once a file spans
+            # multiple splits); min/max are order-free
+            (dsumd(F.col("nrm")) / F.count(F.lit(1))).alias("avg_norm"),
             F.min("nrm").alias("min_norm"),
             F.max("nrm").alias("max_norm"),
         )
@@ -120,7 +124,8 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_NORM_STATS_SQL = f"""SELECT label,
   CAST(COUNT(*) AS BIGINT) AS n_vecs,
-  AVG(nrm) AS avg_norm, MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+  {dd_dsumd('nrm')} / COUNT(*) AS avg_norm,
+  MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
 FROM (
   SELECT label,
          sqrt(list_inner_product({V.dd_vec('embedding')}, {V.dd_vec('embedding')})) AS nrm
@@ -134,11 +139,14 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the column-wise sanity screen for an embedding corpus."""
     emb = _emb(spark, sf_dir)
     v = V.as_double(F.col("embedding"))
+    n = F.count(F.lit(1))
+    # decimal-accumulated means (see embedding_norm_stats); avg_dim is an
+    # integer average — exact as a plain double sum
     return emb.groupBy("label").agg(
-        F.avg(F.element_at(v, 1)).alias("avg_first"),
-        F.avg(F.element_at(v, -1)).alias("avg_last"),
-        F.avg(F.array_max(v)).alias("avg_max"),
-        F.avg(F.array_min(v)).alias("avg_min"),
+        (dsumd(F.element_at(v, 1)) / n).alias("avg_first"),
+        (dsumd(F.element_at(v, -1)) / n).alias("avg_last"),
+        (dsumd(F.array_max(v)) / n).alias("avg_max"),
+        (dsumd(F.array_min(v)) / n).alias("avg_min"),
         F.avg(F.size(v)).alias("avg_dim"),
     )
 
@@ -146,10 +154,10 @@ def embedding_component_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _E = V.dd_vec("embedding")
 
 EMBEDDING_COMPONENT_STATS_SQL = f"""SELECT label,
-  AVG({_E}[1]) AS avg_first,
-  AVG({_E}[len({_E})]) AS avg_last,
-  AVG(list_aggregate({_E}, 'max')) AS avg_max,
-  AVG(list_aggregate({_E}, 'min')) AS avg_min,
+  {dd_dsumd(f'{_E}[1]')} / COUNT(*) AS avg_first,
+  {dd_dsumd(f'{_E}[len({_E})]')} / COUNT(*) AS avg_last,
+  {dd_dsumd(f"list_aggregate({_E}, 'max')")} / COUNT(*) AS avg_max,
+  {dd_dsumd(f"list_aggregate({_E}, 'min')")} / COUNT(*) AS avg_min,
   AVG(len({_E})) AS avg_dim
 FROM embeddings GROUP BY label"""
 

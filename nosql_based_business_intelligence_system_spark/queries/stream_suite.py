@@ -73,7 +73,7 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return W.session_activity(_events(spark, sf_dir), gap="15 minutes")
 
 
-EVENTS_SESSIONIZATION_SQL = """WITH flagged AS (
+EVENTS_SESSIONIZATION_SQL = f"""WITH flagged AS (
   SELECT user_id, ts, value,
     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               > INTERVAL 15 MINUTES OR
@@ -89,7 +89,7 @@ SELECT MIN(ts) AS session_start,
        MAX(ts) + INTERVAL 15 MINUTES AS session_end,
        user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       SUM(value) AS session_value
+       {dd_dsumd('value')} AS session_value
 FROM sessions GROUP BY user_id, session_id"""
 
 

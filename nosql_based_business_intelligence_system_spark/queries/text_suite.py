@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.cleaning import dd_dsumd, dsumd
 from ..operators import decontam, dedup, heavyhitters, lm
 from ..sources.tables import load_table
 from .base import Query as _q
@@ -865,7 +866,9 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg("q").alias("avg_quality"),
+        # q is an arbitrary-float score: decimal-accumulated mean (order-
+        # independent); nt/lang_ok are integer-valued -> exact as doubles
+        (dsumd(F.col("q")) / F.count(F.lit(1))).alias("avg_quality"),
         F.avg("nt").alias("avg_tokens"),
         F.avg("lang_ok").alias("lang_id_agreement"),
     )
@@ -878,7 +881,7 @@ _Q_EXPR = f"""(CASE WHEN len({_TOKS}) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
 
 SOURCE_QUALITY_REPORT_SQL = f"""SELECT source,
   CAST(COUNT(*) AS BIGINT) AS n_docs,
-  AVG(q) AS avg_quality,
+  {dd_dsumd('q')} / COUNT(*) AS avg_quality,
   AVG(nt) AS avg_tokens,
   AVG(lang_ok) AS lang_id_agreement
 FROM (

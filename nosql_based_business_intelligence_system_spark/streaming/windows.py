@@ -130,13 +130,19 @@ def session_activity(
     gap: str = "15 minutes",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Per-user session windows (gap-based); session length + event count."""
+    """Per-user session windows (gap-based); session length + event count.
+
+    session_value is decimal-accumulated with the portable double
+    boundary (functions.cleaning.dsumd) — order-independent across
+    partitionings and engines, stream-safe."""
+    from ..functions.cleaning import dsumd
+
     src = events.withWatermark("ts", watermark) if events.isStreaming else events
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("session_value"),
+            dsumd(F.col("value")).alias("session_value"),
         )
         .select(
             F.col("w.start").alias("session_start"),

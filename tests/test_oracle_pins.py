@@ -74,3 +74,45 @@ def test_twin_matches_bit_for_bit(spark, sf_smoke, name):
     want = _table(cur.fetchall(), cols)
     assert sorted(sdf.columns) == sorted(cols)
     assert got == want
+
+
+SPLIT_SENSITIVE = (
+    "embedding_norm_stats",     # decimal-accumulated float means
+    "source_quality_report",    # quality-score mean
+    "pricing_summary",          # money sums/avgs
+    "sales_by_fiscal_month",    # star-join money sums
+)
+
+
+@pytest.mark.parametrize("name", SPLIT_SENSITIVE)
+def test_twin_matches_under_hostile_splits(spark, sf_smoke, name):
+    """Order-independence under partitioning: with the scan forced to
+    many tiny splits (different partial-agg merge structure than the
+    single-split default), the hash must still equal the DuckDB twin —
+    this is the config-fragility that made 29 money queries green at
+    sf<=0.1 'by luck' before the round-4 campaign."""
+    import duckdb
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        q = QUERIES[name]
+        sdf = q.fn(spark, sf_smoke)
+        got = _table([tuple(r) for r in sdf.collect()], sdf.columns)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/{t}.parquet')"
+        )
+    cur = con.execute(q.oracle)
+    want = _table(cur.fetchall(), [d[0] for d in cur.description])
+    assert got == want
