@@ -65,6 +65,55 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
             "rows (tiny vs the fact table), total-ordered for determinism"
         )
     },
+    "customer_value_deciles": {
+        "global_window": (
+            "ntile(10) requires a total order by definition; input is the "
+            "POST-AGGREGATION customer-grain spend table, not the fact"
+        )
+    },
+    "monthly_revenue_running": {
+        "global_window": (
+            "running window over the ~83-row post-aggregation monthly "
+            "series — single-partition is the correct plan at any SF"
+        )
+    },
+    "revenue_moving_avg": {
+        "global_window": "3-row frame over the ~83-row monthly aggregate"
+    },
+    "revenue_trailing_7d": {
+        "global_window": (
+            "time-RANGE frame over the post-aggregation DAILY series "
+            "(~2.5k rows at any SF — bounded by calendar, not data)"
+        )
+    },
+    "revenue_rolling_median": {
+        "global_window": "7-day frame over the bounded daily aggregate"
+    },
+    "top_revenue_suppliers": {
+        "global_window": (
+            "max-filter window over the post-aggregation supplier-grain "
+            "revenue table (scales with suppliers, not fact rows)"
+        )
+    },
+    "lineitem_profile": {
+        "cartesian_join": (
+            "five 1-row distinct-count aggregates broadcast-joined into "
+            "the single profile row (the Expand-free profiling plan)"
+        )
+    },
+    "mongo_priority_sort_by_count": {
+        "global_sort": (
+            "$sortByCount's contract IS the fully sorted group-count "
+            "collection (group-count-bounded; no limit to push)"
+        )
+    },
+    "mongo_order_value_bucket_auto": {
+        "global_window": (
+            "$bucketAuto computes equal-population boundaries via ntile "
+            "over the measure — total order is the operator's semantics; "
+            "input is the orders-grain projection of one column"
+        )
+    },
     "doc_lm_perplexity": {
         "cartesian_join": "1-row vocabulary-size table joined to every bigram"
     },
