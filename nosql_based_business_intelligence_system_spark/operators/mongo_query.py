@@ -1267,12 +1267,14 @@ def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     flattened to ``_id_min``/``_id_max`` bounds (portable columns instead
     of a struct).
 
-    Scale note: an exact global quantile needs a global sort (one
-    range-partitioned exchange — Spark sorts it distributed, not on one
-    node). At 100 TB prefer approx quantile boundaries + a $bucket stage.
+    Scale note: the input is document-grain (the largest thing in the
+    pipeline), so the rank runs through
+    :func:`operators.ranking.distributed_percent_rank` — range-partition
+    + per-partition offsets, bit-identical to the native
+    ``percent_rank`` window but with no single-partition task.
     ``granularity`` is unsupported and raises.
     """
-    from pyspark.sql import Window
+    from .ranking import distributed_percent_rank
 
     for k in ("groupBy", "buckets"):
         if k not in spec:
@@ -1286,9 +1288,11 @@ def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     if n < 1:
         raise MongoTranslateError("$bucketAuto buckets must be >= 1")
     val = expr(spec["groupBy"])
-    pr = F.percent_rank().over(Window.orderBy(val))
-    bucket = F.least(F.floor(pr * n), F.lit(n - 1)).cast("bigint")
-    staged = df.withColumn("__val", val).withColumn("__bucket", bucket)
+    ranked = distributed_percent_rank(
+        df.withColumn("__val", val), "__val", "__pr"
+    )
+    bucket = F.least(F.floor(F.col("__pr") * n), F.lit(n - 1)).cast("bigint")
+    staged = ranked.withColumn("__bucket", bucket).drop("__pr")
     aggs = (
         [_accumulator(k, v) for k, v in spec["output"].items()]
         if spec.get("output")

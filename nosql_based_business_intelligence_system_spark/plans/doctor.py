@@ -13,8 +13,11 @@ Rules (severity):
 - ``global_window`` (warn): a window function with an EMPTY partition
   spec moves every row to ONE partition — fine on post-aggregate
   hundreds of rows, fatal on a raw fact table.
-- ``global_sort`` (warn): a full Sort above an Exchange rangepartitioning
-  that is not a TakeOrderedAndProject — top-k should use orderBy+limit.
+- ``global_sort`` (warn): a global Sort node (``Sort [...], true``) that
+  is not a TakeOrderedAndProject — top-k should use orderBy+limit. A bare
+  rangepartitioning exchange (repartitionByRange) is NOT flagged: range
+  clustering without a total sort is the scale-correct distributed-ranking
+  and write-layout pattern.
 - ``unpushed_filter`` (warn): a Filter sits on a Parquet scan whose
   PushedFilters list is empty — the predicate streams every row group.
 - ``wide_scan`` (info): a Parquet scan reading 12+ columns — verify the
@@ -59,18 +62,6 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
             "centroid side is K parameter-bounded broadcast rows"
         )
     },
-    "customer_rfm_segments": {
-        "global_window": (
-            "three ntile quartiles over POST-AGGREGATION customer-grain "
-            "rows (tiny vs the fact table), total-ordered for determinism"
-        )
-    },
-    "customer_value_deciles": {
-        "global_window": (
-            "ntile(10) requires a total order by definition; input is the "
-            "POST-AGGREGATION customer-grain spend table, not the fact"
-        )
-    },
     "monthly_revenue_running": {
         "global_window": (
             "running window over the ~83-row post-aggregation monthly "
@@ -89,12 +80,6 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
     "revenue_rolling_median": {
         "global_window": "7-day frame over the bounded daily aggregate"
     },
-    "top_revenue_suppliers": {
-        "global_window": (
-            "max-filter window over the post-aggregation supplier-grain "
-            "revenue table (scales with suppliers, not fact rows)"
-        )
-    },
     "lineitem_profile": {
         "cartesian_join": (
             "five 1-row distinct-count aggregates broadcast-joined into "
@@ -105,13 +90,6 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
         "global_sort": (
             "$sortByCount's contract IS the fully sorted group-count "
             "collection (group-count-bounded; no limit to push)"
-        )
-    },
-    "mongo_order_value_bucket_auto": {
-        "global_window": (
-            "$bucketAuto computes equal-population boundaries via ntile "
-            "over the measure — total order is the operator's semantics; "
-            "input is the orders-grain projection of one column"
         )
     },
     "doc_lm_perplexity": {
@@ -202,14 +180,20 @@ def diagnose(df: DataFrame, allow: dict[str, str] | None = None) -> list[dict]:
             )
             break
 
+    # A GLOBAL Sort node prints `Sort [...], true, 0` (the boolean is the
+    # global flag; window/local sorts print false). Detecting the Sort
+    # node rather than any `Exchange rangepartitioning` matters: a bare
+    # repartitionByRange (distributed ranking, write-layout clustering)
+    # range-partitions WITHOUT totally sorting and is the scale-correct
+    # pattern, not a smell.
     if (
-        re.search(r"Exchange rangepartitioning", simple)
+        re.search(r"Sort \[[^\]]*\], true", simple)
         and "TakeOrderedAndProject" not in simple
     ):
         hit(
             "global_sort",
             "warn",
-            "full sort (rangepartitioning exchange); top-k should be "
+            "full global sort (Sort global=true); top-k should be "
             "orderBy+limit (TakeOrderedAndProject)",
         )
 

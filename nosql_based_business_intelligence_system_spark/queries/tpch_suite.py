@@ -990,8 +990,11 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15-shaped: supplier(s) achieving the maximum total revenue
     in one quarter. The reference formulation is a view + correlated
     ``WHERE total = (SELECT MAX(...) FROM view)``; decorrelated here as
-    ONE grouped agg + an unpartitioned window max over the ~|suppliers|
-    aggregate rows (ties all kept, as in the spec)."""
+    ONE grouped agg + a scalar ``agg(max)`` broadcast back as an
+    equi-join filter (ties all kept, as in the spec). Supplier grain
+    grows with SF, so the r4 unpartitioned window max (one task holding
+    every supplier row) is replaced by a distributed reduce: the max is
+    a 1-row broadcast side, the probe stays partition-parallel."""
     li = _li(spark, sf_dir).filter(
         (F.to_date("l_shipdate") >= F.lit("1996-01-01"))
         & (F.to_date("l_shipdate") < F.lit("1996-04-01"))
@@ -1001,12 +1004,10 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_revenue"
         )
     )
-    w = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    best = per_supp.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
-        F.col("total_revenue") == F.col("max_rev")
-    )
+    mx = per_supp.agg(F.max("total_revenue").alias("__max_rev"))
+    best = per_supp.join(
+        F.broadcast(mx), per_supp.total_revenue == mx.__max_rev
+    ).drop("__max_rev")
     # supplier grows with SF — no forced broadcast; the threshold/AQE
     # decides (and the probe side here is the tiny max-revenue set anyway).
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")

@@ -215,7 +215,12 @@ FROM per"""
 
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(10) over per-customer lifetime spend: decile boundaries +
-    totals (the window shuffles once on the post-aggregation rows)."""
+    totals. Customer grain grows with SF, so the ntile runs through
+    :func:`operators.ranking.distributed_ntile` (range-partition +
+    per-partition offsets — bit-identical to the native window, no
+    single-partition task; the r4 global window held every customer row
+    in ONE task)."""
+    from ..operators.ranking import distributed_ntile
     from ..sources.tables import load_table
 
     from ..functions.cleaning import dsum
@@ -227,9 +232,10 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(dsum(F.col("o_totalprice")).alias("spend"))
     )
-    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
     return (
-        spend.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        distributed_ntile(
+            spend, 10, [F.desc("spend"), F.asc("o_custkey")], "decile"
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -322,11 +328,15 @@ FROM cum c JOIN sizes s ON c.cohort_m = s.cohort_m"""
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic BI customer grid: per-customer
     recency (last order date), frequency (order count), monetary (decimal
-    lifetime spend), each quartiled with ntile(4) over a TOTAL order
-    (custkey tiebreak — rank outputs then identical across engines),
-    score 1 = best. One aggregate + three window passes over the
-    customer-grain rows (post-aggregation: tiny relative to the fact),
-    reported as the segment grid."""
+    lifetime spend), each quartiled over a TOTAL order (custkey tiebreak
+    — rank outputs then identical across engines), score 1 = best.
+    Customer grain grows with SF, so each quartile runs through
+    :func:`operators.ranking.distributed_ntile` (bit-identical to native
+    ntile(4), no single-partition task; the r4 version chained three
+    global windows, each holding every customer row in ONE task). The
+    three attachments chain — each ranks the previous checkpointed
+    result, so the orders scan and aggregate run once."""
+    from ..operators.ranking import distributed_ntile
     from ..sources.tables import load_table
 
     rfm = (
@@ -338,19 +348,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum0(F.col("o_totalprice")).alias("spend"),
         )
     )
-
-    def q(col, w):
-        return F.ntile(4).over(w).cast("bigint")
-
-    w_r = Window.orderBy(F.desc("last_order"), F.asc("o_custkey"))
-    w_f = Window.orderBy(F.desc("n_orders"), F.asc("o_custkey"))
-    w_m = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
-    scored = rfm.select(
-        "spend",
-        q("last_order", w_r).alias("r_score"),
-        q("n_orders", w_f).alias("f_score"),
-        q("spend", w_m).alias("m_score"),
-    )
+    scored = rfm
+    for out_col, order in (
+        ("r_score", [F.desc("last_order"), F.asc("o_custkey")]),
+        ("f_score", [F.desc("n_orders"), F.asc("o_custkey")]),
+        ("m_score", [F.desc("spend"), F.asc("o_custkey")]),
+    ):
+        scored = distributed_ntile(scored, 4, order, out_col)
+    scored = scored.select("spend", "r_score", "f_score", "m_score")
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         # decimal accumulation, portable DOUBLE at the output boundary

@@ -95,6 +95,11 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         "kth", "totals",
         # lineitem_profile: 1-row per-column distinct-count aggregates.
         "nd",
+        # Q15: 1-row scalar max-revenue aggregate.
+        "mx",
+        # distributed ranking: P-row partition-offset table (P =
+        # parallelism, not data-scaled).
+        "off_df",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
