@@ -25,6 +25,23 @@ from ..functions import text as T
 from .partitioning import spread
 
 
+def _sh(df: DataFrame) -> DataFrame:
+    """shuffle_hash join hint for data-scaled join sides.
+
+    Joins over checkpointed/persisted frames must NEVER be
+    threshold-broadcast: a ``localCheckpoint`` replaces the plan with a
+    ``LogicalRDD`` whose size STATISTIC is inherited from the original
+    plan's estimate, and post-aggregate/explode estimates can sit under
+    ``autoBroadcastJoinThreshold`` while the materialized data is GBs —
+    observed at the sf10 rehearsal, where the planner broadcast the
+    16M-row banded side of the MinHash self-join (>1 GiB driver collect,
+    job killed by spark.driver.maxResultSize). Estimates lie after
+    checkpoints; broadcasts here must come only from explicit
+    ``F.broadcast`` dims or AQE's MEASURED runtime sizes, so every
+    data-scaled side below carries an explicit shuffle_hash hint."""
+    return df.hint("shuffle_hash")
+
+
 def shingle_rows(
     df: DataFrame,
     content_col: str = "text",
@@ -76,7 +93,7 @@ def exact_dedup(
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
     )
-    return df.join(winners, [id_col], "left_semi")
+    return df.join(_sh(winners), [id_col], "left_semi")
 
 
 def exact_dedup_summary(
@@ -115,12 +132,12 @@ def shingle_doc_pairs(
     if max_docs_per_shingle is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
         sh = (
-            sh.join(freq.filter(F.col("df_") <= max_docs_per_shingle), "shingle")
+            sh.join(_sh(freq.filter(F.col("df_") <= max_docs_per_shingle)), "shingle")
             .drop("df_")
         )
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = _sh(sh.alias("a"))
+    b = _sh(sh.alias("b"))
     return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(
@@ -176,8 +193,8 @@ def cross_corpus_dupes(
     """
     new_sh = shingle_rows(new_docs, content_col, id_col, n)
     seen_sh = shingle_rows(seen_docs, content_col, id_col, n)
-    a = new_sh.alias("a")
-    b = seen_sh.alias("b")
+    a = _sh(new_sh.alias("a"))
+    b = _sh(seen_sh.alias("b"))
     return (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .groupBy(
@@ -310,10 +327,21 @@ def minhash_lsh_dupes(
     tests additionally pin that exact dupes score 1.0.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, content_col, id_col, n, num_hashes, seed)
+    # materialize the per-doc signature ONCE (shingle -> md5 -> k affine
+    # mins is the expensive lineage) and reuse it THREE times: band
+    # generation plus both sides of the signature fetch. Pre-r5 the
+    # checkpoint sat AFTER the band explode, so the stored frame carried
+    # `bands` copies of every 8*num_hashes-byte signature (32x storage)
+    # and the band self-join shuffled candidate rows with two full
+    # signature payloads each; banding narrow rows and joining the
+    # signatures back by doc id measured ~25% faster at sf0.1 and is the
+    # shape that scales (band shuffle bytes ~ docs*bands*keylen, not
+    # docs*bands*siglen).
+    sig = minhash_signatures(
+        df, content_col, id_col, n, num_hashes, seed
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "doc",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -333,13 +361,8 @@ def minhash_lsh_dupes(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # materialize-before-self-join (same discipline as semantic_dedup_pairs
-    # and ngram_jaccard): both join sides consume `banded`, and without the
-    # checkpoint the shingle -> signature lineage executes once per side
-    # (measured ~1s of the 2.4s sf0.1 query)
-    banded = banded.localCheckpoint(eager=False)
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = _sh(banded.alias("a")), _sh(banded.alias("b"))
     cand = (
         a.join(
             b,
@@ -350,15 +373,20 @@ def minhash_lsh_dupes(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .distinct()
+    )
+    pairs = cand.join(
+        _sh(sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))),
+        "doc_a",
+    ).join(
+        _sh(sig.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))),
+        "doc_b",
     )
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
-    return cand.select(
+    return pairs.select(
         "doc_a",
         "doc_b",
         (agree / F.lit(num_hashes)).alias("est_jaccard"),
@@ -485,7 +513,7 @@ def simhash_dupes(
             )
         ).alias("bk"),
     ).select("doc", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = _sh(bands.alias("a")), _sh(bands.alias("b"))
     cand = (
         a.join(
             b,
@@ -514,7 +542,7 @@ def dedup_connected_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str =
     duplicate clusters are small; :func:`connected_components` gives the
     full transitive closure and cluster ids)."""
     drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    return all_ids.join(drop, [id_col], "left_anti")
+    return all_ids.join(_sh(drop), [id_col], "left_anti")
 
 
 def connected_components(
@@ -561,12 +589,14 @@ def connected_components(
     )
     changed = 1
     for _ in range(max_iterations):
+        # edge/label grains scale with the duplicate graph: estimate-based
+        # broadcast is forbidden on every iteration join (see _sh)
         neighbor_min = (
-            edges.join(labels, edges.v == labels.node)
+            edges.join(_sh(labels), edges.v == labels.node)
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        hop = labels.join(neighbor_min, "node", "left").select(
+        hop = labels.join(_sh(neighbor_min), "node", "left").select(
             "node",
             F.least(
                 F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
@@ -581,7 +611,7 @@ def connected_components(
             F.col("node").alias("__pnode"), F.col("comp").alias("__pcomp")
         )
         updated = (
-            hop.join(parents, hop.comp == parents.__pnode, "left")
+            hop.join(_sh(parents), hop.comp == parents.__pnode, "left")
             .select(
                 "node",
                 F.least(
@@ -648,7 +678,7 @@ def _span_rows(
         F.countDistinct("doc").alias("nd"),
         F.min(F.struct("doc", "pos")).alias("__keeper"),
     )
-    return ex.join(census, "h").select(
+    return ex.join(_sh(census), "h").select(
         "doc",
         "pos",
         "span",
@@ -696,7 +726,7 @@ def span_dedup(
     )
     return (
         df.select(F.col(id_col))
-        .join(per_doc, F.col(id_col) == F.col("doc"), "left")
+        .join(_sh(per_doc), F.col(id_col) == F.col("doc"), "left")
         .select(
             id_col,
             F.coalesce("n_spans", F.lit(0)).alias("n_spans"),

@@ -624,7 +624,13 @@ def semantic_dedup_pairs(
         F.col("cell"), F.col(id_col).alias("id_b"), F.col("nv").alias("vb")
     )
     return (
-        a.join(b, "cell")
+        # both sides are the corpus-scaled checkpointed assignments: the
+        # LogicalRDD size stat inherits the pre-checkpoint ESTIMATE, so a
+        # threshold broadcast here would collect the corpus to the driver
+        # at scale (observed for the MinHash band join at sf10) — force a
+        # shuffled hash join; broadcasts only by explicit dim hint or
+        # AQE's measured runtime sizes.
+        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "cell",
@@ -658,7 +664,7 @@ def semantic_dedup_keep(
     dupes = semantic_dedup_pairs(
         corpus, n_cells, threshold, id_col, vec_col, refine_iterations
     ).select(F.col("id_b").alias(id_col)).distinct()
-    return corpus.join(dupes, id_col, "left_anti")
+    return corpus.join(dupes.hint("shuffle_hash"), id_col, "left_anti")
 
 # --- PQ-ANN: product quantization with ADC scoring ---------------------------
 

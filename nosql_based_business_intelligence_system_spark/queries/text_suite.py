@@ -27,17 +27,60 @@ def _docs(spark, sf_dir):
 
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/quality stats, STAGED so every expensive array op
+    runs once per row. Higher-order functions (filter/transform/
+    aggregate) are CodegenFallback — they evaluate interpreted and do
+    NOT participate in codegen subexpression elimination — so the naive
+    formulation (each output column calling T.* on the same ``toks``
+    expression tree) re-ran split+filter ~6x and array_distinct 3x per
+    row; that per-row multiplier is what made this map-only query the
+    worst sf0.1->sf1 scaler (6.2x) in the r4 table. Two projections:
+    scalar census first (each array op once), then pure-arithmetic
+    ratios — identical expression shapes at the output, so the oracle
+    hash is unchanged."""
     d = _docs(spark, sf_dir)
-    toks = T.tokens(F.col("text"))
-    return d.select(
+    staged = d.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
+    census = staged.select(
         "doc_id",
-        T.n_tokens(toks).alias("n_tokens"),
-        T.n_distinct_tokens(toks).alias("n_distinct_tokens"),
-        T.avg_token_len(toks).alias("avg_token_len"),
-        T.stopword_ratio(toks).alias("stopword_ratio"),
-        T.type_token_ratio(toks).alias("type_token_ratio"),
-        T.punct_ratio(F.col("text")).alias("punct_ratio"),
-        T.quality_score(toks, F.col("text")).alias("quality_score"),
+        F.size(toks).alias("__nt"),
+        F.size(F.array_distinct(toks)).alias("__nd"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("__len_sum"),
+        F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*T.STOPWORDS))
+        ).alias("__stop"),
+        F.length("text").alias("__nc"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")).alias(
+            "__clean"
+        ),
+    )
+    nt, nd = F.col("__nt"), F.col("__nd")
+    nc = F.col("__nc")
+    ttr = F.when(nt > 0, nd / nt)
+    punct = F.when(nc > 0, (nc - F.col("__clean")) / nc)
+    quality = (
+        F.when((nt >= 10) & (nt <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.least(F.coalesce(ttr, F.lit(0.0)) * F.lit(2.0), F.lit(1.0))
+        * F.lit(0.4)
+        + (
+            F.lit(0.2)
+            - F.least(F.coalesce(punct, F.lit(0.0)) * F.lit(2.0), F.lit(1.0))
+            * F.lit(0.2)
+        )
+    )
+    return census.select(
+        "doc_id",
+        nt.cast("bigint").alias("n_tokens"),
+        nd.cast("bigint").alias("n_distinct_tokens"),
+        F.when(nt > 0, F.col("__len_sum") / nt).alias("avg_token_len"),
+        F.when(nt > 0, F.col("__stop") / nt).alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        punct.alias("punct_ratio"),
+        quality.alias("quality_score"),
     )
 
 

@@ -71,16 +71,23 @@ def test_rp_bucket_recall_on_fixture(spark, sf_smoke):
 
 def test_rp_bucket_scores_are_exact(spark, sf_smoke):
     """Bucketing prunes candidates; every emitted score must equal the
-    brute-force cosine for that pair (never an approximated value)."""
+    brute-force cosine for that pair (never an approximated value).
+    Brute-force runs with k = corpus size so EVERY pair's exact score is
+    present — a capped top-k dict would KeyError (not meaningfully fail)
+    on an RP candidate ranked below the cap (r4 advisory)."""
     emb = load_table(spark, sf_smoke, "embeddings")
     queries = emb.filter("vec_id < 3")
     exact = {
         (r.query_id, r.neighbor_id): r.score
-        for r in similarity.brute_force_topk(emb, queries, k=200).collect()
+        for r in similarity.brute_force_topk(
+            emb, queries, k=emb.count()
+        ).collect()
     }
-    for r in similarity.rp_bucket_topk(
+    got = similarity.rp_bucket_topk(
         emb, queries, k=10, dim=64, n_tables=8, bucket_length=4.0
-    ).collect():
+    ).collect()
+    assert got, "RP-bucket returned no pairs"
+    for r in got:
         assert exact[(r.query_id, r.neighbor_id)] == r.score
 
 

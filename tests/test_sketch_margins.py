@@ -1,0 +1,45 @@
+"""Standing enforcement of the >=2.5x sketch-certificate margin policy.
+
+The KLL within_bound certificate is hash-verified, but KLL compaction is
+internally randomized: the bound constants were calibrated from observed
+worst-of-3 runs, so the certificate is probabilistic and a thin margin
+would make the HASH ROW ITSELF flaky. Policy (PLANS.md / r4 advisory):
+every observed error must stay under bound / 2.5 on REPEATED runs at the
+pinned SFs — each run re-builds the sketches, so N runs sample N
+independent compaction histories per group. A failure here means the
+margin eroded (new fixture, new scale, datasketches upgrade) and the
+bound constants need re-calibration BEFORE the registry hash can flake.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nosql_based_business_intelligence_system_spark.queries.stats_suite import (
+    KLL_SKETCH_BOUND,
+    SKETCH_QS,
+    kll_mergeable_quantiles_detail,
+)
+
+N_RUNS = 4
+MARGIN = 2.5
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_kll_bound_margin_on_repeated_runs(spark, sf):
+    worst = 0.0
+    for _ in range(N_RUNS):
+        for row in kll_mergeable_quantiles_detail(spark, sf).collect():
+            bound = max(KLL_SKETCH_BOUND, 30.0 / row["n_orders"])
+            for q in SKETCH_QS:
+                p = int(q * 100)
+                exact = row[f"p{p}_exact"]
+                err = abs(row[f"p{p}_est"] - exact) / abs(exact)
+                worst = max(worst, err / bound)
+                assert err * MARGIN <= bound, (
+                    f"margin eroded at {sf} key={row['key']} p{p}: "
+                    f"err={err:.4f} bound={bound:.4f} "
+                    f"(policy: err <= bound/{MARGIN})"
+                )
+    # visibility when run with -s: how much headroom remains
+    print(f"worst err/bound at {sf}: {worst:.3f} (policy ceiling {1/MARGIN:.3f})")

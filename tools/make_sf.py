@@ -83,11 +83,31 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
             if c in shifts:
                 exprs.append(f"{c} + r.r * {shifts[c]} AS {c}")
             elif t == "documents" and c == "text":
-                # keep replicas textually distinct (see module docstring)
-                exprs.append("text || ' replica' || CAST(r.r AS VARCHAR) AS text")
+                # Replicas must NOT be near-duplicates of each other: a
+                # trailing ' replicaN' suffix (the pre-r5 scheme) changes
+                # only ~3 shingles, so at factor F every doc had F-1
+                # ~0.99-Jaccard twins and LSH candidate pairs grew
+                # QUADRATICALLY in F (sf10: ~8e8 banded rows, dedup jobs
+                # died) — measuring the dup-heavy edge case, not the scale
+                # path. Replacing every 5th token with a replica-unique
+                # marker touches 3 of every 5 shingle windows, pushing
+                # cross-replica Jaccard to ~0.25 (< the 0.5 threshold)
+                # while organic intra-replica dup structure replicates
+                # linearly. Replica 0 stays byte-identical to the source.
+                exprs.append(
+                    "CASE WHEN r.r = 0 THEN text ELSE "
+                    "array_to_string(list_transform(string_split(text, ' '), "
+                    "(t, i) -> CASE WHEN (i % 5) = 1 "
+                    "THEN 'r' || r.r || 'x' || i ELSE t END), ' ') "
+                    "END AS text"
+                )
             elif t == "documents" and c == "n_chars":
                 exprs.append(
-                    "n_chars + length(' replica' || CAST(r.r AS VARCHAR)) AS n_chars"
+                    "CASE WHEN r.r = 0 THEN n_chars ELSE "
+                    "length(array_to_string(list_transform(string_split(text, ' '), "
+                    "(t, i) -> CASE WHEN (i % 5) = 1 "
+                    "THEN 'r' || r.r || 'x' || i ELSE t END), ' ')) "
+                    "END AS n_chars"
                 )
             elif t == "embeddings" and c == "embedding":
                 # perturb ONE component per replica so near-dup structure
