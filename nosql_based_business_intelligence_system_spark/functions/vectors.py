@@ -23,28 +23,50 @@ def as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Inner product. With ``dim`` given, the fold is UNROLLED into a
+    left-associated addition chain of ``getItem`` terms — bit-identical
+    doubles (same seed, same summation order as the aggregate fold and
+    as DuckDB's ``list_inner_product``) but whole-stage-codegen
+    arithmetic instead of an interpreted per-element lambda: measured
+    ~25x on the sf10 IVF assignment (470s -> 18s). Higher-order
+    functions are CodegenFallback, so on O(rows x K) hot paths the
+    interpreted fold IS the cost. ``dim`` must equal the true array
+    length (shorter arrays yield NULL terms -> NULL result, where the
+    fold would sum the existing elements)."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    expr = F.lit(0.0)
+    for i in range(dim):
+        expr = expr + a[i] * b[i]
+    return expr
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    d = norm(a) * norm(b)
-    return F.when(d > 0, dot(a, b) / d)
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    d = norm(a, dim) * norm(b, dim)
+    return F.when(d > 0, dot(a, b, dim) / d)
 
 
-def euclidean(a: Column, b: Column) -> Column:
-    diff = F.zip_with(a, b, lambda x, y: x - y)
-    return F.sqrt(
-        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+def euclidean(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Euclidean distance; see :func:`dot` for the ``dim`` fast path."""
+    if dim is None:
+        diff = F.zip_with(a, b, lambda x, y: x - y)
+        return F.sqrt(
+            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+    expr = F.lit(0.0)
+    for i in range(dim):
+        d = a[i] - b[i]
+        expr = expr + d * d
+    return F.sqrt(expr)
 
 
 def pandas_dot():

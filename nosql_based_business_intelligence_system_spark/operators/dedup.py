@@ -347,14 +347,18 @@ def minhash_lsh_dupes(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        # engine-portable band key: the slice's literal
-                        # values (equality is all banding needs)
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice("sig", i * r + 1, r),
-                                lambda x: x.cast("string"),
-                            ),
+                        # band key: the slice's values as a STRUCT —
+                        # struct equality is elementwise equality, i.e.
+                        # exactly slice equality (the engine-portable
+                        # banding criterion), without building per-row
+                        # strings; 16 bytes/key vs ~40-byte strings
+                        F.struct(
+                            *[
+                                F.element_at("sig", i * r + j + 1).alias(
+                                    f"k{j}"
+                                )
+                                for j in range(r)
+                            ]
                         ).alias("key"),
                     )
                     for i in range(bands)
@@ -622,7 +626,9 @@ def connected_components(
                     | (F.coalesce(F.col("__pcomp"), F.col("comp")) < F.col("comp"))
                 ).alias("__chg"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        # the changed-count action below MATERIALIZES the lazy checkpoint —
+        # one job per round instead of eager-checkpoint + count (two)
         changed = updated.filter(F.col("__chg")).limit(1).count()
         labels = updated.drop("__chg")
         if changed == 0:

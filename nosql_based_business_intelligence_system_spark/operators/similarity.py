@@ -34,8 +34,12 @@ def brute_force_topk(
     Output: query_id, neighbor_id, score, rank (1..k). The query side is
     broadcast; ranking shuffles only (n_queries x corpus) scored rows
     pre-filtered to the window partition key — with AQE the skew risk is nil
-    because query_id cardinality = |Q|.
+    because query_id cardinality = |Q|. The vector dim is probed from one
+    corpus row so the O(|Q| x corpus) scoring kernel unrolls into codegen
+    arithmetic (see functions.vectors.dot) — same doubles as the fold.
     """
+    probe = corpus.select(vec_col).first()
+    dim = len(probe[0]) if probe and probe[0] is not None else None
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     )
@@ -43,9 +47,9 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
     )
     score = (
-        V.cosine(F.col("qv"), F.col("cv"))
+        V.cosine(F.col("qv"), F.col("cv"), dim)
         if metric == "cosine"
-        else -V.euclidean(F.col("qv"), F.col("cv"))
+        else -V.euclidean(F.col("qv"), F.col("cv"), dim)
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -396,18 +400,21 @@ def embedding_cosine_dupes(
 
 
 def _nearest_cell(
-    c: DataFrame, centroids: DataFrame, id_col: str
+    c: DataFrame, centroids: DataFrame, id_col: str, dim: int | None = None
 ) -> DataFrame:
     """Assign each vector (id, v) to its nearest centroid: broadcast the
     K centroids, argmin via ``min_by`` hash aggregation (tie-break on
     cell id) — partial aggregation combines map-side, so the shuffle
     carries one row per vector, not one per (vector, centroid), and
-    there's no sort. Strictly better than a row_number window here."""
+    there's no sort. Strictly better than a row_number window here.
+    ``dim`` (known from the trained model) unrolls the distance into
+    codegen arithmetic — this O(rows x K) stage is the one that priced
+    the corpus-scaled-K SemDeDup at sf10 (see functions.vectors.dot)."""
     scored = c.crossJoin(F.broadcast(centroids)).select(
         id_col,
         "v",
         "cell",
-        V.euclidean(F.col("v"), F.col("centroid")).alias("dist"),
+        V.euclidean(F.col("v"), F.col("centroid"), dim).alias("dist"),
     )
     return (
         scored.groupBy(id_col)
@@ -526,7 +533,8 @@ def ivf_assign(
         [(i, [float(x) for x in cent[i]]) for i in range(len(cent))],
         schema=schema,
     )
-    assignments = _nearest_cell(c, centroids, id_col)
+    dim = int(X.shape[1]) if len(X) else None
+    assignments = _nearest_cell(c, centroids, id_col, dim)
     return assignments, centroids
 
 
@@ -545,6 +553,8 @@ def ivf_topk(
     assignments, centroids = ivf_assign(
         corpus, n_cells, id_col, vec_col, refine_iterations
     )
+    first_cent = centroids.first()
+    dim = len(first_cent.centroid) if first_cent else None
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     )
@@ -552,7 +562,7 @@ def ivf_topk(
         "query_id",
         "qv",
         "cell",
-        V.euclidean(F.col("qv"), F.col("centroid")).alias("cdist"),
+        V.euclidean(F.col("qv"), F.col("centroid"), dim).alias("cdist"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
     probes = (
@@ -566,7 +576,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        V.cosine(F.col("qv"), F.col("v")).alias("score"),
+        V.cosine(F.col("qv"), F.col("v"), dim).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -596,9 +606,13 @@ def semantic_dedup_pairs(
     grows with the corpus so cells stay bounded. The cluster step is the
     same broadcast-centroid argmin the ANN path uses; no UDF, no collect.
     """
-    assignments, _ = ivf_assign(
+    assignments, cents = ivf_assign(
         corpus, n_cells, id_col, vec_col, refine_iterations
     )
+    # model is a K-row local relation; its row width is the vector dim,
+    # which unrolls every downstream kernel into codegen arithmetic
+    first_cent = cents.first()
+    dim = len(first_cent.centroid) if first_cent else None
     # Normalize ONCE per row before the self-join: higher-order array
     # expressions don't whole-stage-codegen, so cosine-per-pair (two
     # norms + a dot = 3 interpreted O(dim) loops per PAIR) prices the
@@ -607,7 +621,7 @@ def semantic_dedup_pairs(
     # first — referencing it inside the transform lambda would
     # re-evaluate the aggregate per element.
     assignments = (
-        assignments.withColumn("__nrm", V.norm(F.col("v")))
+        assignments.withColumn("__nrm", V.norm(F.col("v"), dim))
         .withColumn(
             "nv", F.transform("v", lambda x: x / F.col("__nrm"))
         )
@@ -636,7 +650,7 @@ def semantic_dedup_pairs(
             "cell",
             "id_a",
             "id_b",
-            V.dot(F.col("va"), F.col("vb")).alias("score"),
+            V.dot(F.col("va"), F.col("vb"), dim).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )

@@ -213,12 +213,14 @@ def _dd_euclid(a: str, b: str) -> str:
     return f"sqrt(list_inner_product({d}, {d}))"
 
 
-def _dd_ivf_cells_ctes(n_cells: int) -> str:
+def _dd_ivf_cells_ctes(n_cells: int | str) -> str:
     """Shared CTE block: corpus as DOUBLE[], md5-order centroids, per-vector
     distances to every centroid, and the min-dist cell assignment — the
     DuckDB replay of similarity.ivf_assign(refine_iterations=0) +
     _nearest_cell (same md5 seed order, same euclidean fold, same
-    (dist, cell) tie-break)."""
+    (dist, cell) tie-break). ``n_cells`` may be an int literal or a SQL
+    scalar expression (the corpus-scaled SemDeDup twin passes a COUNT
+    subquery so both engines compute the same K from the same data)."""
     return f"""vecs AS MATERIALIZED (
   SELECT vec_id AS id, {V.dd_vec('embedding')} AS v FROM embeddings
 ), cents AS MATERIALIZED (
@@ -373,13 +375,32 @@ SELECT query_id, neighbor_id, score, rank FROM (
 ) WHERE rank <= {k}"""
 
 
-def _dd_semantic_dedup_sql(
-    n_cells: int = IVF_CELLS, threshold: float = 0.35,
-) -> str:
+#: SemDeDup cell sizing: K = max(IVF_CELLS, corpus // SEM_TARGET_CELL), so
+#: cells hold ~SEM_TARGET_CELL vectors at ANY corpus size. A FIXED K makes
+#: the within-cell self-join O(n^2 / K) — quadratic in the corpus (the
+#: first sf10 rehearsal run blew a 10-minute budget on 12.5k-row cells);
+#: constant cell size is the SemDeDup paper's own regime and keeps the
+#: pair stage linear. Spark computes K from count(); the twin computes
+#: the SAME K from the same table in SQL, so hashes stay in lockstep at
+#: every scale (at the driver's sf<=0.1 gates K remains IVF_CELLS and
+#: hashes are unchanged).
+SEM_TARGET_CELL = 512
+
+
+def sem_n_cells(n_vecs: int) -> int:
+    return max(IVF_CELLS, n_vecs // SEM_TARGET_CELL)
+
+
+def _dd_semantic_dedup_sql(threshold: float = 0.35) -> str:
     """Generated DuckDB twin of semantic_dedup_survivors: same portable
-    cell assignment as the IVF twin, unit-normalize per row, within-cell
-    pairs (id_a < id_b) whose normalized dot clears the threshold mark
-    the HIGHER id as a dupe; survivors are the anti-join."""
+    cell assignment as the IVF twin (corpus-scaled K via the same
+    GREATEST/COUNT formula Spark evaluates), unit-normalize per row,
+    within-cell pairs (id_a < id_b) whose normalized dot clears the
+    threshold mark the HIGHER id as a dupe; survivors are the anti-join."""
+    n_cells = (
+        f"(SELECT GREATEST({IVF_CELLS}, COUNT(*) // {SEM_TARGET_CELL}) "
+        "FROM vecs)"
+    )
     return f"""WITH {_dd_ivf_cells_ctes(n_cells)}, normed AS MATERIALIZED (
   SELECT id, cell,
          list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS nv
@@ -495,9 +516,12 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated DuckDB twin, so the survivor set is hash-verified (kept-set
     invariants additionally pytest-tested). Threshold matches the exact
     near-pair query so survivors drop the same planted neighborhood
-    structure."""
+    structure. K scales with the corpus (see ``SEM_TARGET_CELL``) so the
+    within-cell pair stage stays linear at any scale; the twin computes
+    the identical K in SQL."""
+    emb = _emb(spark, sf_dir)
     return similarity.semantic_dedup_keep(
-        _emb(spark, sf_dir), n_cells=IVF_CELLS,
+        emb, n_cells=sem_n_cells(emb.count()),
         threshold=NEAR_PAIR_THRESHOLD, refine_iterations=0,
     ).select("vec_id", "label")
 

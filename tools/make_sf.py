@@ -110,14 +110,34 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                     "END AS n_chars"
                 )
             elif t == "embeddings" and c == "embedding":
-                # perturb ONE component per replica so near-dup structure
-                # is preserved (cosine to the original stays ~1 - 1e-4)
-                # without exact 10-way duplicate groups; keep FLOAT[] type
+                # Replica transform must satisfy three properties at once
+                # (earlier schemes each broke one and produced QUADRATIC
+                # blowups at factor 100):
+                #   1. replicas of one vector must not be near-dups of
+                #      each other or the original (+0.01*r nudges left
+                #      cosine ~0.9999 -> F-way semantic-dup clusters);
+                #   2. a replica must not share a dominant direction
+                #      across vectors (a large fixed-component bump made
+                #      ~97% of sign-LSH projections equal for every
+                #      vector in a replica -> 2000-vector LSH buckets);
+                #   3. ORGANIC near-dup pairs must replicate linearly
+                #      with their geometry intact.
+                # An ORTHOGONAL map per replica does all three: rotate
+                # components by r%64 and negate for r>=64. Rotation and
+                # negation preserve every intra-replica pairwise cosine
+                # exactly (3), cross-replica cosines become generic
+                # near-zero (1) — the r vs r+64 rotation collision is
+                # separated by the sign flip — and a rotated/negated
+                # +-1-plane projection is just another generic
+                # projection (2). Replica 0 is bit-identical; FLOAT[]
+                # type preserved.
+                rot = "1 + (r.r % 64)"
                 exprs.append(
-                    "CAST(list_transform(CAST(embedding AS DOUBLE[]), "
-                    "(x, i) -> CASE WHEN i = 1 + (r.r % 64) "
-                    "THEN x + 0.01 * r.r ELSE x END) AS FLOAT[]) "
-                    "AS embedding"
+                    "CAST(list_transform("
+                    "list_concat(CAST(embedding AS DOUBLE[])[{k}:64], "
+                    "CAST(embedding AS DOUBLE[])[1:{k} - 1]), "
+                    "x -> x * (CASE WHEN r.r < 64 THEN 1.0 ELSE -1.0 END)"
+                    ") AS FLOAT[]) AS embedding".format(k=rot)
                 )
             else:
                 exprs.append(c)
