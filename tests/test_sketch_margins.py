@@ -17,6 +17,7 @@ import pytest
 
 from nosql_based_business_intelligence_system_spark.queries.stats_suite import (
     KLL_SKETCH_BOUND,
+    KLL_SMALL_SAMPLE_NUM,
     SKETCH_QS,
     kll_mergeable_quantiles_detail,
 )
@@ -30,7 +31,7 @@ def test_kll_bound_margin_on_repeated_runs(spark, sf):
     worst = 0.0
     for _ in range(N_RUNS):
         for row in kll_mergeable_quantiles_detail(spark, sf).collect():
-            bound = max(KLL_SKETCH_BOUND, 30.0 / row["n_orders"])
+            bound = max(KLL_SKETCH_BOUND, KLL_SMALL_SAMPLE_NUM / row["n_orders"])
             for q in SKETCH_QS:
                 p = int(q * 100)
                 exact = row[f"p{p}_exact"]
