@@ -47,9 +47,9 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
     )
     score = (
-        V.cosine(F.col("qv"), F.col("cv"), dim)
+        V.cosine("qv", "cv", dim)
         if metric == "cosine"
-        else -V.euclidean(F.col("qv"), F.col("cv"), dim)
+        else -V.euclidean("qv", "cv", dim)
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -414,7 +414,7 @@ def _nearest_cell(
         id_col,
         "v",
         "cell",
-        V.euclidean(F.col("v"), F.col("centroid"), dim).alias("dist"),
+        V.euclidean("v", "centroid", dim).alias("dist"),
     )
     return (
         scored.groupBy(id_col)
@@ -562,7 +562,7 @@ def ivf_topk(
         "query_id",
         "qv",
         "cell",
-        V.euclidean(F.col("qv"), F.col("centroid"), dim).alias("cdist"),
+        V.euclidean("qv", "centroid", dim).alias("cdist"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
     probes = (
@@ -576,7 +576,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        V.cosine(F.col("qv"), F.col("v"), dim).alias("score"),
+        V.cosine("qv", "v", dim).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -621,7 +621,7 @@ def semantic_dedup_pairs(
     # first — referencing it inside the transform lambda would
     # re-evaluate the aggregate per element.
     assignments = (
-        assignments.withColumn("__nrm", V.norm(F.col("v"), dim))
+        assignments.withColumn("__nrm", V.norm("v", dim))
         .withColumn(
             "nv", F.transform("v", lambda x: x / F.col("__nrm"))
         )
@@ -650,7 +650,7 @@ def semantic_dedup_pairs(
             "cell",
             "id_a",
             "id_b",
-            V.dot(F.col("va"), F.col("vb"), dim).alias("score"),
+            V.dot("va", "vb", dim).alias("score"),
         )
         .filter(F.col("score") >= threshold)
     )
