@@ -28,18 +28,21 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     metric: str = "cosine",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (excluding self-matches).
 
     Output: query_id, neighbor_id, score, rank (1..k). The query side is
     broadcast; ranking shuffles only (n_queries x corpus) scored rows
     pre-filtered to the window partition key — with AQE the skew risk is nil
-    because query_id cardinality = |Q|. The vector dim is probed from one
-    corpus row so the O(|Q| x corpus) scoring kernel unrolls into codegen
-    arithmetic (see functions.vectors.dot) — same doubles as the fold.
+    because query_id cardinality = |Q|. ``dim`` unrolls the O(|Q| x corpus)
+    scoring kernel into codegen arithmetic (see functions.vectors.dot) —
+    same doubles as the fold; pass it when known (a probe job costs more
+    than it saves on small corpora), else it's probed from one corpus row.
     """
-    probe = corpus.select(vec_col).first()
-    dim = len(probe[0]) if probe and probe[0] is not None else None
+    if dim is None:
+        probe = corpus.select(vec_col).first()
+        dim = len(probe[0]) if probe and probe[0] is not None else None
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     )
@@ -547,14 +550,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-Flat search: probe the ``n_probe`` nearest cells per query, exact
-    cosine within probed cells only."""
+    cosine within probed cells only. Pass ``dim`` when known to unroll the
+    scoring kernels into codegen (functions.vectors.dot) without a probe
+    job; else it's read off the trained centroid model."""
     assignments, centroids = ivf_assign(
         corpus, n_cells, id_col, vec_col, refine_iterations
     )
-    first_cent = centroids.first()
-    dim = len(first_cent.centroid) if first_cent else None
+    if dim is None:
+        first_cent = centroids.first()
+        dim = len(first_cent.centroid) if first_cent else None
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     )
@@ -594,6 +601,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -611,8 +619,9 @@ def semantic_dedup_pairs(
     )
     # model is a K-row local relation; its row width is the vector dim,
     # which unrolls every downstream kernel into codegen arithmetic
-    first_cent = cents.first()
-    dim = len(first_cent.centroid) if first_cent else None
+    if dim is None:
+        first_cent = cents.first()
+        dim = len(first_cent.centroid) if first_cent else None
     # Normalize ONCE per row before the self-join: higher-order array
     # expressions don't whole-stage-codegen, so cosine-per-pair (two
     # norms + a dot = 3 interpreted O(dim) loops per PAIR) prices the
@@ -663,6 +672,7 @@ def semantic_dedup_keep(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup keep-set: drop every vector that has a lower-id neighbor in
     its cell with cosine >= ``threshold``; keep the rest (original columns).
@@ -676,7 +686,7 @@ def semantic_dedup_keep(
     ``threshold``.
     """
     dupes = semantic_dedup_pairs(
-        corpus, n_cells, threshold, id_col, vec_col, refine_iterations
+        corpus, n_cells, threshold, id_col, vec_col, refine_iterations, dim
     ).select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dupes.hint("shuffle_hash"), id_col, "left_anti")
 

@@ -36,7 +36,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for the first 5 vectors (by id)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.brute_force_topk(emb, queries, k=TOP_K)
+    return similarity.brute_force_topk(emb, queries, k=TOP_K, dim=EMB_DIM)
 
 
 _Q = V.dd_vec("q.embedding")
@@ -201,7 +201,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     return similarity.ivf_topk(
         emb, queries, k=TOP_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
-        refine_iterations=0,
+        refine_iterations=0, dim=EMB_DIM,
     )
 
 
@@ -522,7 +522,7 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return similarity.semantic_dedup_keep(
         emb, n_cells=sem_n_cells(emb.count()),
-        threshold=NEAR_PAIR_THRESHOLD, refine_iterations=0,
+        threshold=NEAR_PAIR_THRESHOLD, refine_iterations=0, dim=EMB_DIM,
     ).select("vec_id", "label")
 
 
