@@ -549,6 +549,13 @@ def dedup_connected_keep_min(pairs: DataFrame, all_ids: DataFrame, id_col: str =
     return all_ids.join(_sh(drop), [id_col], "left_anti")
 
 
+#: Edge-count ceiling for the driver-side union-find fast path in
+#: :func:`connected_components`. 500k (u, v) tuples is a few MB of driver
+#: memory; the bound is checked against a MEASURED count of the
+#: materialized edge base, never an estimate.
+_SMALL_GRAPH_EDGE_CAP = 500_000
+
+
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
@@ -577,6 +584,56 @@ def connected_components(
     base = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).localCheckpoint(eager=True)
+    n_edges = base.count()
+    # Small-graph fast path: below the cap, solve the closure with a
+    # driver-side union-find instead of 3+ distributed rounds of 3 joins
+    # each — on a 96-edge dictionary graph the iterative path is ~2s of
+    # pure job-scheduling overhead vs ~0.1s here. The collect is BOUNDED
+    # by the measured edge count we already have (the same certainty the
+    # quantizer-training sample relies on): 500k edge tuples is a few MB
+    # on the driver. Above the cap the distributed iteration runs
+    # unchanged — the dup graph of a 100 TB corpus does not fit a
+    # driver. Identical output by construction: component id = min
+    # reachable node; Python's str ordering (code points) matches
+    # Spark's UTF8 binary ordering because UTF-8 byte order preserves
+    # code-point order, and numeric ids compare identically.
+    if n_edges <= _SMALL_GRAPH_EDGE_CAP:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in base.collect():
+            u, v = row[0], row[1]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[rv] = ru
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        from pyspark.sql.types import StructField, StructType
+
+        node_type = base.schema[0].dataType
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("comp", node_type, False),
+            ]
+        )
+        return spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in sorted(parent)], schema
+        )
     edges = base.unionByName(
         base.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
@@ -584,7 +641,7 @@ def connected_components(
     # smaller than the corpus that produced it, and per-round task overhead
     # at the corpus's shuffle width dominates tiny graphs. ~500k edges per
     # partition; the count is cheap (it reads the materialized base).
-    n_part = max(1, min(int(base.count() * 2 / 500_000) + 1, 2048))
+    n_part = max(1, min(int(n_edges * 2 / 500_000) + 1, 2048))
     edges = edges.repartition(n_part, "v").localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("node"))
