@@ -561,22 +561,32 @@ def connected_components(
     max_iterations: int = 20,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    small_graph_cap: int = _SMALL_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs: (node, component) where the
     component id is the minimum node id reachable through the pair graph.
 
-    Iterative label propagation (the iterative-algorithm case of the driver
-    contract — not SQL-expressible): each round every node adopts the
-    smallest label among itself and its neighbors (one hop), then
-    *shortcuts* by adopting its current label's own label (pointer
-    jumping). The hop alone moves the minimum one edge per round — Θ(D)
-    rounds on a diameter-D chain; the shortcut roughly doubles the reach
-    per round, giving O(log D) once the min is inside the component's
-    label tree. Each round is two joins + one grouped min (shuffles on
-    node); ``localCheckpoint`` truncates the growing lineage so round N
-    doesn't replay rounds 1..N-1. Stops early when a round changes no
-    label; raises RuntimeError if ``max_iterations`` rounds still left
-    labels changing — a silently-partial closure is a wrong answer.
+    Two execution paths, identical output by construction:
+
+    * **Small-graph fast path** (edge count ≤ ``small_graph_cap``,
+      measured, never estimated): driver-side union-find — exact closure
+      in one bounded collect. ``max_iterations`` does not apply here; the
+      closure is computed directly, not iterated. Pass
+      ``small_graph_cap=0`` to force the distributed path.
+    * **Distributed path** (the iterative-algorithm case of the driver
+      contract — not SQL-expressible): label propagation where each round
+      every node adopts the smallest label among itself and its neighbors
+      (one hop), then *shortcuts* by adopting its current label's own
+      label (pointer jumping). The hop alone moves the minimum one edge
+      per round — Θ(D) rounds on a diameter-D chain; the shortcut roughly
+      doubles the reach per round, giving O(log D) once the min is inside
+      the component's label tree. Each round is two joins + one grouped
+      min (shuffles on node); ``localCheckpoint`` truncates the growing
+      lineage so round N doesn't replay rounds 1..N-1. Stops early when a
+      round changes no label; raises RuntimeError if ``max_iterations``
+      distributed rounds still left labels changing — a silently-partial
+      closure is a wrong answer. ``max_iterations`` bounds ONLY this
+      distributed iteration.
     """
     # materialize the pair plan ONCE before mirroring it: the union needs
     # both directions, and without this the (possibly expensive) candidate-
@@ -597,7 +607,7 @@ def connected_components(
     # reachable node; Python's str ordering (code points) matches
     # Spark's UTF8 binary ordering because UTF-8 byte order preserves
     # code-point order, and numeric ids compare identically.
-    if n_edges <= _SMALL_GRAPH_EDGE_CAP:
+    if n_edges <= small_graph_cap:
         spark = pairs.sparkSession
         parent: dict = {}
 

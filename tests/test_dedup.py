@@ -133,6 +133,9 @@ def test_connected_components_long_chain_pointer_jumping(spark):
 
 
 def test_connected_components_nonconvergence_raises(spark):
+    """max_iterations bounds the DISTRIBUTED iteration only; force that
+    path with small_graph_cap=0 so the union-find fast path (which solves
+    exactly without iterating) doesn't short-circuit the contract."""
     from pyspark.sql import Row
 
     from nosql_based_business_intelligence_system_spark.operators.dedup import connected_components
@@ -141,7 +144,28 @@ def test_connected_components_nonconvergence_raises(spark):
         [Row(doc_a=i, doc_b=i + 1) for i in range(59)]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=2)
+        connected_components(pairs, max_iterations=2, small_graph_cap=0)
+
+
+def test_connected_components_fast_path_matches_distributed(spark):
+    """The driver-side union-find fast path and the distributed label
+    propagation must produce the identical (node, comp) closure — same
+    graph, two forks in the tree plus a singleton-free chain."""
+    from pyspark.sql import Row
+
+    from nosql_based_business_intelligence_system_spark.operators.dedup import connected_components
+
+    edges = (
+        [Row(doc_a=i, doc_b=i + 1) for i in range(20)]  # chain 0..20
+        + [Row(doc_a=100, doc_b=105), Row(doc_a=105, doc_b=101)]  # triangle-ish
+        + [Row(doc_a=200, doc_b=300), Row(doc_a=250, doc_b=300)]  # star
+    )
+    pairs = spark.createDataFrame(edges)
+    fast = connected_components(pairs)  # 24 edges < default cap -> union-find
+    dist = connected_components(pairs, small_graph_cap=0)
+    assert sorted((r.node, r.comp) for r in fast.collect()) == sorted(
+        (r.node, r.comp) for r in dist.collect()
+    )
 
 
 def test_cross_corpus_asymmetric(spark):
