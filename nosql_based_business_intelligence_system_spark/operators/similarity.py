@@ -43,17 +43,31 @@ def brute_force_topk(
     if dim is None:
         probe = corpus.select(vec_col).first()
         dim = len(probe[0]) if probe and probe[0] is not None else None
+    # Norms are per-ROW, not per-pair: compute them on each side BEFORE
+    # the cross join so the O(|Q| x corpus) pair stage evaluates ONE dot
+    # (64 terms unrolled) + a divide instead of three dots (dot + both
+    # norms = 3x the expression tree and 3x the arithmetic). Bit-identical
+    # to cosine-per-pair: same ops on the same operands in the same order
+    # (sqrt(fold(a*a)) * sqrt(fold(b*b)) then dot/d), just evaluated once
+    # per row — the DuckDB twin's per-pair norm computes the same doubles.
+    # The norms deliberately stay as the compact interpreted fold
+    # (dim=None): they run O(rows) not O(pairs), and the unrolled chain's
+    # only payoff is codegen arithmetic on hot paths — here it just adds
+    # ~30KB of generated source per projection stage, and Janino compile
+    # is re-paid on every fresh plan (measured ~0.45s/pass at bench
+    # scale; the fold subtree is CodegenFallback and keeps the stage
+    # source small). Same doubles either way: identical left-assoc sum.
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", V.norm("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
-    )
-    score = (
-        V.cosine("qv", "cv", dim)
-        if metric == "cosine"
-        else -V.euclidean("qv", "cv", dim)
-    )
+    ).withColumn("cn", V.norm("cv"))
+    if metric == "cosine":
+        d = F.col("qn") * F.col("cn")
+        score = F.when(d > 0, V.dot("qv", "cv", dim) / d)
+    else:
+        score = -V.euclidean("qv", "cv", dim)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -444,6 +458,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 1,
+    centroids: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: deterministic hash-ordered training sample,
     Lloyd-refined centroids, then each corpus vector assigned to its
@@ -499,6 +514,16 @@ def ivf_assign(
     )
 
     c = corpus.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("v"))
+    if centroids is not None:
+        # pre-trained model passthrough (train once / search many — the
+        # FAISS index-build vs search split): skip the sample draw, reuse
+        # the K-row local relation. Deterministic either way (the trained
+        # model is a pure function of the corpus + pinned policy), so a
+        # cached model NEVER changes results, it only skips the
+        # TakeOrdered sample job per consumer.
+        first = centroids.first()
+        dim = len(first.centroid) if first else None
+        return _nearest_cell(c, centroids, id_col, dim), centroids
     # orderBy+limit plans TakeOrderedAndProject (distributed top-k) — ONE
     # Spark job draws the bounded sample; Lloyd then runs driver-side in
     # numpy over <= n_cells * IVF_TRAIN_PER_CELL rows (a Spark-side Lloyd
@@ -551,39 +576,49 @@ def ivf_topk(
     vec_col: str = "embedding",
     refine_iterations: int = 1,
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat search: probe the ``n_probe`` nearest cells per query, exact
     cosine within probed cells only. Pass ``dim`` when known to unroll the
     scoring kernels into codegen (functions.vectors.dot) without a probe
-    job; else it's read off the trained centroid model."""
+    job; else it's read off the trained centroid model. ``centroids``
+    reuses a pre-trained quantizer (see ivf_assign) — search-many mode."""
     assignments, centroids = ivf_assign(
-        corpus, n_cells, id_col, vec_col, refine_iterations
+        corpus, n_cells, id_col, vec_col, refine_iterations, centroids
     )
     if dim is None:
         first_cent = centroids.first()
         dim = len(first_cent.centroid) if first_cent else None
+    # per-row / parameter-bounded expressions (|Q| norms, |Q| x K probe
+    # distances) stay as compact folds — unrolling only pays on the
+    # corpus-scaled stages and otherwise just grows per-pass codegen
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", V.norm("qv"))
     qcells = q.crossJoin(F.broadcast(centroids)).select(
         "query_id",
         "qv",
+        "qn",
         "cell",
-        V.euclidean("qv", "centroid", dim).alias("cdist"),
+        V.euclidean("qv", "centroid").alias("cdist"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.asc("cdist"), F.asc("cell"))
     probes = (
         qcells.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell")
+        .select("query_id", "qv", "qn", "cell")
     )
-    cand = probes.join(assignments, "cell").filter(
-        F.col("query_id") != F.col(id_col)
-    )
+    # per-row norms pre-join (see brute_force_topk): the probed-cell pair
+    # stage then runs one unrolled dot + divide per candidate instead of
+    # three — same doubles, a third of the expression and the arithmetic
+    cand = probes.join(
+        assignments.withColumn("cn", V.norm("v")), "cell"
+    ).filter(F.col("query_id") != F.col(id_col))
+    pair_d = F.col("qn") * F.col("cn")
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        V.cosine("qv", "v", dim).alias("score"),
+        F.when(pair_d > 0, V.dot("qv", "v", dim) / pair_d).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -602,6 +637,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     refine_iterations: int = 1,
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs, SemDeDup-style (Abbas et al.
     2023, "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -615,7 +651,7 @@ def semantic_dedup_pairs(
     same broadcast-centroid argmin the ANN path uses; no UDF, no collect.
     """
     assignments, cents = ivf_assign(
-        corpus, n_cells, id_col, vec_col, refine_iterations
+        corpus, n_cells, id_col, vec_col, refine_iterations, centroids
     )
     # model is a K-row local relation; its row width is the vector dim,
     # which unrolls every downstream kernel into codegen arithmetic
@@ -630,7 +666,7 @@ def semantic_dedup_pairs(
     # first — referencing it inside the transform lambda would
     # re-evaluate the aggregate per element.
     assignments = (
-        assignments.withColumn("__nrm", V.norm("v", dim))
+        assignments.withColumn("__nrm", V.norm("v"))
         .withColumn(
             "nv", F.transform("v", lambda x: x / F.col("__nrm"))
         )
@@ -673,6 +709,7 @@ def semantic_dedup_keep(
     vec_col: str = "embedding",
     refine_iterations: int = 1,
     dim: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup keep-set: drop every vector that has a lower-id neighbor in
     its cell with cosine >= ``threshold``; keep the rest (original columns).
@@ -686,7 +723,8 @@ def semantic_dedup_keep(
     ``threshold``.
     """
     dupes = semantic_dedup_pairs(
-        corpus, n_cells, threshold, id_col, vec_col, refine_iterations, dim
+        corpus, n_cells, threshold, id_col, vec_col, refine_iterations, dim,
+        centroids,
     ).select(F.col("id_b").alias(id_col)).distinct()
     return corpus.join(dupes.hint("shuffle_hash"), id_col, "left_anti")
 

@@ -33,6 +33,14 @@ SCALE_CONF: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS); read as long + convert
     # (sources.tables._normalize_event_ts) instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Janino class cache (STATIC conf — first JVM only): the 100-entry
+    # default LRU-thrashes once a session cycles through the registry's
+    # query mix (each query compiles several codegen stages), re-paying
+    # ~100-300ms compiles per stage per pass. A generated class is a few
+    # KB; 2000 entries is megabytes, not a memory risk, and on a long-
+    # lived cluster session it is the difference between compile-once
+    # and compile-per-run for a repeated dashboard workload.
+    "spark.sql.codegen.cache.maxEntries": "2000",
 }
 
 
