@@ -420,13 +420,21 @@ def _nearest_cell(
     c: DataFrame, centroids: DataFrame, id_col: str, dim: int | None = None
 ) -> DataFrame:
     """Assign each vector (id, v) to its nearest centroid: broadcast the
-    K centroids, argmin via ``min_by`` hash aggregation (tie-break on
-    cell id) — partial aggregation combines map-side, so the shuffle
-    carries one row per vector, not one per (vector, centroid), and
-    there's no sort. Strictly better than a row_number window here.
-    ``dim`` (known from the trained model) unrolls the distance into
-    codegen arithmetic — this O(rows x K) stage is the one that priced
-    the corpus-scaled-K SemDeDup at sf10 (see functions.vectors.dot)."""
+    K centroids, argmin via ``min_by`` aggregation (tie-break on cell id);
+    partial aggregation combines map-side, so the shuffle carries ~one row
+    per vector, not one per (vector, centroid). ``dim`` (known from the
+    trained model) unrolls the distance into codegen arithmetic — this
+    O(rows x K) stage is the one that priced the corpus-scaled-K SemDeDup
+    at sf10 (see functions.vectors.dot).
+
+    Rejected alternative (measured, round 6): inlining the K trained
+    centroids as literal distance-chain columns would make assignment a
+    shuffle-free projection, but whole-stage codegen fuses the K x dim
+    term chains into ONE Janino method with no split point (the inputs
+    are locals, not a row), blows the 64 KB bytecode limit, and the
+    whole stage silently drops to interpreted eval with a fresh compile
+    ATTEMPT per pass — 4x slower than this join at bench scale and
+    catastrophically slower at sf10."""
     scored = c.crossJoin(F.broadcast(centroids)).select(
         id_col,
         "v",
@@ -610,8 +618,11 @@ def ivf_topk(
     )
     # per-row norms pre-join (see brute_force_topk): the probed-cell pair
     # stage then runs one unrolled dot + divide per candidate instead of
-    # three — same doubles, a third of the expression and the arithmetic
-    cand = probes.join(
+    # three — same doubles, a third of the expression and the arithmetic.
+    # The probe side is parameter-bounded (|Q| x n_probe rows) — an
+    # explicit broadcast by construction, so the corpus-scaled assignment
+    # side is never shuffled or sorted for this join.
+    cand = F.broadcast(probes).join(
         assignments.withColumn("cn", V.norm("v")), "cell"
     ).filter(F.col("query_id") != F.col(id_col))
     pair_d = F.col("qn") * F.col("cn")
