@@ -57,13 +57,22 @@ def doc_lm_scores(
     from .partitioning import spread
 
     df = spread(df, id_col)
-    toks = T.tokens(F.col(content_col))
-    pairs = df.select(
+    # Tokenize ONCE: the model-building passes (unigram + bigram counts)
+    # and the scoring pass all consume the token arrays, and without a
+    # materialization barrier each consumer re-runs the regex tokenizer
+    # over the full corpus (3 tokenize passes — the dominant cost of the
+    # sf10 wall clock, r5 verdict item 6). localCheckpoint truncates the
+    # shared prefix so tokenization runs once per query, not per consumer.
+    toks_df = df.select(
+        F.col(id_col), T.tokens(F.col(content_col)).alias("__toks")
+    ).localCheckpoint(eager=False)
+    toks = F.col("__toks")
+    pairs = toks_df.select(
         F.col(id_col), F.explode_outer(token_bigrams(toks)).alias("bg")
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
 
     uni = (
-        df.select(F.explode(toks).alias("w"))
+        toks_df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cp"))
     )

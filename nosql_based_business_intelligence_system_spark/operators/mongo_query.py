@@ -1273,6 +1273,17 @@ def _apply_bucket_auto(df: DataFrame, spec: dict) -> DataFrame:
     + per-partition offsets, bit-identical to the native
     ``percent_rank`` window but with no single-partition task.
     ``granularity`` is unsupported and raises.
+
+    Execution note (r5 advisory): ``distributed_percent_rank`` is EAGER —
+    translating a $bucketAuto stage runs a localCheckpoint plus a bounded
+    P-row collect at plan-BUILD time (the per-partition rank offsets are
+    data-dependent), so this stage is not lazily recomposable like the
+    rest of the pipeline frontend. The localCheckpoint blocks are
+    unreplicated executor state: on a fault-sensitive deployment, losing
+    an executor mid-query makes the ranged frame unrecoverable (job
+    retry re-translates from the source instead of recomputing lineage).
+    Accepted trade: recompute-on-retry, in exchange for no
+    single-partition window at any scale.
     """
     from .ranking import distributed_percent_rank
 

@@ -39,6 +39,14 @@ def brute_force_topk(
     scoring kernel into codegen arithmetic (see functions.vectors.dot) —
     same doubles as the fold; pass it when known (a probe job costs more
     than it saves on small corpora), else it's probed from one corpus row.
+
+    UNIFORM-DIM CONTRACT (applies to every unrolled ANN path: this,
+    ivf_topk, semantic_dedup_*): every vector must have exactly the
+    probed/passed length. A shorter vector yields NULL getItem terms, so
+    its score is NULL and it silently drops out of the ranking (the
+    dim=None fold instead sums whatever elements exist). Ragged corpora
+    are unsupported here by contract — validate or pad upstream, or call
+    with an explicit ``dim=None`` to get fold semantics.
     """
     if dim is None:
         probe = corpus.select(vec_col).first()

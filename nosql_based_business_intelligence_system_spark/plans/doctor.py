@@ -186,8 +186,11 @@ def diagnose(df: DataFrame, allow: dict[str, str] | None = None) -> list[dict]:
     # repartitionByRange (distributed ranking, write-layout clustering)
     # range-partitions WITHOUT totally sorting and is the scale-correct
     # pattern, not a smell.
+    # Greedy `.*` (not `[^\]]*`): the sort-key list may itself contain
+    # brackets (e.g. `arr#5[0] ASC`), and the lazy form stopped at the
+    # first `]` and silently missed the trailing `, true` global flag.
     if (
-        re.search(r"Sort \[[^\]]*\], true", simple)
+        re.search(r"Sort \[.*\], true", simple)
         and "TakeOrderedAndProject" not in simple
     ):
         hit(

@@ -182,19 +182,46 @@ FROM ar GROUP BY fin_month_label, region_desc"""
 def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project.py:275-287,407-418 — the Excel summary sheet scalars.
 
-    Exact countDistinct (matches pandas .nunique), not approx.
+    Exact distinct-month count (matches pandas .nunique), not approx.
 
     total_revenue is a decimal sum (dsum0): a 60k-row double SUM accumulates
     in partial-agg order and hash-diverges from any sequential oracle in the
     last ulp; decimal addition is exact, so the result is order-independent.
+
+    Shape note (r5 verdict item 5): mixing countDistinct with plain
+    aggregates plans an Expand that pushes the fact stream through the
+    aggregate TWICE — the worst decade ratio in the sf10 ladder (8.5x).
+    Aggregating per fin_month_label first (the label space is calendar-
+    bounded) and finalizing over the group rows computes the identical
+    scalars — count/min/max/decimal-sum are associative, the distinct
+    label count is the non-null group count — in ONE pass, no Expand.
     """
-    return enriched_sales(spark, sf_dir, columns={"event_date", "fin_month_label", "total_line_price"}).agg(
-        F.count(F.lit(1)).alias("row_count"),
-        F.min("event_date").alias("min_date"),
-        F.max("event_date").alias("max_date"),
-        # decimal accumulation, portable DOUBLE at the output boundary
-        dsum0d(F.col("total_line_price")).alias("total_revenue"),
-        F.countDistinct("fin_month_label").alias("n_fiscal_months"),
+    from ..functions.cleaning import MONEY_DEC, dec2d, dsum0
+
+    per_month = (
+        enriched_sales(
+            spark, sf_dir,
+            columns={"event_date", "fin_month_label", "total_line_price"},
+        )
+        .groupBy("fin_month_label")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("event_date").alias("__mind"),
+            F.max("event_date").alias("__maxd"),
+            # decimal accumulation stays decimal between the two levels
+            dsum0(F.col("total_line_price")).alias("__rev"),
+        )
+    )
+    return per_month.agg(
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("bigint").alias("row_count"),
+        F.min("__mind").alias("min_date"),
+        F.max("__maxd").alias("max_date"),
+        # portable DOUBLE at the output boundary (see dec2d)
+        dec2d(
+            F.coalesce(F.sum("__rev"), F.lit(0).cast(MONEY_DEC))
+        ).alias("total_revenue"),
+        # count skips the NULL-label group, matching COUNT(DISTINCT ...)
+        F.count("fin_month_label").alias("n_fiscal_months"),
     )
 
 

@@ -305,9 +305,16 @@ SELECT 'total' AS level, '*' AS key,
 FROM orders"""
 
 
+#: theta_sketch_agg default lgNomEntries (Spark/datasketches default 12 ->
+#: nominal 4096 retained entries). The certificate's union-relative slack
+#: is DERIVED from this (rsd = 1/sqrt(2^lg)) so resizing the sketch can't
+#: silently desync the bound from the estimator's actual error.
+THETA_LG_NOM = 12
+_THETA_RSD = 1.0 / (2**THETA_LG_NOM) ** 0.5  # ~1.6% at lg=12
+
 #: Value-space relative-error ceiling for theta set-algebra estimates
-#: (nominal 4096 entries -> rsd ~1.6%; 0.05 is the 3-sigma pytest bound;
-#: datasketches theta hashing is deterministic given the data).
+#: (0.05 is the 3-sigma pytest bound; datasketches theta hashing is
+#: deterministic given the data).
 THETA_SKETCH_BOUND = 0.05
 
 
@@ -378,7 +385,16 @@ def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinalities plus one within-bound boolean covering all five
     estimates — union, retained, and churned came from SKETCH algebra,
     so a hash match certifies set operations the raw keys were never
-    rescanned for. Estimates on :func:`theta_customer_overlap_detail`."""
+    rescanned for. Estimates on :func:`theta_customer_overlap_detail`.
+
+    Bound shape: per-estimate relative error, floored at a union-relative
+    term (2 x rsd(2^THETA_LG_NOM) x exact_union — theta set-op error
+    tracks the union size, not the emitted set's) and an ABSOLUTE floor
+    of 2.0. The absolute floor is deliberately blind to tiny exact sets:
+    a churned count of 3 estimated as 5 certifies despite ~67% relative
+    error, because sub-handful set-op cardinalities are inside one
+    sketch-entry of noise and a relative bound there would make the
+    certificate row itself flaky."""
     d = theta_customer_overlap_detail(spark, sf_dir)
     pairs = (
         ("est_1995", "exact_a"),
@@ -390,16 +406,17 @@ def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Theta set-operation error scales with the UNION cardinality, not the
     # emitted set's: a tiny intersection/difference of two large sets can
     # miss its purely-relative bound even when the sketch is within spec.
-    # Floor each bound at the union-relative slack (2x the nominal-4096
-    # rsd ~1.6% of exact_union — same shape as the HLL certificate's
-    # greatest(rel, 2.0) but sized to the input the error actually tracks)
-    # so the certificate cannot flip FALSE on a scale/dataset where the
-    # retained/churned fraction is small. (r4 advisory.)
+    # Floor each bound at the union-relative slack (2x the sketch rsd of
+    # exact_union, rsd derived from THETA_LG_NOM — same shape as the HLL
+    # certificate's greatest(rel, 2.0) but sized to the input the error
+    # actually tracks) so the certificate cannot flip FALSE on a
+    # scale/dataset where the retained/churned fraction is small.
+    # (r4 advisory; r5 advisory: derive rsd, don't hardcode 0.016.)
     ok = None
     for est, exact in pairs:
         cond = F.abs(F.col(est) - F.col(exact)) <= F.greatest(
             F.lit(THETA_SKETCH_BOUND) * F.col(exact),
-            F.lit(2 * 0.016) * F.col("exact_union"),
+            F.lit(2 * _THETA_RSD) * F.col("exact_union"),
             F.lit(2.0),
         )
         ok = cond if ok is None else (ok & cond)

@@ -100,6 +100,10 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         # distributed ranking: P-row partition-offset table (P =
         # parallelism, not data-scaled).
         "off_df",
+        # IVF search: |Q| x n_probe probe rows (parameter-bounded) — the
+        # explicit broadcast keeps the corpus-scaled assignment side from
+        # being shuffled/sorted for the candidate join.
+        "probes",
     }
     offenders = []
     for path in pkg.rglob("*.py"):
