@@ -291,9 +291,14 @@ def minhash_signatures(
     overflow checking would raise on the multiply.
     """
     base = _shingle_base_rows(df, content_col, id_col, n)
+    # Each agg column is ONE parsed F.expr, not lit*col+lit Column
+    # algebra: building num_hashes expressions term-by-term in Python is
+    # ~5 py4j round-trips apiece (~0.5s of DRIVER latency per query
+    # build at k=64) for byte-identical plans. Long literals (`L`) keep
+    # the wrapping int64 multiply exactly as F.lit did.
     sig = base.groupBy("doc").agg(
         *[
-            F.min(F.lit(a) * F.col("h") + F.lit(b)).alias(f"m{i}")
+            F.expr(f"min({a}L * h + {b}L) AS m{i}")
             for i, (a, b) in enumerate(mh_coefficients(num_hashes, seed))
         ]
     )
@@ -340,31 +345,23 @@ def minhash_lsh_dupes(
     sig = minhash_signatures(
         df, content_col, id_col, n, num_hashes, seed
     ).localCheckpoint(eager=False)
+    # band key: the slice's values as a STRUCT — struct equality is
+    # elementwise equality, i.e. exactly slice equality (the engine-
+    # portable banding criterion), without building per-row strings;
+    # 16 bytes/key vs ~40-byte strings. The whole bands-array explode is
+    # ONE parsed expression (see the signature agg note above: the
+    # per-band F.struct/F.lit construction was ~200 py4j round-trips).
+    band_structs = ", ".join(
+        "named_struct('band', {i}, 'key', named_struct({ks}))".format(
+            i=i,
+            ks=", ".join(
+                f"'k{j}', element_at(sig, {i * r + j + 1})" for j in range(r)
+            ),
+        )
+        for i in range(bands)
+    )
     banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        # band key: the slice's values as a STRUCT —
-                        # struct equality is elementwise equality, i.e.
-                        # exactly slice equality (the engine-portable
-                        # banding criterion), without building per-row
-                        # strings; 16 bytes/key vs ~40-byte strings
-                        F.struct(
-                            *[
-                                F.element_at("sig", i * r + j + 1).alias(
-                                    f"k{j}"
-                                )
-                                for j in range(r)
-                            ]
-                        ).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "doc", F.expr(f"explode(array({band_structs}))").alias("bk")
     ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = _sh(banded.alias("a")), _sh(banded.alias("b"))
     cand = (

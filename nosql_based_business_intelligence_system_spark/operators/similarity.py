@@ -58,19 +58,25 @@ def brute_force_topk(
     # to cosine-per-pair: same ops on the same operands in the same order
     # (sqrt(fold(a*a)) * sqrt(fold(b*b)) then dot/d), just evaluated once
     # per row — the DuckDB twin's per-pair norm computes the same doubles.
-    # The norms deliberately stay as the compact interpreted fold
-    # (dim=None): they run O(rows) not O(pairs), and the unrolled chain's
-    # only payoff is codegen arithmetic on hot paths — here it just adds
-    # ~30KB of generated source per projection stage, and Janino compile
-    # is re-paid on every fresh plan (measured ~0.45s/pass at bench
-    # scale; the fold subtree is CodegenFallback and keeps the stage
-    # source small). Same doubles either way: identical left-assoc sum.
+    # Norm kernel choice by side: the QUERY side is |Q| rows — the
+    # compact interpreted fold costs nothing and adds no codegen. The
+    # CORPUS side is O(n): interpreted HOF eval there measured ~6s at
+    # sf10 (200k rows x 64 interpreted lambda steps), so it gets the
+    # unrolled chain — one extra ~6KB codegen method per pass at bench
+    # scale for a linear win at every larger scale. Same doubles either
+    # way: identical left-assoc sum.
+    from .partitioning import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", V.norm("qv"))
-    c = corpus.select(
+    # parallelism guard: the O(|Q| x corpus) scoring + per-partition
+    # top-k sort run at the SCAN's parallelism — a single sub-128MB
+    # embedding file executes the whole pair stage on one task (sf10:
+    # 19.5s single-core); spread is a no-op once input splits >= cores
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", V.norm("cv"))
+    ).withColumn("cn", V.norm("cv", dim))
     if metric == "cosine":
         d = F.col("qn") * F.col("cn")
         score = F.when(d > 0, V.dot("qv", "cv", dim) / d)
@@ -529,7 +535,14 @@ def ivf_assign(
         StructType,
     )
 
-    c = corpus.select(F.col(id_col), V.as_double(F.col(vec_col)).alias("v"))
+    from .partitioning import spread
+
+    # parallelism guard for the O(rows x K) assignment stage (see
+    # brute_force_topk): one sub-split-size embedding file would run the
+    # whole distance/argmin pass on a single task
+    c = spread(corpus, id_col).select(
+        F.col(id_col), V.as_double(F.col(vec_col)).alias("v")
+    )
     if centroids is not None:
         # pre-trained model passthrough (train once / search many — the
         # FAISS index-build vs search split): skip the sample draw, reuse
@@ -631,7 +644,8 @@ def ivf_topk(
     # explicit broadcast by construction, so the corpus-scaled assignment
     # side is never shuffled or sorted for this join.
     cand = F.broadcast(probes).join(
-        assignments.withColumn("cn", V.norm("v")), "cell"
+        # corpus-scaled side: unrolled norm (see brute_force_topk note)
+        assignments.withColumn("cn", V.norm("v", dim)), "cell"
     ).filter(F.col("query_id") != F.col(id_col))
     pair_d = F.col("qn") * F.col("cn")
     scored = cand.select(

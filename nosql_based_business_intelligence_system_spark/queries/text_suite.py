@@ -38,7 +38,12 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar census first (each array op once), then pure-arithmetic
     ratios — identical expression shapes at the output, so the oracle
     hash is unchanged."""
-    d = _docs(spark, sf_dir)
+    from ..operators.partitioning import spread
+
+    # map-only over the corpus: without the parallelism guard a single
+    # 58MB parquet file (< maxPartitionBytes) runs the whole tokenize
+    # census on ONE task (sf10: 17.6s single-core -> ~2s spread)
+    d = spread(_docs(spark, sf_dir), "doc_id")
     staged = d.select(
         "doc_id", "text", T.tokens(F.col("text")).alias("__toks")
     )
