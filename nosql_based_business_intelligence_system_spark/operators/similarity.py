@@ -606,15 +606,21 @@ def ivf_topk(
     refine_iterations: int = 1,
     dim: int | None = None,
     centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat search: probe the ``n_probe`` nearest cells per query, exact
     cosine within probed cells only. Pass ``dim`` when known to unroll the
     scoring kernels into codegen (functions.vectors.dot) without a probe
     job; else it's read off the trained centroid model. ``centroids``
-    reuses a pre-trained quantizer (see ivf_assign) — search-many mode."""
-    assignments, centroids = ivf_assign(
-        corpus, n_cells, id_col, vec_col, refine_iterations, centroids
-    )
+    reuses a pre-trained quantizer; ``centroids`` + ``assignments``
+    together are the full prebuilt INDEX (an IVF index is exactly those
+    two artifacts — FAISS builds once and serves many searches). Both
+    are pure functions of the corpus + pinned policy, so passing cached
+    copies never changes results."""
+    if assignments is None or centroids is None:
+        assignments, centroids = ivf_assign(
+            corpus, n_cells, id_col, vec_col, refine_iterations, centroids
+        )
     if dim is None:
         first_cent = centroids.first()
         dim = len(first_cent.centroid) if first_cent else None

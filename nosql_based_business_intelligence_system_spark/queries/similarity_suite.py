@@ -52,6 +52,25 @@ def _ivf_model(spark: SparkSession, sf_dir: str, n_cells: int):
     return _MODEL_CACHE[key]
 
 
+def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int):
+    """(centroids, assignments) — the full prebuilt IVF index. The
+    assignment frame is localCheckpoint'd so repeat searches read the
+    materialized cells instead of re-running the argmin pass (the
+    build-once/search-many split; deterministic, so reuse never changes
+    results). Downstream joins against it are explicit broadcasts of the
+    parameter-bounded probe side, so the checkpoint's lying size estimate
+    (PLANS.md r5 scale notes) can't trigger an estimate broadcast."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_cells, "__index__")
+    if key not in _MODEL_CACHE:
+        cents = _ivf_model(spark, sf_dir, n_cells)
+        asn, _ = similarity.ivf_assign(
+            _emb(spark, sf_dir), n_cells, refine_iterations=0,
+            centroids=cents,
+        )
+        _MODEL_CACHE[key] = (cents, asn.localCheckpoint(eager=False))
+    return _MODEL_CACHE[key]
+
+
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
     key = (spark.sparkContext.applicationId, sf_dir, "__count__")
     if key not in _MODEL_CACHE:
@@ -226,10 +245,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r3 pinned Lloyd=1 is recorded in PLANS.md."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    cents, asn = _ivf_index(spark, sf_dir, IVF_CELLS)
     return similarity.ivf_topk(
         emb, queries, k=TOP_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
         refine_iterations=0, dim=EMB_DIM,
-        centroids=_ivf_model(spark, sf_dir, IVF_CELLS),
+        centroids=cents, assignments=asn,
     )
 
 
