@@ -278,14 +278,19 @@ def _dd_ivf_cells_ctes(n_cells: int | str) -> str:
     FROM vecs
   ) WHERE cell < {n_cells}
 ), dists AS MATERIALIZED (
-  SELECT s.id, s.v, c.cell, {_dd_euclid('s.v', 'c.centroid')} AS dist
+  -- NARROW on purpose: (id, cell, dist) only. Carrying the DOUBLE[64]
+  -- vector through the id x cell expansion materialized ~43 GB at sf10
+  -- (200k vecs x corpus-scaled K=390) and OOM-killed the verify process;
+  -- the vector joins back below at one row per id.
+  SELECT s.id, c.cell, {_dd_euclid('s.v', 'c.centroid')} AS dist
   FROM vecs s CROSS JOIN cents c
 ), asn AS MATERIALIZED (
-  SELECT id, v, cell FROM (
-    SELECT id, v, cell,
+  SELECT d.id, w.v, d.cell FROM (
+    SELECT id, cell,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
     FROM dists
-  ) WHERE rn = 1
+  ) d JOIN vecs w ON w.id = d.id
+  WHERE d.rn = 1
 )"""
 
 
@@ -297,11 +302,12 @@ def _dd_ivf_topk_sql(
     Query vectors are corpus rows, so probe distances reuse the dists CTE."""
     cos = V.dd_cosine("qv", "cv")
     return f"""WITH {_dd_ivf_cells_ctes(n_cells)}, probes AS (
-  SELECT query_id, qv, cell FROM (
-    SELECT id AS query_id, v AS qv, cell,
+  SELECT p.query_id, w.v AS qv, p.cell FROM (
+    SELECT id AS query_id, cell,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS rn
     FROM dists WHERE id < {n_query}
-  ) WHERE rn <= {n_probe}
+  ) p JOIN vecs w ON w.id = p.query_id
+  WHERE p.rn <= {n_probe}
 ), cand AS (
   SELECT p.query_id, p.qv, a.id AS neighbor_id, a.v AS cv
   FROM probes p JOIN asn a USING (cell)

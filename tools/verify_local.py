@@ -76,6 +76,14 @@ def main() -> int:
 
     spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
+    # DuckDB's default memory ceiling (80% of RAM) ignores the Spark JVM
+    # sharing the box; a heavy twin then OOM-kills the whole process
+    # (observed at sf10: 99.9 GB RSS). Cap it and let it SPILL instead.
+    try:
+        con.execute("SET memory_limit='40GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    except Exception:
+        pass  # older duckdb without these pragmas
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
@@ -84,9 +92,18 @@ def main() -> int:
         )
 
     failures = []
+    import gc
+
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
+        # Long full-registry sessions (sf10: 2h+) accumulate the
+        # localCheckpoint blocks of every checkpointing query until the
+        # Python DataFrame refs are collected — observed 41 GB of
+        # block-manager spill and a transient disk-full that failed two
+        # queries. Dropping refs eagerly lets Spark's ContextCleaner
+        # release the blocks between queries.
+        gc.collect()
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
