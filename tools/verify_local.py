@@ -168,6 +168,21 @@ def main() -> int:
                 print(f"FAIL  {name}: NONDETERMINISTIC rows {sn} then {sn2}")
                 failures.append(name)
                 continue
+            del sdf2
+        # Release the Spark-side plan BEFORE the oracle phase: the heavy
+        # dedup queries persist/checkpoint tens of GB of blocks (64 GB
+        # observed for the sf10 shingle self-join), and holding the
+        # DataFrame ref while DuckDB spills its own join starved the
+        # disk and failed the twin. Collected Python rows are kept for
+        # the mismatch dump; the JVM System.gc() makes the
+        # ContextCleaner's weak-ref cleanup prompt instead of waiting
+        # for its 30-min periodic GC.
+        del sdf
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         if q.oracle is None:
             print(f"rows  {name}: {sn} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
