@@ -164,10 +164,16 @@ def ngram_jaccard_dupes(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs at/above a Jaccard threshold, deterministic order."""
+    """Near-duplicate pairs at/above a Jaccard threshold, deterministic
+    order. ``max_docs_per_shingle`` engages shingle_doc_pairs' skew
+    guard — REQUIRED at scale: one boilerplate shingle shared by d docs
+    alone generates d^2/2 candidate pairs (a 10k-doc shingle is 50M
+    pairs; measured 63 GB of partial-aggregate spill at sf10 without
+    the guard)."""
     return (
-        shingle_doc_pairs(df, content_col, id_col, n)
+        shingle_doc_pairs(df, content_col, id_col, n, max_docs_per_shingle)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

@@ -41,6 +41,43 @@ def test_ngram_jaccard_finds_exact_and_near(spark):
     assert not any(4 in p or 5 in p for p in pairs)
 
 
+def test_ngram_shingle_df_guard_pins_boilerplate(spark):
+    """max_docs_per_shingle (the scale-mandatory skew guard, engaged by
+    the registry queries at NGRAM_MAX_DF): shingles shared by more docs
+    than the cap are dropped from candidate GENERATION, so pairs whose
+    only common shingles are boilerplate vanish, while pairs sharing
+    rare shingles keep their (now boilerplate-free) Jaccard evidence."""
+    from pyspark.sql import Row
+
+    boiler = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=f"{boiler} item{i} alpha{i} beta{i} gamma{i}")
+            for i in range(4)
+        ]
+        + [
+            Row(doc_id=10, text=f"{boiler} shared rare payload words here"),
+            Row(doc_id=11, text=f"{boiler} shared rare payload words here"),
+        ]
+    )
+    # Unguarded: every pair shares the boilerplate shingles.
+    unguarded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_dupes(docs, threshold=0.05).collect()
+    }
+    assert (0, 1) in unguarded and (10, 11) in unguarded
+    # Guarded at cap=3: boilerplate shingles (df=6) are dropped; the
+    # boilerplate-only pairs vanish, the rare-content dup pair survives.
+    guarded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_dupes(
+            docs, threshold=0.05, max_docs_per_shingle=3
+        ).collect()
+    }
+    assert (10, 11) in guarded
+    assert not any(a < 10 for a, _ in guarded)
+
+
 def test_minhash_finds_exact_dup_at_distance_zero(spark):
     pairs = {
         (r.doc_a, r.doc_b): r.est_jaccard

@@ -79,8 +79,15 @@ def main() -> int:
     # DuckDB's default memory ceiling (80% of RAM) ignores the Spark JVM
     # sharing the box; a heavy twin then OOM-kills the whole process
     # (observed at sf10: 99.9 GB RSS). Cap it and let it SPILL instead.
+    # The quadratic-twin queries (sf10 shingle self-join: ~2.7e9
+    # candidate pairs) need the opposite trade when run SOLO — more RAM,
+    # no spill — so the cap is an env knob.
     try:
-        con.execute("SET memory_limit='40GB'")
+        con.execute(
+            "SET memory_limit='"
+            + os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "40GB")
+            + "'"
+        )
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
     except Exception:
         pass  # older duckdb without these pragmas
