@@ -90,7 +90,7 @@ def main() -> None:
     # totals of 20.9s and 24.4s for identical plans) — the min is the
     # reproducible execution cost, and the iteration count is declared in
     # the JSON so rounds compare like with like.
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
     for _ in range(max(iters, 1)):
         for name in names:
