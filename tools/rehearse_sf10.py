@@ -42,6 +42,15 @@ def main() -> int:
     # sf10 broadcast builds + DuckDB twins both need headroom; the local
     # JVM heap is static conf, first-JVM-only (see session.get_spark).
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # The quadratic DuckDB twins (sf10 shingle self-join: ~2.7e9 candidate
+    # pairs) run while Spark idles with its blocks released — give DuckDB
+    # most of the box rather than the conservative 40GB shared-phase
+    # default, or the join spills for an hour instead of running hot.
+    env.setdefault("SPARK_GRAFT_DUCKDB_MEM", "80GB")
+    # Child stdout is usually a pipe/file here: without this the per-query
+    # OK lines sit in an 8KB block buffer and the log under-reports
+    # progress by dozens of queries.
+    env.setdefault("PYTHONUNBUFFERED", "1")
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
 
     if not os.path.exists(os.path.join(sf_dir, "lineitem.parquet")):
