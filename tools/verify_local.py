@@ -66,15 +66,42 @@ def main() -> int:
     global FLOAT_SIG
     if "--sig6" in sys.argv[1:]:
         FLOAT_SIG = 6
-    args = [a for a in sys.argv[1:] if a not in ("--determinism", "--sig6")]
+    # Split mode for twins too big to share one box with a live JVM
+    # (the sf10 shingle self-join spills >24GB while Spark scratch holds
+    # the rest of the disk): --spark-only=F runs just the Spark side and
+    # records (rows, hash, cols) to F; --oracle-only=F runs just DuckDB
+    # in a JVM-free process (whole-box memory, whole-disk spill) and
+    # compares against F.
+    spark_only = oracle_only = None
+    flag_args = []
+    for a in sys.argv[1:]:
+        if a.startswith("--spark-only="):
+            spark_only = a.split("=", 1)[1]
+            flag_args.append(a)
+        elif a.startswith("--oracle-only="):
+            oracle_only = a.split("=", 1)[1]
+            flag_args.append(a)
+    args = [
+        a
+        for a in sys.argv[1:]
+        if a not in ("--determinism", "--sig6") and a not in flag_args
+    ]
     determinism = "--determinism" in sys.argv[1:]
     sf_dir = args[0] if args else DEFAULT_SF
     only = set(args[1:])
 
-    from nosql_based_business_intelligence_system_spark.session import get_spark
+    import json
+
     from nosql_based_business_intelligence_system_spark.queries import QUERIES
 
-    spark = get_spark(app_name="verify-local")
+    if oracle_only:
+        with open(oracle_only) as f:
+            recorded = json.load(f)
+        spark = None
+    else:
+        from nosql_based_business_intelligence_system_spark.session import get_spark
+
+        spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
     # DuckDB's default memory ceiling (80% of RAM) ignores the Spark JVM
     # sharing the box; a heavy twin then OOM-kills the whole process
@@ -98,7 +125,40 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    if oracle_only:
+        failures = []
+        for name, q in QUERIES.items():
+            if only and name not in only:
+                continue
+            rec = recorded.get(name)
+            if rec is None or q.oracle is None:
+                continue
+            t0 = time.time()
+            try:
+                cur = con.execute(q.oracle)
+                ocols = [d[0] for d in cur.description]
+                on, oh = table_digest(cur.fetchall(), ocols)
+            except Exception:
+                print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+                failures.append(name)
+                continue
+            ok = (
+                rec["rows"] == on
+                and sorted(rec["cols"]) == sorted(ocols)
+                and rec["hash"] == oh
+            )
+            status = "OK   " if ok else "FAIL "
+            print(
+                f"{status} {name}: spark {rec['rows']} rows h={rec['hash']}"
+                f" | duckdb {on} rows h={oh} [{time.time()-t0:.1f}s]"
+            )
+            if not ok:
+                failures.append(name)
+        print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+        return 1 if failures else 0
+
     failures = []
+    spark_results: dict = {}
     import gc
 
     for name, q in QUERIES.items():
@@ -158,6 +218,19 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
             failures.append(name)
+            continue
+        if spark_only:
+            spark_results[name] = {"rows": sn, "hash": sh, "cols": scols}
+            # persist incrementally so a crash keeps completed entries
+            with open(spark_only, "w") as f:
+                json.dump(spark_results, f)
+            print(f"spark {name}: {sn} rows h={sh} [{time.time()-t0:.1f}s]")
+            del sdf, srows
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
             continue
         if determinism:
             # rerun the Spark side and demand exactly what the driver
