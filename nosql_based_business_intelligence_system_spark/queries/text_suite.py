@@ -229,7 +229,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE sh AS (
+#: The candidate-pair CTE prefix (shingle -> common-count -> >=0.5 Jaccard
+#: pairs) shared VERBATIM by the ``dedup_clusters`` oracle below and
+#: ``tools/verify_clusters_closure.py``'s big-scale edge-list extraction —
+#: a named constant so the two cannot drift (the closure tool previously
+#: sliced the oracle text with ``oracle.index(', edges AS')``, which any
+#: reformatting would silently break).
+DEDUP_CLUSTER_PAIR_CTES = f"""sh AS (
   SELECT doc_id AS doc, len(sh_list) AS n_sh, unnest(sh_list) AS shingle
   FROM (SELECT doc_id, {T.dd_shingles(_TOKS, 3)} AS sh_list FROM documents)
 ), common AS (
@@ -240,7 +246,9 @@ DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE sh AS (
 ), dupes AS (
   SELECT doc_a, doc_b FROM common
   WHERE n_common * 1.0 / (n_a + n_b - n_common) >= 0.5
-), edges AS (
+)"""
+
+DEDUP_CLUSTERS_SQL = f"""WITH RECURSIVE {DEDUP_CLUSTER_PAIR_CTES}, edges AS (
   SELECT doc_a AS u, doc_b AS v FROM dupes
   UNION SELECT doc_b, doc_a FROM dupes
 ), reach(node, comp) AS (

@@ -131,12 +131,29 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                 # +-1-plane projection is just another generic
                 # projection (2). Replica 0 is bit-identical; FLOAT[]
                 # type preserved.
+                #
+                # The rotate+negate family has only 128 distinct maps, so
+                # past factor 128 (the sf100 build is factor 1000) replicas
+                # r and r+128 would be EXACT vector duplicates — a fixture
+                # artifact faking ~8-way semantic-dup clusters. Replicas
+                # r >= 128 therefore compose the rotation with a
+                # per-replica Rademacher diagonal (component sign from
+                # hash(r*64 + i)): still orthogonal, so intra-replica
+                # cosines stay exact (3); two distinct Rademacher patterns
+                # agree on ~half the components, so cross-replica cosine
+                # concentrates near 0 with sd 1/sqrt(64) (1); a +-1
+                # diagonal has no preferred direction (2). Replicas < 128
+                # are byte-for-byte the pre-sf100 scheme, so factor<=128
+                # fixtures (sf10) rebuild with identical recorded hashes.
                 rot = "1 + (r.r % 64)"
                 exprs.append(
                     "CAST(list_transform("
                     "list_concat(CAST(embedding AS DOUBLE[])[{k}:64], "
                     "CAST(embedding AS DOUBLE[])[1:{k} - 1]), "
-                    "x -> x * (CASE WHEN r.r < 64 THEN 1.0 ELSE -1.0 END)"
+                    "(x, i) -> x * (CASE WHEN r.r < 64 THEN 1.0 "
+                    "WHEN r.r < 128 THEN -1.0 "
+                    "ELSE (CASE WHEN hash(r.r * 64 + i) % 2 = 0 "
+                    "THEN 1.0 ELSE -1.0 END) END)"
                     ") AS FLOAT[]) AS embedding".format(k=rot)
                 )
             else:

@@ -42,11 +42,6 @@ def main() -> int:
     # sf10 broadcast builds + DuckDB twins both need headroom; the local
     # JVM heap is static conf, first-JVM-only (see session.get_spark).
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    # The quadratic DuckDB twins (sf10 shingle self-join: ~2.7e9 candidate
-    # pairs) run while Spark idles with its blocks released — give DuckDB
-    # most of the box rather than the conservative 40GB shared-phase
-    # default, or the join spills for an hour instead of running hot.
-    env.setdefault("SPARK_GRAFT_DUCKDB_MEM", "80GB")
     # Child stdout is usually a pipe/file here: without this the per-query
     # OK lines sit in an 8KB block buffer and the log under-reports
     # progress by dozens of queries.
@@ -69,12 +64,33 @@ def main() -> int:
             check=False, env=env,
         )
     if "--bench-only" not in flags:
-        print(f"[rehearse] full-registry oracle verify at {sf_dir}", flush=True)
-        rc = subprocess.run(
+        # Split-mode verify: the Spark pass and the DuckDB twins never
+        # share a process. The spark-only pass keeps DuckDB at the
+        # conservative 40GB shared-box default (it barely touches it);
+        # the oracle-only pass runs JVM-free and gets most of the box —
+        # the quadratic twins (sf10 shingle self-join: ~2.7e9 candidate
+        # pairs) spill for an hour under the 40GB cap but run hot at
+        # 80GB. (The old shared-mode call set 80GB with a live 24g JVM
+        # in-process — the exact config behind the observed 99.9GB-RSS
+        # OOM-kill the 40GB cap was added to prevent.)
+        rec = os.path.join(
+            "/tmp", f"rehearse_rec_{os.path.basename(os.path.normpath(sf_dir))}.json"
+        )
+        print(f"[rehearse] spark-side verify at {sf_dir} -> {rec}", flush=True)
+        rc_spark = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "verify_local.py"),
-             sf_dir, *queries],
+             f"--spark-only={rec}", sf_dir, *queries],
             check=False, env=env,
         ).returncode
+        print(f"[rehearse] JVM-free oracle verify at {sf_dir}", flush=True)
+        env_oracle = dict(env)
+        env_oracle.setdefault("SPARK_GRAFT_DUCKDB_MEM", "80GB")
+        rc_oracle = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "verify_local.py"),
+             f"--oracle-only={rec}", sf_dir, *queries],
+            check=False, env=env_oracle,
+        ).returncode
+        rc = rc_spark or rc_oracle
     return rc
 
 

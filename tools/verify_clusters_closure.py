@@ -40,16 +40,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     rec_path = sys.argv[2] if len(sys.argv) > 2 else None
 
-    from nosql_based_business_intelligence_system_spark.queries import QUERIES
-
-    oracle = QUERIES["dedup_clusters"].oracle
-    # reuse the oracle's own candidate CTEs verbatim; stop before the SQL
-    # closure and pull the edge list instead
-    cut = oracle.index(", edges AS")
-    edge_sql = (
-        oracle[:cut].replace("WITH RECURSIVE", "WITH", 1)
-        + " SELECT doc_a, doc_b FROM dupes"
+    from nosql_based_business_intelligence_system_spark.queries.text_suite import (
+        DEDUP_CLUSTER_PAIR_CTES,
     )
+
+    # Compose from the SAME named CTE-prefix constant the registry oracle
+    # uses (text_suite.DEDUP_CLUSTER_PAIR_CTES), so candidate semantics
+    # cannot drift; only the closure step differs (union-find below vs the
+    # oracle's recursive CTE).
+    edge_sql = f"WITH {DEDUP_CLUSTER_PAIR_CTES} SELECT doc_a, doc_b FROM dupes"
 
     con = duckdb.connect()
     try:

@@ -62,6 +62,16 @@ def table_digest(rows, colnames) -> tuple[int, str]:
     return len(rows), h.hexdigest()[:16]
 
 
+def _write_json_atomic(path: str, obj) -> None:
+    """tmp+rename so a kill mid-write can't leave a truncated recording."""
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def main() -> int:
     global FLOAT_SIG
     if "--sig6" in sys.argv[1:]:
@@ -126,15 +136,47 @@ def main() -> int:
         )
 
     if oracle_only:
+        # A query with an oracle but NO recording means the --spark-only
+        # pass never completed it (crash, typo, partial run). Silently
+        # skipping those made a green oracle-only exit meaningless — the
+        # gate could pass with arbitrary unverified coverage — so missing
+        # recordings are hard FAILURES, and rows-only skips are printed.
         failures = []
+        rows_only_skipped = []
+        unknown = sorted(only - set(QUERIES))
+        for name in unknown:
+            print(f"FAIL  {name}: not in the query registry")
+            failures.append(name)
         for name, q in QUERIES.items():
             if only and name not in only:
                 continue
             rec = recorded.get(name)
-            if rec is None or q.oracle is None:
+            if q.oracle is None:
+                rows_only_skipped.append(name)
+                continue
+            if rec is None:
+                print(f"FAIL  {name}: oracle-bearing query has no recording")
+                failures.append(name)
                 continue
             t0 = time.time()
             try:
+                if rec.get("hash") is None:
+                    # BIG recording: the Spark collect tripped
+                    # maxResultSize, so the spark-only pass recorded
+                    # rows+cols only. Compare the COUNT here (the value
+                    # hash binds at every sf whose output fits).
+                    cur = con.execute(f"SELECT COUNT(*) FROM ({q.oracle})")
+                    on = int(cur.fetchone()[0])
+                    ok = rec["rows"] == on
+                    status = "BIG  " if ok else "FAIL "
+                    print(
+                        f"{status} {name}: spark {rec['rows']} rows | duckdb"
+                        f" {on} rows (value hash skipped: spark collect"
+                        f" exceeded maxResultSize) [{time.time()-t0:.1f}s]"
+                    )
+                    if not ok:
+                        failures.append(name)
+                    continue
                 cur = con.execute(q.oracle)
                 ocols = [d[0] for d in cur.description]
                 on, oh = table_digest(cur.fetchall(), ocols)
@@ -154,6 +196,11 @@ def main() -> int:
             )
             if not ok:
                 failures.append(name)
+        if rows_only_skipped:
+            print(
+                f"\nskipped {len(rows_only_skipped)} rows-only (no oracle):"
+                f" {rows_only_skipped}"
+            )
         print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
         return 1 if failures else 0
 
@@ -189,6 +236,30 @@ def main() -> int:
                     raise
                 scols = sdf.columns
                 sn_probe = sdf.count()
+                if spark_only:
+                    # Keep the BIG case inside the split-mode contract:
+                    # record rows+cols with hash=None and let the
+                    # JVM-free --oracle-only pass run the COUNT twin
+                    # (previously this executed DuckDB inline here and
+                    # never recorded, so oracle-only silently omitted it).
+                    spark_results[name] = {
+                        "rows": sn_probe,
+                        "hash": None,
+                        "cols": scols,
+                    }
+                    _write_json_atomic(spark_only, spark_results)
+                    print(
+                        f"spark {name}: {sn_probe} rows h=BIG (collect"
+                        f" exceeded maxResultSize; count recorded)"
+                        f" [{time.time()-t0:.1f}s]"
+                    )
+                    del sdf
+                    gc.collect()
+                    try:
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:
+                        pass
+                    continue
                 if q.oracle is None:
                     print(
                         f"rows  {name}: {sn_probe} rows (no oracle; value"
@@ -222,8 +293,7 @@ def main() -> int:
         if spark_only:
             spark_results[name] = {"rows": sn, "hash": sh, "cols": scols}
             # persist incrementally so a crash keeps completed entries
-            with open(spark_only, "w") as f:
-                json.dump(spark_results, f)
+            _write_json_atomic(spark_only, spark_results)
             print(f"spark {name}: {sn} rows h={sh} [{time.time()-t0:.1f}s]")
             del sdf, srows
             gc.collect()
