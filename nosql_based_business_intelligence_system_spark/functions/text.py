@@ -29,6 +29,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 #: agree exactly.
 TOKEN_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
+#: Java-regex spelling of the same classes. Java compiles an explicit
+#: multi-range class like ``[^a-zA-Z0-9 ]`` into a chain of nested
+#: CharProperty unions evaluated per character — measured ~40x slower than
+#: the single-table POSIX properties on the sf10 corpus scan (22.5s vs
+#: 0.6s for the punct census; see PLANS.md round-7 notes). ``\p{Alnum}``
+#: etc. are ASCII-only in Java's default mode, so the two spellings accept
+#: IDENTICAL strings; RE2 (DuckDB) doesn't parse ``\p{Alnum}``, which is
+#: why the portable spelling above must stay for oracle SQL. Twin-checked
+#: by every oracle hash over these expressions.
+TOKEN_PATTERN_JVM = r"\p{Alpha}+|\p{Digit}+|[^\p{Alnum} ]"
+PUNCT_CLASS_JVM = r"[^\p{Alnum} ]"
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (split on single spaces, drop empties)."""
@@ -81,7 +93,7 @@ def type_token_ratio(toks: Column) -> Column:
 def punct_ratio(text: Column) -> Column:
     """Share of non-alphanumeric, non-space characters."""
     n = F.length(text)
-    clean = F.length(F.regexp_replace(text, "[^a-zA-Z0-9 ]", ""))
+    clean = F.length(F.regexp_replace(text, PUNCT_CLASS_JVM, ""))
     return F.when(n > 0, (n - clean) / n)
 
 
@@ -102,9 +114,9 @@ def quality_score(toks: Column, text: Column) -> Column:
 
 def bpe_token_count(text: Column) -> Column:
     """Sub-word-ish token count via TOKEN_PATTERN (regexp, JVM-side)."""
-    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), F.lit(0))).cast(
-        "bigint"
-    )
+    return F.size(
+        F.regexp_extract_all(text, F.lit(TOKEN_PATTERN_JVM), F.lit(0))
+    ).cast("bigint")
 
 
 def _marker_counter(markers: tuple[str, ...]):

@@ -28,38 +28,55 @@ def _docs(spark, sf_dir):
 
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token/quality stats, STAGED so every expensive array op
-    runs once per row. Higher-order functions (filter/transform/
-    aggregate) are CodegenFallback — they evaluate interpreted and do
-    NOT participate in codegen subexpression elimination — so the naive
-    formulation (each output column calling T.* on the same ``toks``
-    expression tree) re-ran split+filter ~6x and array_distinct 3x per
-    row; that per-row multiplier is what made this map-only query the
-    worst sf0.1->sf1 scaler (6.2x) in the r4 table. Two projections:
-    scalar census first (each array op once), then pure-arithmetic
-    ratios — identical expression shapes at the output, so the oracle
-    hash is unchanged."""
+    runs once per row, and with every census expression CODEGEN-ABLE.
+    Higher-order functions (filter/transform/aggregate) are
+    CodegenFallback — they evaluate interpreted per row — so beyond the
+    r4 staging fix (each array op once), the r6-verdict item replaces
+    the remaining lambda HOFs with builtin compositions that whole-stage
+    codegen compiles (measured: the interpreted census was sf10 24.4s):
+
+    - token array: ``regexp_extract_all('[^ ]+')`` — identical to
+      filter(split(' '), nonempty) since tokens are exactly the maximal
+      non-space runs;
+    - token length sum: ``length(text) - #spaces`` — total non-space
+      chars IS the sum of token lengths, no fold needed;
+    - stopword hits: a boundary-anchored case-insensitive alternation
+      counted with regexp_extract_all — tokens are space-delimited, so
+      ``(?:^| )(?:stop|words)(?= |$)`` matches exactly the tokens whose
+      lowercase equals a stopword (longest-first alternation; trailing
+      boundary as lookahead so adjacent hits don't consume each other's
+      delimiter).
+
+    Identical output values, so the oracle (and its hash) is unchanged."""
     from ..operators.partitioning import spread
 
     # map-only over the corpus: without the parallelism guard a single
     # 58MB parquet file (< maxPartitionBytes) runs the whole tokenize
     # census on ONE task (sf10: 17.6s single-core -> ~2s spread)
     d = spread(_docs(spark, sf_dir), "doc_id")
+    stop_pat = (
+        "(?i)(?:^| )(?:"
+        + "|".join(sorted(T.STOPWORDS, key=len, reverse=True))
+        + ")(?= |$)"
+    )
     staged = d.select(
-        "doc_id", "text", T.tokens(F.col("text")).alias("__toks")
+        "doc_id",
+        "text",
+        F.regexp_extract_all("text", F.lit("[^ ]+"), F.lit(0)).alias("__toks"),
     )
     toks = F.col("__toks")
     census = staged.select(
         "doc_id",
         F.size(toks).alias("__nt"),
         F.size(F.array_distinct(toks)).alias("__nd"),
-        F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-        ).alias("__len_sum"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias(
+            "__len_sum"
+        ),
         F.size(
-            F.filter(toks, lambda t: F.lower(t).isin(*T.STOPWORDS))
+            F.regexp_extract_all("text", F.lit(stop_pat), F.lit(0))
         ).alias("__stop"),
         F.length("text").alias("__nc"),
-        F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", "")).alias(
+        F.length(F.regexp_replace("text", T.PUNCT_CLASS_JVM, "")).alias(
             "__clean"
         ),
     )
