@@ -92,20 +92,15 @@ def main() -> None:
     # the JSON so rounds compare like with like.
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     timings: dict[str, float] = {}
-    import gc
+    from nosql_based_business_intelligence_system_spark.caching import free_blocks
 
     for _ in range(max(iters, 1)):
-        # Between passes (outside any per-query timer): drop the py4j refs
-        # of the previous pass's checkpointed frames and force a JVM GC so
-        # the ContextCleaner releases their block-manager storage NOW —
-        # otherwise blocks from pass N sit as memory pressure under pass
-        # N+1's queries (visible at sf10, where one dedup signature
-        # checkpoint is GBs).
-        gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+        # Between passes (outside any per-query timer): release the
+        # previous pass's unreferenced checkpoint blocks NOW (engine
+        # utility; ex-bench hack c9a3b10) — otherwise blocks from pass N
+        # sit as memory pressure under pass N+1's queries (visible at
+        # sf10, where one dedup signature checkpoint is GBs).
+        free_blocks(spark)
         for name in names:
             t0 = time.time()
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(

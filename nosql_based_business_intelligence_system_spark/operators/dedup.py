@@ -18,6 +18,8 @@ shingles is the known hazard — mitigate by dropping top-frequency shingles,
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -247,18 +249,26 @@ def _shingle_base_rows(
     engine-portable base hash (first 15 hex chars of md5 of the
     space-joined gram, the same scheme dsir.hash_bucket uses).
 
-    Shingles come from the per-row token ARRAY (word_shingles: an
-    interpreted O(tokens) transform per row), not a posexplode + window
-    ``lead``: the window formulation keeps the gram concat in codegen
-    but buys it with a full shuffle+sort on doc BEFORE the distinct —
-    two wide stages where this shape has one. Measured 0.73s -> 0.45s
-    at sf0.1 with the identical (doc, h) output set."""
+    Shingle extraction is ONE codegen regex pass, not the interpreted
+    ``word_shingles`` transform (a lambda HOF evaluates per row outside
+    codegen — measured 12s of the 13.3s sf10 base build; the regex path
+    is 3.5s with the identical (doc, h) output set). Spaces are
+    normalized first so each overlapping n-gram is captured by a
+    lookahead group while the match consumes exactly one token — the
+    captured gram is then byte-identical to ``concat_ws(' ', slice)``
+    over the filtered token array, so every md5 (and the DuckDB twin)
+    is unchanged. A posexplode + window ``lead`` formulation was also
+    rejected earlier: codegen concat, but a full shuffle+sort before
+    the distinct. Per-doc dedup is left to the global ``.distinct()``
+    (same result set as word_shingles' array_distinct)."""
+    gram_pat = "(?=((?:[^ ]+ ){%d}[^ ]+))[^ ]+(?: |$)" % (n - 1)
+    norm = F.trim(F.regexp_replace(F.col(content_col), " +", " "))
     return (
         spread(df, id_col)
         .select(
             F.col(id_col).alias("doc"),
             F.explode(
-                T.word_shingles(T.tokens(F.col(content_col)), n)
+                F.regexp_extract_all(norm, F.lit(gram_pat), F.lit(1))
             ).alias("g"),
         )
         .select(
@@ -322,6 +332,7 @@ def minhash_lsh_dupes(
     bands: int = 32,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH fuzzy dedup, native DataFrame ops end to end:
     signature -> band keys (hash of each r-row signature slice) -> candidate
@@ -348,9 +359,19 @@ def minhash_lsh_dupes(
     # signatures back by doc id measured ~25% faster at sf0.1 and is the
     # shape that scales (band shuffle bytes ~ docs*bands*keylen, not
     # docs*bands*siglen).
-    sig = minhash_signatures(
-        df, content_col, id_col, n, num_hashes, seed
-    ).localCheckpoint(eager=False)
+    # ``signatures`` lets a session stage the signature frame as a
+    # build-once artifact (the FAISS index split, same as the IVF cache):
+    # the (doc, sig) frame is a pure function of (corpus, n, num_hashes,
+    # seed), so reuse across repeat dedup runs never changes results —
+    # it only skips the shingle+min pass. Caller passes an already-
+    # checkpointed frame (see queries/text_suite.dedup_minhash).
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(
+            df, content_col, id_col, n, num_hashes, seed
+        ).localCheckpoint(eager=False)
+    )
     # band key: the slice's values as a STRUCT — struct equality is
     # elementwise equality, i.e. exactly slice equality (the engine-
     # portable banding criterion), without building per-row strings;
@@ -366,24 +387,71 @@ def minhash_lsh_dupes(
         )
         for i in range(bands)
     )
-    banded = sig.select(
-        "doc", F.expr(f"explode(array({band_structs}))").alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = _sh(banded.alias("a")), _sh(banded.alias("b"))
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    banded = (
+        sig.select(
+            "doc", F.expr(f"explode(array({band_structs}))").alias("bk")
         )
         .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
+            "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
+        # both self-join sides read the banded rows; without this the
+        # 64-struct explode evaluates twice (~4s/side at sf10)
+        .localCheckpoint(eager=False)
+    )
+    a, b = _sh(banded.alias("a")), _sh(banded.alias("b"))
+    # Candidate volume, not per-stage machinery, is this operator's cost:
+    # at r=2 every pair of docs with baseline Jaccard s collides per band
+    # w.p. ~s^2, and a finite-vocabulary corpus has s~0.003 between
+    # GENERIC docs — sf10 measured 29.6M candidate pairs for 27k true
+    # dupes. The post-band stages are therefore shaped to touch each
+    # candidate as cheaply as possible:
+    #   1. no eager .distinct() on candidates — band collisions are
+    #      almost all band-unique (29.59M distinct of 29.9M raw), so the
+    #      dedup shuffle moved to the tiny post-filter survivor set;
+    #   2. the signature-agreement test runs first against a COMPACT
+    #      low-byte signature (array<tinyint>, 64B vs the 520B bigint
+    #      array): byte equality is implied by component equality, so
+    #      byte-agreement >= threshold is a lossless prefilter — every
+    #      true pair survives, and the ~1/256-per-component false-match
+    #      tail is re-tested exactly;
+    #   3. only survivors (~true pairs) join the full signatures for the
+    #      exact est_jaccard — the 520B payload never rides a
+    #      candidate-scaled shuffle (pre-r7 this was ~15GB at sf10).
+    # Measured sf10: 34-41s -> ~22s end-to-end, identical output.
+    # (Also measured and REJECTED: unrolled 64-term CASE agreement —
+    # the expression blows codegen and runs 7x slower interpreted;
+    # pre-partitioned checkpoint self-join — AQE picks a sort-merge
+    # join and the sorts cost more than the saved exchange.)
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+    )
+    min_agree = int(math.ceil(jaccard_threshold * num_hashes))
+    sig8 = sig.select(
+        "doc", F.expr("transform(sig, x -> cast(x as tinyint))").alias("s8")
+    )
+    agree8 = F.size(
+        F.filter(F.zip_with("s8_a", "s8_b", lambda x, y: x == y), lambda v: v)
+    )
+    survivors = (
+        cand.join(
+            _sh(sig8.select(F.col("doc").alias("doc_a"), F.col("s8").alias("s8_a"))),
+            "doc_a",
+        )
+        .join(
+            _sh(sig8.select(F.col("doc").alias("doc_b"), F.col("s8").alias("s8_b"))),
+            "doc_b",
+        )
+        .filter(agree8 >= min_agree)
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    pairs = cand.join(
+    pairs = survivors.join(
         _sh(sig.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))),
         "doc_a",
     ).join(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import SessionCache
 from ..functions import vectors as V
 from ..functions.cleaning import dd_dsumd, dsumd
 from ..operators import similarity
@@ -32,24 +33,28 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
-#: Trained-quantizer cache: (applicationId, sf_dir, n_cells) -> centroid
-#: DataFrame (K-row LocalRelation). The portable quantizer is a pure
-#: function of the corpus + pinned md5 policy, so reuse NEVER changes
-#: results — it only skips the TakeOrdered sample job on repeat searches
-#: against the same corpus (the FAISS train-once/search-many split; a
-#: BI session or bench loop re-running an ANN query re-uses its index).
-#: Keyed by applicationId so a new SparkSession retrains.
-_MODEL_CACHE: dict = {}
+#: Trained-quantizer / index cache (applicationId-scoped by SessionCache;
+#: bounded LRU — entries hold localCheckpoint'd assignment frames whose
+#: block storage is released on eviction, see caching.free_blocks). The
+#: portable quantizer is a pure function of the corpus + pinned md5
+#: policy, so reuse NEVER changes results — it only skips the
+#: TakeOrdered sample job on repeat searches against the same corpus
+#: (the FAISS train-once/search-many split; a BI session or bench loop
+#: re-running an ANN query re-uses its index). A new SparkSession
+#: retrains. Capacity 8: an index per (corpus, K) pair; a session
+#: cycling more corpora than that releases the oldest index's blocks
+#: instead of accumulating checkpoints without bound.
+_MODEL_CACHE = SessionCache("ivf-index", capacity=8)
 
 
 def _ivf_model(spark: SparkSession, sf_dir: str, n_cells: int):
-    key = (spark.sparkContext.applicationId, sf_dir, n_cells)
-    if key not in _MODEL_CACHE:
-        _, cents = similarity.ivf_assign(
+    return _MODEL_CACHE.get_or_build(
+        spark,
+        (sf_dir, n_cells),
+        lambda: similarity.ivf_assign(
             _emb(spark, sf_dir), n_cells, refine_iterations=0
-        )
-        _MODEL_CACHE[key] = cents
-    return _MODEL_CACHE[key]
+        )[1],
+    )
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int):
@@ -60,22 +65,26 @@ def _ivf_index(spark: SparkSession, sf_dir: str, n_cells: int):
     results). Downstream joins against it are explicit broadcasts of the
     parameter-bounded probe side, so the checkpoint's lying size estimate
     (PLANS.md r5 scale notes) can't trigger an estimate broadcast."""
-    key = (spark.sparkContext.applicationId, sf_dir, n_cells, "__index__")
-    if key not in _MODEL_CACHE:
+
+    def _build():
         cents = _ivf_model(spark, sf_dir, n_cells)
         asn, _ = similarity.ivf_assign(
             _emb(spark, sf_dir), n_cells, refine_iterations=0,
             centroids=cents,
         )
-        _MODEL_CACHE[key] = (cents, asn.localCheckpoint(eager=False))
-    return _MODEL_CACHE[key]
+        return (cents, asn.localCheckpoint(eager=False))
+
+    return _MODEL_CACHE.get_or_build(
+        spark, (sf_dir, n_cells, "__index__"), _build
+    )
 
 
 def _emb_count(spark: SparkSession, sf_dir: str) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir, "__count__")
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = _emb(spark, sf_dir).count()
-    return _MODEL_CACHE[key]
+    return _MODEL_CACHE.get_or_build(
+        spark,
+        (sf_dir, "__count__"),
+        lambda: _emb(spark, sf_dir).count(),
+    )
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caching import SessionCache
+
 TABLES = (
     "region",
     "nation",
@@ -33,32 +35,31 @@ DIMENSION_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Table-handle cache: (applicationId, sf_dir, name) -> DataFrame.
-#: ``spark.read.parquet`` pays file listing + footer schema resolution per
-#: call (~0.1-0.3s of driver latency); the returned DataFrame is an
-#: immutable lazy plan, so handing the SAME handle to every query in a
-#: session is exactly what a BI server or notebook does with its table
-#: catalog. Keyed by applicationId so a fresh session re-lists (fixture
-#: dirs are regenerated only between processes). NOTE: file listing is
-#: frozen at first load per session — by design, matching a catalog
-#: snapshot; a session that rewrites a fixture dir in place must use a
-#: new path or a new session.
-_TABLE_CACHE: dict = {}
+#: Table-handle cache: (sf_dir, name) -> DataFrame (applicationId-scoped
+#: by SessionCache). ``spark.read.parquet`` pays file listing + footer
+#: schema resolution per call (~0.1-0.3s of driver latency); the returned
+#: DataFrame is an immutable lazy plan, so handing the SAME handle to
+#: every query in a session is exactly what a BI server or notebook does
+#: with its table catalog. A fresh session re-lists (fixture dirs are
+#: regenerated only between processes). NOTE: file listing is frozen at
+#: first load per session — by design, matching a catalog snapshot; a
+#: session that rewrites a fixture dir in place must use a new path or a
+#: new session. Capacity = 4 sf_dirs' worth of handles; handles hold no
+#: block-manager storage, so eviction only re-pays a listing.
+_TABLE_CACHE = SessionCache("table-handles", capacity=4 * len(TABLES))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = _normalize_event_ts(spark, df)
-    df = _normalize_ntz(df)
-    _TABLE_CACHE[key] = df
-    return df
+
+    def _build() -> DataFrame:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = _normalize_event_ts(spark, df)
+        return _normalize_ntz(df)
+
+    return _TABLE_CACHE.get_or_build(spark, (sf_dir, name), _build)
 
 
 def _normalize_event_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
