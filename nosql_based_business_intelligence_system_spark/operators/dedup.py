@@ -333,6 +333,7 @@ def minhash_lsh_dupes(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     signatures: DataFrame | None = None,
+    max_docs_per_band_key: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH fuzzy dedup, native DataFrame ops end to end:
     signature -> band keys (hash of each r-row signature slice) -> candidate
@@ -343,6 +344,22 @@ def minhash_lsh_dupes(
     rather than corpus size squared. With r = num_hashes/bands = 2 the
     candidate probability at true Jaccard s is 1-(1-s^2)^bands — ~0.9999 at
     s=0.5 — and the agreement filter removes low-similarity candidates.
+
+    CANDIDATE-EXPLOSION HAZARD (sf100 rehearsal finding): at a fixed
+    baseline inter-doc similarity s̄, band collisions between NON-dup
+    pairs arrive at rate ~bands*s̄^r per pair — quadratic in corpus size.
+    Measured: 29.6M candidates at 500k docs -> 6.26e9 at 5M docs
+    (max band bucket 6,990 docs) with s̄~0.003 and r=2. Two levers for a
+    deployment at that scale, both changing the recall contract and so
+    left OFF for the frozen registry entry (verified through sf10):
+    wider bands (r=3 via bands=21/num_hashes=63 cuts the same corpus to
+    ~thousands of candidates at 0.94 recall for s=0.5), and/or
+    ``max_docs_per_band_key`` — drop band buckets larger than the cap
+    before pairing, the direct analog of shingle_doc_pairs'
+    ``max_docs_per_shingle``: a bucket of B docs is B^2/2 pairs, and a
+    multi-thousand-doc bucket at threshold-worthy similarity is
+    boilerplate, not duplication. Pairs whose EVERY collision band is
+    capped are lost (recall, not precision).
     Every stage (md5 base hash, universal-hash mins, band keys,
     agreement count) is engine-portable, so the registry entry is FULLY
     oracle-checked against a generated DuckDB twin; self-consistency
@@ -398,6 +415,19 @@ def minhash_lsh_dupes(
         # 64-struct explode evaluates twice (~4s/side at sf10)
         .localCheckpoint(eager=False)
     )
+    if max_docs_per_band_key is not None:
+        bfreq = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("bdf_")
+        )
+        banded = (
+            banded.join(
+                _sh(bfreq.filter(F.col("bdf_") <= max_docs_per_band_key)),
+                ["band", "key"],
+            ).drop("bdf_")
+            # re-checkpoint so the filtered rows, not the raw explode,
+            # feed both self-join sides
+            .localCheckpoint(eager=False)
+        )
     a, b = _sh(banded.alias("a")), _sh(banded.alias("b"))
     # Candidate volume, not per-stage machinery, is this operator's cost:
     # at r=2 every pair of docs with baseline Jaccard s collides per band

@@ -177,3 +177,42 @@ def test_minhash_banding_immune_to_stopword_shingle(spark):
     # near-identical signatures require near-identical shingle SETS; the
     # unique token{i} body keeps unrelated docs out
     assert len(found) < 50
+
+
+def test_minhash_band_key_guard_caps_giant_buckets(spark):
+    """sf100 rehearsal hazard: identical/boilerplate doc groups key
+    giant band buckets (B docs -> B^2/2 candidate pairs in EVERY band;
+    measured 6.26e9 candidates from 5M docs, max bucket 6,990).
+    ``max_docs_per_band_key`` drops over-cap buckets before pairing:
+    candidates collapse, small buckets (the planted near-dup) keep
+    surfacing, and pairs bucketed ONLY over-cap are lost — the
+    documented recall-for-survival trade."""
+    group = [
+        Row(doc_id=i, text="boiler plate body repeated verbatim in every "
+                           "copy of this identical template document")
+        for i in range(60)
+    ]
+    filler = [
+        Row(doc_id=1000 + i,
+            text=f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(40)
+    ]
+    base = ("planted alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima mike november")
+    planted = [
+        Row(doc_id=9001, text=f"{base} tokenA"),
+        Row(doc_id=9002, text=f"{base} tokenB"),
+    ]
+    corpus = spark.createDataFrame(group + filler + planted)
+
+    unguarded = dedup.minhash_lsh_dupes(corpus, jaccard_threshold=0.5)
+    ug = {(r.doc_a, r.doc_b) for r in unguarded.collect()}
+    assert sum(1 for a, b in ug if a < 60 and b < 60) == 60 * 59 // 2
+    assert (9001, 9002) in ug
+
+    guarded = dedup.minhash_lsh_dupes(
+        corpus, jaccard_threshold=0.5, max_docs_per_band_key=10
+    )
+    g = {(r.doc_a, r.doc_b) for r in guarded.collect()}
+    assert (9001, 9002) in g  # small buckets unaffected
+    assert not any(a < 60 and b < 60 for a, b in g)  # giant buckets capped
