@@ -73,7 +73,18 @@ def get_spark(
     conf.setdefault(
         "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     )
-    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cores)
+    # Initial shuffle partitions: local-core count. Measured across the
+    # sf ladder (PLANS.md round-7 notes): at sf100 a 600M-row fact-fact
+    # shuffle prefers ~4x more (69s vs 80s on the flagship join), but at
+    # sf0.1 the same 4x REGRESSES checkpoint/cache-bearing queries ~2x
+    # (checkpointed RDDs materialize at the inflated count; task overhead
+    # dominates, and AQE coalescing cannot shrink an already-materialized
+    # checkpoint). Data-proportional sizing is a deployment knob —
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS, or ~2-3x total cores on a cluster.
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions
+        or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cores))
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -132,8 +132,31 @@ FLAGSHIPS = {
 }
 
 
-#: Hand-maintained scale notes, emitted verbatim ahead of the generated
-#: plans so they survive regeneration.
+def _existing_scale_notes() -> str | None:
+    """Carry forward the hand-maintained '## Scale notes' sections from the
+    CURRENT PLANS.md (everything from the first such heading up to the
+    first flagship plan heading). Rounds append notes to PLANS.md directly;
+    regeneration must not destroy them (pre-r7 it silently did — the
+    baked-in constant below had gone stale at round 4)."""
+    path = os.path.join(REPO, "PLANS.md")
+    try:
+        text = open(path).read()
+    except OSError:
+        return None
+    start = text.find("## Scale notes")
+    if start < 0:
+        return None
+    first_flag = None
+    for name in FLAGSHIPS:
+        i = text.find(f"## {name}", start)
+        if i >= 0 and (first_flag is None or i < first_flag):
+            first_flag = i
+    block = text[start:first_flag] if first_flag else text[start:]
+    return block.rstrip()
+
+
+#: Fallback scale notes (used only if PLANS.md is missing or has no notes
+#: section), emitted verbatim ahead of the generated plans.
 SCALE_NOTES = """## Scale notes (round 4)
 
 **sf1 rehearsal (2026-08-14).** The driver ships sf<=0.1; a synthetic sf1
@@ -222,7 +245,7 @@ def main() -> int:
         f"Generated by `tools/dump_plans.py` at `{sf_dir}` "
         "(regenerate after plan-affecting changes).",
         "",
-        SCALE_NOTES,
+        _existing_scale_notes() or SCALE_NOTES,
         "",
     ]
     for name, note in FLAGSHIPS.items():
