@@ -415,19 +415,6 @@ def minhash_lsh_dupes(
         # 64-struct explode evaluates twice (~4s/side at sf10)
         .localCheckpoint(eager=False)
     )
-    if max_docs_per_band_key is not None:
-        bfreq = banded.groupBy("band", "key").agg(
-            F.count(F.lit(1)).alias("bdf_")
-        )
-        banded = (
-            banded.join(
-                _sh(bfreq.filter(F.col("bdf_") <= max_docs_per_band_key)),
-                ["band", "key"],
-            ).drop("bdf_")
-            # re-checkpoint so the filtered rows, not the raw explode,
-            # feed both self-join sides
-            .localCheckpoint(eager=False)
-        )
     a, b = _sh(banded.alias("a")), _sh(banded.alias("b"))
     # Candidate volume, not per-stage machinery, is this operator's cost:
     # at r=2 every pair of docs with baseline Jaccard s collides per band
@@ -452,15 +439,41 @@ def minhash_lsh_dupes(
     # the expression blows codegen and runs 7x slower interpreted;
     # pre-partitioned checkpoint self-join — AQE picks a sort-merge
     # join and the sorts cost more than the saved exchange.)
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.doc") < F.col("b.doc")),
-    ).select(
-        F.col("a.doc").alias("doc_a"),
-        F.col("b.doc").alias("doc_b"),
-    )
+    if max_docs_per_band_key is not None:
+        # Guarded path: bucket-grouping pair generation, NOT a df-filter
+        # join — the frequency join's build side is bucket-COUNT-scaled
+        # (~155M mostly-singleton (band,key) groups at sf100), and a
+        # shuffled-hash build side that big OOMs the very probe the guard
+        # exists to protect. One groupBy collects each bucket's doc list;
+        # over-cap buckets are DROPPED (the documented recall trade),
+        # survivors pair-explode in place. Pairs within kept buckets are
+        # identical to drop-then-self-join semantics.
+        buckets = (
+            banded.groupBy("band", "key")
+            .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+            .filter(
+                (F.size("ds") > 1) & (F.size("ds") <= max_docs_per_band_key)
+            )
+        )
+        cand = buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> named_struct('doc_a', x, 'doc_b', y))))"
+                )
+            ).alias("p")
+        ).select("p.doc_a", "p.doc_b")
+    else:
+        cand = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        ).select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+        )
     min_agree = int(math.ceil(jaccard_threshold * num_hashes))
     sig8 = sig.select(
         "doc", F.expr("transform(sig, x -> cast(x as tinyint))").alias("s8")
