@@ -51,20 +51,8 @@ def brute_force_topk(
     if dim is None:
         probe = corpus.select(vec_col).first()
         dim = len(probe[0]) if probe and probe[0] is not None else None
-    # Norms are per-ROW, not per-pair: compute them on each side BEFORE
-    # the cross join so the O(|Q| x corpus) pair stage evaluates ONE dot
-    # (64 terms unrolled) + a divide instead of three dots (dot + both
-    # norms = 3x the expression tree and 3x the arithmetic). Bit-identical
-    # to cosine-per-pair: same ops on the same operands in the same order
-    # (sqrt(fold(a*a)) * sqrt(fold(b*b)) then dot/d), just evaluated once
-    # per row — the DuckDB twin's per-pair norm computes the same doubles.
-    # Norm kernel choice by side: the QUERY side is |Q| rows — the
-    # compact interpreted fold costs nothing and adds no codegen. The
-    # CORPUS side is O(n): interpreted HOF eval there measured ~6s at
-    # sf10 (200k rows x 64 interpreted lambda steps), so it gets the
-    # unrolled chain — one extra ~6KB codegen method per pass at bench
-    # scale for a linear win at every larger scale. Same doubles either
-    # way: identical left-assoc sum.
+    # Norms are per-ROW, not per-pair (same doubles as per-pair cosine:
+    # identical ops on identical operands in the same left-assoc order).
     from .partitioning import spread
 
     q = queries.select(
@@ -77,6 +65,8 @@ def brute_force_topk(
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", V.norm("cv", dim))
+    if metric == "cosine" and dim is not None:
+        return _bf_topk_cosine_arrow(corpus, q, k, id_col, vec_col, dim)
     if metric == "cosine":
         d = F.col("qn") * F.col("cn")
         score = F.when(d > 0, V.dot("qv", "cv", dim) / d)
@@ -92,6 +82,115 @@ def brute_force_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+#: brute_force_topk collects/broadcasts the query side by contract; raise
+#: rather than OOM the driver if a caller passes a corpus-scaled frame.
+BF_TOPK_MAX_QUERIES = 10_000
+
+
+def _bf_topk_cosine_arrow(
+    corpus: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """Arrow-batched candidate selection for the exact cosine top-k.
+
+    The sf100 rehearsal exposed the expression path's ceiling: the
+    64-term unrolled dot generates a codegen method past HotSpot's
+    huge-method bytecode limit, so the O(|Q| x corpus) pair stage runs in
+    the BYTECODE INTERPRETER (~5.7us/pair — 57s for 10M pairs at sf100).
+    Here each Arrow batch scores against the broadcast query matrix with
+    one numpy matmul and keeps, per query, every row within 1e-9 of the
+    batch's k-th best (self-matches forced to -inf, NaN scores kept only
+    when the batch has fewer than k finite candidates — mirroring the
+    expression path, where NULL scores sort last under ``desc``). The
+    matmul only SELECTS candidates: survivors (~batches x |Q| x k rows)
+    are re-scored with the same fold/unrolled expressions as the
+    expression path — identical doubles, so ranking and the oracle hash
+    are unchanged. Measured at sf100 (2M corpus, 5 queries): 57s -> ~6s.
+    """
+    import numpy as np
+
+    qrows = q.select("query_id", "qv").limit(BF_TOPK_MAX_QUERIES + 1).collect()
+    if len(qrows) > BF_TOPK_MAX_QUERIES:
+        raise ValueError(
+            f"brute_force_topk query side exceeds {BF_TOPK_MAX_QUERIES} rows;"
+            " it is broadcast by contract — pre-filter the query frame"
+        )
+    if not qrows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rank bigint"
+        )
+    qids = np.array([r[0] for r in qrows], dtype="int64")
+    qmat = np.array([r[1] for r in qrows], dtype="float64")
+    qn = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    sc = corpus.sparkSession.sparkContext
+    b = sc.broadcast((qids, qmat, qn))
+
+    def gen(batches):
+        import pandas as pd
+
+        bqids, bqmat, bqn = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            aid = pdf["id"].to_numpy()
+            an = np.sqrt(np.einsum("ij,ij->i", a, a))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (a @ bqmat.T) / np.outer(an, bqn)
+            s[aid[:, None] == bqids[None, :]] = -np.inf  # self-matches
+            nan_mask = np.isnan(s)
+            s_sel = np.where(nan_mask, -np.inf, s)
+            out_q, out_n, out_v = [], [], []
+            for j in range(len(bqids)):
+                col = s_sel[:, j]
+                n_fin = int(np.isfinite(col).sum())
+                if n_fin >= k:
+                    kth = np.partition(col, len(col) - k)[len(col) - k]
+                    keep = np.where(col >= kth - _CAND_EPS)[0]
+                else:
+                    # fewer than k finite scores in this batch: keep every
+                    # non-self row (incl. NULL-score ones — the expression
+                    # path ranks them last rather than dropping them)
+                    keep = np.where(aid != bqids[j])[0]
+                out_q.extend([bqids[j]] * len(keep))
+                out_n.extend(aid[keep].tolist())
+                out_v.extend(a[i].tolist() for i in keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "cv": pd.Series(out_v, dtype=object),
+                }
+            )
+
+    from .partitioning import spread
+
+    cands = (
+        spread(corpus, id_col)
+        .select(
+            F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+        )
+        .mapInPandas(gen, "query_id long, neighbor_id long, cv array<double>")
+    )
+    # exact rescoring: the SAME expressions (and dim arguments) the
+    # expression path uses, on the tiny survivor set
+    rescored = (
+        cands.join(F.broadcast(q), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cn", V.norm("cv", dim))
+    )
+    d = F.col("qn") * F.col("cn")
+    score = F.when(d > 0, V.dot("qv", "cv", dim) / d)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
 
