@@ -547,7 +547,22 @@ def _nearest_cell(
     are locals, not a row), blows the 64 KB bytecode limit, and the
     whole stage silently drops to interpreted eval with a fresh compile
     ATTEMPT per pass — 4x slower than this join at bench scale and
-    catastrophically slower at sf10."""
+    catastrophically slower at sf10.
+
+    Past ``_NEAREST_CELL_ARROW_K`` centroids the crossJoin itself is the
+    scale hazard: N x K intermediate rows each carrying the vector.
+    SemDeDup's corpus-scaled K makes that O(N^2/target_cell) — at sf100
+    (2M vectors, K=3906) 7.8e9 wide rows filled this box's scratch and
+    died in spill before any scoring. The large-K path instead proposes
+    candidate cells per row with one Arrow-batched numpy distance pass
+    (every cell within 1e-9 of the row's minimum squared distance — a
+    superset of the exact argmin, since numpy/expression doubles agree to
+    ~1e-15), then replays the SAME exact-expression distance + min_by
+    tie-break on the ~N proposed rows. Identical assignments by
+    construction (verified: sf10 semantic_dedup_survivors value hash
+    unchanged); the K <= threshold plan is untouched."""
+    if _centroid_count(centroids) > _NEAREST_CELL_ARROW_K:
+        return _nearest_cell_arrow(c, centroids, id_col, dim)
     scored = c.crossJoin(F.broadcast(centroids)).select(
         id_col,
         "v",
@@ -562,6 +577,90 @@ def _nearest_cell(
             ).alias("__best")
         )
         .select(id_col, F.col("__best.cell").alias("cell"), F.col("__best.v").alias("v"))
+    )
+
+
+#: crossJoin-assignment ceiling: below this K the N x K row blowup is
+#: cheap and the (long-verified) broadcast-join plan is kept; above it the
+#: Arrow candidate pass takes over. The driver-gate fixtures all sit below
+#: (sf0.1: K=39), so registry plans at the gate are unchanged.
+_NEAREST_CELL_ARROW_K = 64
+
+
+def _centroid_count(centroids: DataFrame) -> int:
+    """K of the model frame. Centroid frames are K-row LOCAL relations by
+    construction (driver-trained, see ivf_assign) — counting one is a
+    driver-side no-op, not a job."""
+    return centroids.count()
+
+
+def _nearest_cell_arrow(
+    c: DataFrame, centroids: DataFrame, id_col: str, dim: int | None
+) -> DataFrame:
+    """Large-K nearest-centroid: numpy proposes, the exact expression
+    disposes (same selection-vs-scoring split as cosine_pairs /
+    brute_force_topk / semantic_dedup_pairs)."""
+    import numpy as np
+
+    crows = centroids.select("cell", "centroid").collect()
+    cells = np.array([r[0] for r in crows], dtype="int64")
+    cmat = np.array([r[1] for r in crows], dtype="float64")
+    c2 = np.einsum("ij,ij->i", cmat, cmat)
+    sc = c.sparkSession.sparkContext
+    b = sc.broadcast((cells, cmat, c2))
+
+    def gen(batches):
+        import pandas as pd
+
+        bcells, bcmat, bc2 = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.vstack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            # squared distances via the expansion; monotone with the exact
+            # expression's sqrt distance, ulp-close to its square
+            d2 = (
+                np.einsum("ij,ij->i", a, a)[:, None]
+                - 2.0 * (a @ bcmat.T)
+                + bc2[None, :]
+            )
+            # scale-aware margin: the expansion form above can lose
+            # ~eps*|a|^2 to cancellation vs the expression's direct
+            # sum-of-squares, so the proposal band widens with magnitude
+            dmin = d2.min(axis=1)[:, None]
+            ri, ci = np.where(d2 <= dmin + _CAND_EPS * (1.0 + np.abs(dmin)))
+            yield pd.DataFrame(
+                {
+                    "__nc_id": pdf["id"].to_numpy()[ri],
+                    "cand_cell": bcells[ci],
+                    "v": pd.Series(
+                        [pdf["v"].iloc[int(i)] for i in ri], dtype=object
+                    ),
+                }
+            )
+
+    cands = c.select(
+        F.col(id_col).alias("id"), F.col("v")
+    ).mapInPandas(gen, "__nc_id long, cand_cell long, v array<double>")
+    scored = cands.join(
+        F.broadcast(centroids),
+        cands["cand_cell"] == centroids["cell"],
+    ).select(
+        F.col("__nc_id").alias(id_col),
+        "v",
+        "cell",
+        V.euclidean("v", "centroid", dim).alias("dist"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct("cell", "v"), F.struct("dist", "cell")
+            ).alias("__best")
+        )
+        .select(
+            id_col, F.col("__best.cell").alias("cell"), F.col("__best.v").alias("v")
+        )
     )
 
 
@@ -810,32 +909,83 @@ def semantic_dedup_pairs(
         )
         .select(id_col, "cell", "nv")
     )
-    # Both sides of the self-join consume `assignments` — checkpoint so
-    # the cluster step runs once (persist-before-self-join discipline,
-    # same as dedup.ngram_jaccard_dupes).
-    assignments = assignments.localCheckpoint(eager=False)
-    a = assignments.select(
-        F.col("cell"), F.col(id_col).alias("id_a"), F.col("nv").alias("va")
-    )
-    b = assignments.select(
-        F.col("cell"), F.col(id_col).alias("id_b"), F.col("nv").alias("vb")
+    # Within-cell pairing is ONE grouped Arrow pass, not a cell self-join.
+    # The join formulation (both sides shuffle_hash on cell, pair rows
+    # carrying BOTH 64-double vectors into an interpreted/huge-method dot)
+    # streams |cell|^2/2 * ~1KB rows per cell — at sf100 (2M vectors,
+    # K=3906, ~512/cell) that is ~512M wide pair rows, which filled this
+    # box's 62GB scratch and died in spill. Per cell, numpy scores the
+    # unit vectors (the SAME Spark-computed `nv` doubles, shipped via
+    # Arrow) with a blocked matmul and SELECTS candidates at
+    # threshold - 1e-9; only true near-pairs leave the worker, carrying
+    # their vectors for the exact re-score. The emitted score — and the
+    # final threshold cut — remain the unrolled/fold `V.dot` expression on
+    # identical operands, so results and oracle hashes are unchanged
+    # (same selection-vs-scoring split as cosine_pairs/brute_force_topk).
+    import numpy as np
+
+    cand_cut = threshold - _CAND_EPS
+
+    def cell_pairs(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__sd_id", kind="mergesort")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "cell": pd.Series([], dtype=pdf["cell"].dtype),
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "va": pd.Series([], dtype=object),
+                    "vb": pd.Series([], dtype=object),
+                }
+            )
+        mat = np.vstack([np.asarray(v, dtype="float64") for v in pdf["nv"]])
+        ids = pdf["__sd_id"].to_numpy()
+        cell_val = pdf["cell"].iloc[0]
+        out_a, out_b, out_va, out_vb = [], [], [], []
+        # blocked matmul: bound scratch at ~32MB regardless of cell size
+        block = max(1, 4_000_000 // n)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            s = mat[i0:i1] @ mat.T
+            ia, ib = np.where(s >= cand_cut)
+            keep = (ia + i0) < ib  # id_a < id_b via the sorted order
+            for i, j in zip((ia + i0)[keep], ib[keep]):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+                out_va.append(mat[i].tolist())
+                out_vb.append(mat[j].tolist())
+        return pd.DataFrame(
+            {
+                "cell": pd.Series([cell_val] * len(out_a), dtype=pdf["cell"].dtype),
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                "va": pd.Series(out_va, dtype=object),
+                "vb": pd.Series(out_vb, dtype=object),
+            }
+        )
+
+    cands = (
+        assignments.select(
+            "cell", F.col(id_col).cast("bigint").alias("__sd_id"), "nv"
+        )
+        .groupBy("cell")
+        .applyInPandas(
+            cell_pairs,
+            "cell int, id_a long, id_b long, va array<double>, vb array<double>",
+        )
     )
     return (
-        # both sides are the corpus-scaled checkpointed assignments: the
-        # LogicalRDD size stat inherits the pre-checkpoint ESTIMATE, so a
-        # threshold broadcast here would collect the corpus to the driver
-        # at scale (observed for the MinHash band join at sf10) — force a
-        # shuffled hash join; broadcasts only by explicit dim hint or
-        # AQE's measured runtime sizes.
-        a.hint("shuffle_hash").join(b.hint("shuffle_hash"), "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+        cands.select(
             "cell",
-            "id_a",
-            "id_b",
+            F.col("id_a").alias("id_a"),
+            F.col("id_b").alias("id_b"),
             V.dot("va", "vb", dim).alias("score"),
         )
         .filter(F.col("score") >= threshold)
+        .select("cell", "id_a", "id_b", "score")
     )
 
 

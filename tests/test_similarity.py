@@ -281,3 +281,31 @@ def test_pq_raises_on_indivisible_dim(spark):
     df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0, 0.0])])
     with pytest.raises(Exception, match="divisible"):
         similarity.pq_train_encode(df, m=2, k_codes=2)[0].collect()
+
+
+def test_nearest_cell_arrow_matches_crossjoin(spark, sf_correctness):
+    """The large-K Arrow assignment path (numpy proposes candidate cells,
+    exact expression + min_by disposes) must assign every vector to the
+    SAME cell as the crossJoin plan — the sf100 hazard fix
+    (K x corpus row blowup) is a plan change, never a result change."""
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.functions import vectors as V
+    from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_correctness, "embeddings")
+    c = emb.select(F.col("vec_id"), V.as_double(F.col("embedding")).alias("v"))
+    _, cents = similarity.ivf_assign(emb, 100, refine_iterations=0)
+    arrow = similarity._nearest_cell_arrow(c, cents, "vec_id", 64).select(
+        "vec_id", "cell"
+    )
+    old_k = similarity._NEAREST_CELL_ARROW_K
+    similarity._NEAREST_CELL_ARROW_K = 10**9  # force the crossJoin plan
+    try:
+        cross = similarity._nearest_cell(c, cents, "vec_id", 64).select(
+            "vec_id", "cell"
+        )
+        assert arrow.exceptAll(cross).count() == 0
+        assert cross.exceptAll(arrow).count() == 0
+    finally:
+        similarity._NEAREST_CELL_ARROW_K = old_k
