@@ -62,6 +62,15 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
             "centroid side is K parameter-bounded broadcast rows"
         )
     },
+    "semantic_dedup_survivors": {
+        "cartesian_join": (
+            "same K-bounded centroid-assignment broadcast as ann_ivf_topk "
+            "(the small-K crossJoin path; K>64 switches to the Arrow "
+            "candidate pass with an equi join). Pre-r7 the pair stage's "
+            "localCheckpoint barrier hid this node from the doctor; "
+            "removing the checkpoint exposed, not introduced, it"
+        )
+    },
     "monthly_revenue_running": {
         "global_window": (
             "running window over the ~83-row post-aggregation monthly "
