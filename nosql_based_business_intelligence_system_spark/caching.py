@@ -72,11 +72,18 @@ class SessionCache:
     #: every live cache, for :func:`release_all`.
     _REGISTRY: list["SessionCache"] = []
 
-    def __init__(self, name: str, capacity: int):
+    def __init__(self, name: str, capacity: int, holds_storage: bool = True):
         if capacity < 1:
             raise ValueError(f"capacity must be >= 1, got {capacity}")
         self.name = name
         self.capacity = capacity
+        #: whether entries pin executor/block-manager storage (checkpointed
+        #: or persisted frames). Caches of lazy plan handles (table
+        #: handles: file listing + schema only) set False so eviction skips
+        #: the stop-the-world gc.collect + System.gc nudge — a session
+        #: interleaving >capacity sf_dirs would otherwise pay a full GC
+        #: per table load for nothing (r7 advisory).
+        self.holds_storage = holds_storage
         self._entries: OrderedDict[tuple, object] = OrderedDict()
         SessionCache._REGISTRY.append(self)
 
@@ -93,7 +100,7 @@ class SessionCache:
         while len(self._entries) > self.capacity:
             self._entries.popitem(last=False)
             evicted = True
-        if evicted:
+        if evicted and self.holds_storage:
             free_blocks(spark)
         return value
 

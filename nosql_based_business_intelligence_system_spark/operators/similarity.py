@@ -58,6 +58,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), V.as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qn", V.norm("qv"))
+    if metric == "cosine" and dim is not None:
+        arrow = _bf_topk_cosine_arrow(corpus, q, k, id_col, vec_col, dim)
+        if arrow is not None:
+            return arrow
+        # query side exceeded the broadcast budget — fall through to the
+        # expression path, which never collects the query frame
     # parallelism guard: the O(|Q| x corpus) scoring + per-partition
     # top-k sort run at the SCAN's parallelism — a single sub-128MB
     # embedding file executes the whole pair stage on one task (sf10:
@@ -65,8 +71,6 @@ def brute_force_topk(
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), V.as_double(F.col(vec_col)).alias("cv")
     ).withColumn("cn", V.norm("cv", dim))
-    if metric == "cosine" and dim is not None:
-        return _bf_topk_cosine_arrow(corpus, q, k, id_col, vec_col, dim)
     if metric == "cosine":
         d = F.col("qn") * F.col("cn")
         score = F.when(d > 0, V.dot("qv", "cv", dim) / d)
@@ -86,14 +90,16 @@ def brute_force_topk(
     )
 
 
-#: brute_force_topk collects/broadcasts the query side by contract; raise
-#: rather than OOM the driver if a caller passes a corpus-scaled frame.
+#: _bf_topk_cosine_arrow collects/broadcasts the query side; past this
+#: budget it declines (returns None) and brute_force_topk falls back to
+#: the expression path, which keeps the query side as a Spark broadcast
+#: join and never materializes it on the driver.
 BF_TOPK_MAX_QUERIES = 10_000
 
 
 def _bf_topk_cosine_arrow(
     corpus: DataFrame, q: DataFrame, k: int, id_col: str, vec_col: str, dim: int
-) -> DataFrame:
+) -> DataFrame | None:
     """Arrow-batched candidate selection for the exact cosine top-k.
 
     The sf100 rehearsal exposed the expression path's ceiling: the
@@ -114,17 +120,20 @@ def _bf_topk_cosine_arrow(
 
     qrows = q.select("query_id", "qv").limit(BF_TOPK_MAX_QUERIES + 1).collect()
     if len(qrows) > BF_TOPK_MAX_QUERIES:
-        raise ValueError(
-            f"brute_force_topk query side exceeds {BF_TOPK_MAX_QUERIES} rows;"
-            " it is broadcast by contract — pre-filter the query frame"
-        )
+        return None  # caller falls back to the expression path
     if not qrows:
         spark = corpus.sparkSession
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, score double, rank bigint"
         )
     qids = np.array([r[0] for r in qrows], dtype="int64")
-    qmat = np.array([r[1] for r in qrows], dtype="float64")
+    # a NULL query vector becomes a NaN row: its score column is all-NaN,
+    # so selection keeps every non-self corpus row and the exact rescore
+    # (NULL qn -> NULL score, ranked last) mirrors the expression path
+    qmat = np.array(
+        [r[1] if r[1] is not None else [float("nan")] * dim for r in qrows],
+        dtype="float64",
+    )
     qn = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
     sc = corpus.sparkSession.sparkContext
     b = sc.broadcast((qids, qmat, qn))
@@ -136,7 +145,17 @@ def _bf_topk_cosine_arrow(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            a = np.vstack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            # NULL corpus vectors score NaN against every query (the
+            # expression path gives them NULL scores ranked last); they
+            # stay candidates only via the <k-finite branch below. A NaN
+            # row also keeps np.vstack rectangular.
+            vals = [
+                np.asarray(v, dtype="float64")
+                if v is not None
+                else np.full(dim, np.nan)
+                for v in pdf["v"]
+            ]
+            a = np.vstack(vals)
             aid = pdf["id"].to_numpy()
             an = np.sqrt(np.einsum("ij,ij->i", a, a))
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -158,7 +177,13 @@ def _bf_topk_cosine_arrow(
                     keep = np.where(aid != bqids[j])[0]
                 out_q.extend([bqids[j]] * len(keep))
                 out_n.extend(aid[keep].tolist())
-                out_v.extend(a[i].tolist() for i in keep)
+                # emit the ORIGINAL vector (None stays None) — a NaN
+                # stand-in would rescore to NaN, which desc-sorts FIRST
+                # in Spark, while the expression path's NULL sorts last
+                out_v.extend(
+                    None if pdf["v"].iloc[i] is None else a[i].tolist()
+                    for i in keep
+                )
             yield pd.DataFrame(
                 {
                     "query_id": pd.Series(out_q, dtype="int64"),
@@ -967,6 +992,16 @@ def semantic_dedup_pairs(
             }
         )
 
+    # the grouped Arrow pass ships ids as int64 and the output contract is
+    # (id_a long, id_b long); a non-numeric id would cast to NULL silently
+    # (non-ANSI) and corrupt the pair set — refuse instead of guessing
+    id_type = dict(assignments.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"semantic_dedup_pairs requires an integral id column; got"
+            f" {id_col}: {id_type}. Map ids to bigint upstream (e.g."
+            " monotonically_increasing_id or a dictionary join)."
+        )
     cands = (
         assignments.select(
             "cell", F.col(id_col).cast("bigint").alias("__sd_id"), "nv"

@@ -43,10 +43,15 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       chars IS the sum of token lengths, no fold needed;
     - stopword hits: a boundary-anchored case-insensitive alternation
       counted with regexp_extract_all — tokens are space-delimited, so
-      ``(?:^| )(?:stop|words)(?= |$)`` matches exactly the tokens whose
-      lowercase equals a stopword (longest-first alternation; trailing
-      boundary as lookahead so adjacent hits don't consume each other's
-      delimiter).
+      ``(?:\\A| )(?:stop|words)(?= |\\z)`` matches exactly the tokens
+      whose lowercase equals a stopword (longest-first alternation;
+      trailing boundary as lookahead so adjacent hits don't consume
+      each other's delimiter). The anchors are ``\\A``/``\\z`` — true
+      start/end of input — NOT ``^``/``$``: in Java's default mode
+      ``$`` also matches before a final line terminator, so text
+      ending "the\\n" would count a stopword hit while the token-based
+      oracle (split on spaces → token is "the\\n") counts zero — a
+      silent data-dependent hash divergence (r7 advisory).
 
     Identical output values, so the oracle (and its hash) is unchanged."""
     from ..operators.partitioning import spread
@@ -56,9 +61,9 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # census on ONE task (sf10: 17.6s single-core -> ~2s spread)
     d = spread(_docs(spark, sf_dir), "doc_id")
     stop_pat = (
-        "(?i)(?:^| )(?:"
+        "(?i)(?:\\A| )(?:"
         + "|".join(sorted(T.STOPWORDS, key=len, reverse=True))
-        + ")(?= |$)"
+        + ")(?= |\\z)"
     )
     staged = d.select(
         "doc_id",

@@ -46,7 +46,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: session that rewrites a fixture dir in place must use a new path or a
 #: new session. Capacity = 4 sf_dirs' worth of handles; handles hold no
 #: block-manager storage, so eviction only re-pays a listing.
-_TABLE_CACHE = SessionCache("table-handles", capacity=4 * len(TABLES))
+_TABLE_CACHE = SessionCache(
+    "table-handles", capacity=4 * len(TABLES), holds_storage=False
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
