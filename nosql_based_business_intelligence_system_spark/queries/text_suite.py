@@ -578,15 +578,52 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "est_jaccard")
 
 
+def dedup_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup with the SCALE contract: band buckets larger
+    than ``max_docs_per_band_key=50`` are dropped before pairing.
+
+    This is the entry a 100 TB deployment should run. The unguarded
+    ``dedup_minhash`` contract is quadratic-candidate-infeasible at the
+    third decade — band collisions between NON-duplicate pairs arrive at
+    ~bands*s̄^r per pair (s̄ ≈ baseline corpus Jaccard), so candidates
+    grow with corpus size squared: measured 29.6M candidates at 500k
+    docs -> 6.26e9 (~300GB of candidate shuffle) at 5M docs (PLANS.md
+    sf100 hazard 1). With cap=50 the sf100 run completes in 175.2s with
+    258,637 pairs. RECALL TRADE (documented, pin-tested
+    tests/test_skew.py::test_minhash_band_key_guard_caps_giant_buckets):
+    a pair whose EVERY collision band lands in an over-cap bucket is
+    lost — but a multi-thousand-doc bucket at threshold-worthy
+    similarity is boilerplate, not duplication, so precision is
+    unaffected and the planted-near-dup pin keeps surfacing. On corpora
+    whose buckets all fit the cap (e.g. sf0.01 fixtures), output is
+    IDENTICAL to the unguarded entry. Same generated DuckDB twin with a
+    QUALIFY bucket-size cut, so the guard itself is oracle-checked."""
+    sig = _SIG_CACHE.get_or_build(
+        spark,
+        (sf_dir, 3, 64, 42),
+        lambda: dedup.minhash_signatures(
+            _docs(spark, sf_dir), "text", "doc_id", 3, 64, 42
+        ).localCheckpoint(eager=False),
+    )
+    return dedup.minhash_lsh_dupes(
+        _docs(spark, sf_dir),
+        jaccard_threshold=0.5,
+        signatures=sig,
+        max_docs_per_band_key=50,
+    ).select("doc_a", "doc_b", "est_jaccard")
+
+
 def _dd_minhash_sql(
     num_hashes: int = 64, bands: int = 32, seed: int = 42, n: int = 3,
-    threshold: float = 0.5,
+    threshold: float = 0.5, max_docs_per_band_key: int | None = None,
 ) -> str:
     """Generated DuckDB twin of dedup.minhash_lsh_dupes at the registry
     parameters — same coefficients (dedup.mh_coefficients), the same
     two's-complement int64 wrap (emulated in HUGEINT: reduce mod 2^64,
     then map the top half down), same band keys, same agreement
-    estimate."""
+    estimate. ``max_docs_per_band_key`` twins the guarded entry: drop
+    over-cap (band, key) buckets before pairing via QUALIFY — the same
+    drop-then-pair semantics as the operator's bucket-grouping path."""
     from ..operators.dedup import mh_coefficients
 
     r = num_hashes // bands
@@ -618,6 +655,16 @@ def _dd_minhash_sql(
         f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
         for i in range(num_hashes)
     )
+    if max_docs_per_band_key is not None:
+        guard_cte = f""", kept AS MATERIALIZED (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, key)
+          <= {max_docs_per_band_key}
+)"""
+        pair_src = "kept"
+    else:
+        guard_cte = ""
+        pair_src = "bands"
     return f"""WITH toks AS (
   SELECT doc_id, {toks} AS t FROM documents
 ), base AS (
@@ -632,10 +679,10 @@ def _dd_minhash_sql(
   FROM base GROUP BY doc_id
 ), bands AS MATERIALIZED (
   {band_selects}
-), cand AS (
+){guard_cte}, cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          ({agree}) / {float(num_hashes)} AS est_jaccard
-  FROM bands a JOIN bands b
+  FROM {pair_src} a JOIN {pair_src} b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, est_jaccard FROM cand
@@ -1515,6 +1562,9 @@ QUERIES = {
     "bpe_vocab": _q(bpe_vocab, None),
     "bpe_token_counts": _q(bpe_token_counts, None),
     "dedup_minhash": _q(dedup_minhash, _dd_minhash_sql()),
+    "dedup_minhash_guarded": _q(
+        dedup_minhash_guarded, _dd_minhash_sql(max_docs_per_band_key=50)
+    ),
     "dedup_simhash": _q(dedup_simhash, _dd_simhash_sql()),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
 }

@@ -216,3 +216,28 @@ def test_minhash_band_key_guard_caps_giant_buckets(spark):
     g = {(r.doc_a, r.doc_b) for r in guarded.collect()}
     assert (9001, 9002) in g  # small buckets unaffected
     assert not any(a < 60 and b < 60 for a, b in g)  # giant buckets capped
+
+    # Cross-engine pin for the GUARDED twin (registry entry
+    # dedup_minhash_guarded): the DuckDB QUALIFY bucket-size cut must
+    # drop exactly the buckets the operator's bucket-grouping path drops
+    # — on a corpus where the cap actually BINDS (sf0.01 fixtures have
+    # no over-cap buckets, so the driver's green check alone wouldn't
+    # exercise the guard clause).
+    import duckdb
+    import pandas as pd
+
+    from nosql_based_business_intelligence_system_spark.queries.text_suite import (
+        _dd_minhash_sql,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(r.doc_id, r.text) for r in group + filler + planted],
+            columns=["doc_id", "text"],
+        ),
+    )
+    cur = con.execute(_dd_minhash_sql(max_docs_per_band_key=10))
+    want = {(a, b) for a, b, _ in cur.fetchall()}
+    assert {(a, b) for a, b in g} == want
