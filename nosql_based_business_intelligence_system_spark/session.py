@@ -8,6 +8,7 @@ SURVEY.md §2.10(b), reference Project.py:41-49).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -46,6 +47,65 @@ SCALE_CONF: dict[str, str] = {
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+
+
+#: Target on-disk parquet bytes per shuffle partition for auto-sizing.
+#: Calibrated on the sf ladder (PLANS.md round-7 notes): 64 MiB keeps
+#: sf0.1 (17 MB) and sf10 (1.7 GB) at the core count — the setting every
+#: prior round's numbers were measured at — while sf100 (17 GB) lands at
+#: ~266, matching the measured spill-elimination point (regional_revenue
+#: 62.6s @32 -> 31.3s @256). Compressed parquet expands ~3-5x in memory,
+#: so 64 MiB disk ~ 200-300 MB of rows per task — comfortably inside an
+#: executor task's working memory with AQE coalescing the small side.
+AUTO_PARTITION_BYTES = 64 << 20
+
+#: Ceiling for auto-sizing. A real 1000-executor deployment sizes shuffle
+#: partitions to ~2-3x total executor cores instead; this bound only says
+#: "never explode the task count on a single box because the input is
+#: huge" (AQE's skew split still subdivides pathological partitions).
+MAX_AUTO_SHUFFLE_PARTITIONS = 4096
+
+#: sf_dir -> total fixture bytes, memoized per process (one os.walk each).
+_SF_BYTES: dict[str, int] = {}
+
+
+def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int | None:
+    """Set ``spark.sql.shuffle.partitions`` proportionally to the input.
+
+    The r7 sf100 rehearsal proved partition sizing is first-order at the
+    third decade (1 GB+/partition through fact-fact exchanges spills), but
+    raising the SESSION default 4x regresses checkpoint-bearing queries
+    ~2x at sf0.1 — ``localCheckpoint``'d frames materialize at the current
+    count and AQE cannot coalesce an already-materialized checkpoint. So
+    the count is a function of the DATASET, set at table-load time (the
+    one choke point every query passes through): small fixtures keep the
+    core count, sf100 gets ~266 without any env knob. An explicit
+    ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` still wins (deployment override).
+
+    Runtime-settable conf: the value is read at query execution, so the
+    last load before an action decides — sessions interleaving sf_dirs
+    within one uncollected plan are out of contract (same catalog-snapshot
+    stance as the table-handle cache).
+    """
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"):
+        return None
+    total = _SF_BYTES.get(sf_dir)
+    if total is None:
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(sf_dir):
+                for fname in files:
+                    with contextlib.suppress(OSError):
+                        total += os.path.getsize(os.path.join(root, fname))
+        except OSError:
+            total = 0
+        _SF_BYTES[sf_dir] = total
+    n = max(
+        default_parallelism(),
+        min(MAX_AUTO_SHUFFLE_PARTITIONS, total // AUTO_PARTITION_BYTES),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n
 
 
 def get_spark(

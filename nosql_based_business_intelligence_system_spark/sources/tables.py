@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caching import SessionCache
+from ..session import autosize_shuffle_partitions
 
 TABLES = (
     "region",
@@ -54,6 +55,11 @@ _TABLE_CACHE = SessionCache(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Data-proportional shuffle partitions, decided by the DATASET being
+    # loaded (not the session): see session.autosize_shuffle_partitions.
+    # Outside _build so cache hits re-assert the sizing after another
+    # sf_dir was loaded in between.
+    autosize_shuffle_partitions(spark, sf_dir)
 
     def _build() -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
