@@ -287,6 +287,7 @@ def rp_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    arrow_keys: bool = False,
 ) -> DataFrame:
     """Approximate top-k via deterministic bucketed random projections —
     the E2LSH scheme :func:`lsh_topk` gets from spark.ml, rebuilt on
@@ -306,12 +307,25 @@ def rp_bucket_topk(
     The projection is a fold EXPRESSION (not numpy): 0.0 + v[0]*p0 +
     v[1]*p1 + ... accumulates left-to-right exactly like the twin's
     inlined (+v[1]-v[2]...) sum, so bucket keys are bit-identical across
-    engines — a numpy matmul's SIMD summation could flip a key on a
+    engines — a numpy MATMUL's SIMD summation could flip a key on a
     floor boundary. O(dim * n_tables) interpreted work per row, once per
     row, narrow output; candidate generation is a bucket equi-join, so
     the shape scales the same way the banded-MinHash path does. Tune
     ``bucket_length`` down / ``n_tables`` up for sparser buckets at
     scale.
+
+    ``arrow_keys=True`` computes the SAME keys in one Arrow-batched numpy
+    pass per side — NOT a matmul: a d-indexed loop of vectorized
+    multiply-adds (``acc = acc + v[:, d] * plane[d, :]``) performs the
+    identical IEEE-754 double ops in the identical left-to-right order as
+    the fold, so every projection (and so every floor key) is
+    bit-identical BY CONSTRUCTION, not epsilon-close (pin-tested:
+    tests/test_similarity.py asserts exact key equality both paths).
+    This is the 100 TB corpus-side path: the interpreted fold prices the
+    per-row key stage at ~dim*n_tables CodegenFallback evaluations; the
+    Arrow pass is ~dim vectorized ops per BATCH. Requires an integral id
+    column (ids ride Arrow as int64) — the expression path has no such
+    constraint.
     """
     planes = sign_planes(seed, dim, n_tables)
 
@@ -345,8 +359,73 @@ def rp_bucket_topk(
             F.explode(F.array(*entries)).alias("tk"),
         ).select(idname, f"{idname[0]}v", "tk.t", "tk.key")
 
-    qk = _keys(queries, "query_id")
-    ck = _keys(corpus, "neighbor_id")
+    def _keys_arrow(df: DataFrame, idname: str) -> DataFrame:
+        import numpy as np
+
+        id_type = dict(df.dtypes).get(id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"rp_bucket_topk(arrow_keys=True) requires an integral id"
+                f" column; got {id_col}: {id_type} — use the expression"
+                " path or map ids to bigint upstream."
+            )
+        pl = planes  # (dim, n_tables) float64 of +-1.0
+        bl = float(bucket_length)
+        d_ = dim
+        nt = n_tables
+
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                bad = [
+                    "NULL" if v is None else str(len(v))
+                    for v in pdf["v"]
+                    if v is None or len(v) != d_
+                ]
+                if bad:
+                    raise ValueError(
+                        f"rp_bucket_topk: expected dim={d_}, got {bad[0]}"
+                    )
+                a = np.vstack(
+                    [np.asarray(v, dtype="float64") for v in pdf["v"]]
+                )
+                # SEQUENTIAL accumulation, d left-to-right: each step is
+                # acc + (v_d * p_d) in float64 — the identical IEEE op
+                # sequence as the fold expression, so keys are
+                # bit-identical (a matmul would reassociate the sum)
+                acc = np.zeros((len(a), nt), dtype="float64")
+                for di in range(d_):
+                    acc = acc + a[:, di : di + 1] * pl[di, :]
+                keys = np.floor(acc / bl).astype("int64")
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"].to_numpy(),
+                        "v": pdf["v"],
+                        "keys": pd.Series(
+                            [row.tolist() for row in keys], dtype=object
+                        ),
+                    }
+                )
+
+        out = (
+            df.select(
+                F.col(id_col).alias("id"),
+                V.as_double(F.col(vec_col)).alias("v"),
+            )
+            .mapInPandas(gen, "id long, v array<double>, keys array<bigint>")
+        )
+        return out.select(
+            F.col("id").alias(idname),
+            F.col("v").alias(f"{idname[0]}v"),
+            F.posexplode("keys").alias("t", "key"),
+        )
+
+    keyer = _keys_arrow if arrow_keys else _keys
+    qk = keyer(queries, "query_id")
+    ck = keyer(corpus, "neighbor_id")
     cand = (
         qk.join(ck, ["t", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1105,6 +1184,7 @@ def pq_train_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iterations: int = 2,
+    arrow_assign: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization codebooks + corpus codes (Jegou et al. 2011,
     "Product Quantization for Nearest Neighbor Search").
@@ -1135,6 +1215,13 @@ def pq_train_encode(
 
     from .partitioning import spread
 
+    if arrow_assign:
+        id_type = dict(corpus.dtypes).get(id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"pq_train_encode(arrow_assign=True) requires an integral"
+                f" id column; got {id_col}: {id_type}"
+            )
     # materialize-before-reuse: every Lloyd round AND the final encode
     # re-reference the subvector table — without the persist the scan +
     # normalize + split would re-execute per use (and on a one-file local
@@ -1142,22 +1229,127 @@ def pq_train_encode(
     sub = _pq_subvectors(spread(corpus, id_col), m, id_col, vec_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    wseed = Window.partitionBy("j").orderBy("__h", id_col)
-    codebooks = (
-        sub.withColumn("__h", F.md5(F.concat_ws("|", F.col(id_col), F.col("j"))))
-        .withColumn("code", F.row_number().over(wseed) - 1)
-        .filter(F.col("code") < k_codes)
-        .select("j", "code", F.col("sv").alias("centroid"))
+    # Seed selection = the k_codes rows with the SMALLEST md5(id|j) per
+    # subspace. r7 shipped this as a row_number window partitioned by j —
+    # a GLOBAL per-j sort, i.e. the whole corpus shuffled into m
+    # partitions and sorted with m-way parallelism (at sf100: 20M rows
+    # through 4 tasks, data-scaled). Bottom-k is an AGGREGATE, not a
+    # sort: stage 1 keeps each (j, salt-of-1024) group's k_codes smallest
+    # (array_sort + slice over a bounded collect_list), stage 2 reduces
+    # the m*1024 survivor lists to the global bottom-k per j. Selection
+    # is by the total order (md5, id) either way, so the chosen seed SET
+    # and its code ranks are identical to the window plan (md5(id|j) is
+    # already unique; id rides as tiebreak-by-construction). The struct
+    # sorts by (__h, __i) and never reaches sv — unique prefix.
+    hashed = sub.withColumn(
+        "__h", F.md5(F.concat_ws("|", F.col(id_col), F.col("j")))
     )
+    seed_struct = F.struct(
+        F.col("__h"), F.col(id_col).alias("__i"), F.col("sv")
+    )
+    bottom = (
+        hashed.groupBy(
+            "j", F.pmod(F.abs(F.hash(F.col(id_col))), F.lit(1024)).alias("__s")
+        )
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(seed_struct)), 1, k_codes
+            ).alias("cand")
+        )
+        .select("j", F.explode("cand").alias("c"))
+        .groupBy("j")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("c")), 1, k_codes
+            ).alias("top")
+        )
+    )
+    codebooks = bottom.select(
+        "j", F.posexplode("top").alias("code", "c")
+    ).select("j", "code", F.col("c.sv").alias("centroid"))
+
+    def _propose(cb: DataFrame) -> DataFrame:
+        """Arrow candidate proposal for the encode argmin: numpy squared
+        distances per subspace propose every code within a scale-aware
+        epsilon of each row's minimum (a superset of the exact argmin —
+        same split as _nearest_cell_arrow), shrinking the scored relation
+        from rows*k_codes interpreted euclideans to ~rows. The exact
+        fold distance + min_by tie-break dispose below, so assignments
+        are identical to the crossJoin plan by construction (pin-tested
+        in tests/test_similarity.py)."""
+        import numpy as np
+
+        rows = cb.collect()  # m*k_codes rows — driver-tiny by contract
+        by_j: dict[int, list] = {}
+        for r in rows:
+            by_j.setdefault(r["j"], []).append((r["code"], r["centroid"]))
+        packed = {}
+        for j, items in by_j.items():
+            codes = np.array([c for c, _ in items], dtype="int64")
+            mat = np.array([v for _, v in items], dtype="float64")
+            packed[j] = (codes, mat, np.einsum("ij,ij->i", mat, mat))
+        b = sub.sparkSession.sparkContext.broadcast(packed)
+
+        def gen(batches):
+            import pandas as pd
+
+            pk = b.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                out_id, out_j, out_sv, out_code = [], [], [], []
+                for j, grp in pdf.groupby("j"):
+                    codes, mat, c2 = pk[int(j)]
+                    a = np.vstack(
+                        [np.asarray(v, dtype="float64") for v in grp["sv"]]
+                    )
+                    d2 = (
+                        np.einsum("ij,ij->i", a, a)[:, None]
+                        - 2.0 * (a @ mat.T)
+                        + c2[None, :]
+                    )
+                    dmin = d2.min(axis=1)[:, None]
+                    ri, ci = np.where(
+                        d2 <= dmin + _CAND_EPS * (1.0 + np.abs(dmin))
+                    )
+                    ids = grp["id"].to_numpy()
+                    svs = grp["sv"].reset_index(drop=True)
+                    out_id.extend(ids[ri].tolist())
+                    out_j.extend([int(j)] * len(ri))
+                    out_sv.extend(svs.iloc[int(i)] for i in ri)
+                    out_code.extend(codes[ci].tolist())
+                yield pd.DataFrame(
+                    {
+                        "id": pd.Series(out_id, dtype="int64"),
+                        "j": pd.Series(out_j, dtype="int32"),
+                        "sv": pd.Series(out_sv, dtype=object),
+                        "code": pd.Series(out_code, dtype="int32"),
+                    }
+                )
+
+        return (
+            sub.select(F.col(id_col).alias("id"), "j", "sv")
+            .mapInPandas(gen, "id long, j int, sv array<double>, code int")
+            .select(F.col("id").alias(id_col), "j", "sv", "code")
+        )
 
     def _assign(cb: DataFrame) -> DataFrame:
-        scored = sub.join(F.broadcast(cb), "j").select(
-            id_col,
-            "j",
-            "sv",
-            "code",
-            V.euclidean(F.col("sv"), F.col("centroid")).alias("dist"),
-        )
+        if arrow_assign:
+            scored = _propose(cb).join(F.broadcast(cb), ["j", "code"]).select(
+                id_col,
+                "j",
+                "sv",
+                "code",
+                V.euclidean(F.col("sv"), F.col("centroid")).alias("dist"),
+            )
+        else:
+            scored = sub.join(F.broadcast(cb), "j").select(
+                id_col,
+                "j",
+                "sv",
+                "code",
+                V.euclidean(F.col("sv"), F.col("centroid")).alias("dist"),
+            )
         # min_by hash agg, not a row_number window: map-side combine
         # shrinks the shuffle to one row per (id, j) and skips the sort.
         return (
@@ -1206,6 +1398,92 @@ def pq_train_encode(
     return codes, codebooks
 
 
+def _pq_adc_candidates(
+    codes: DataFrame,
+    qtab: DataFrame,
+    id_col: str,
+    m: int,
+    k_codes: int,
+    keep_n: int,
+) -> DataFrame | None:
+    """Arrow per-batch candidate selection for the PQ-ADC rank stage.
+
+    Per Arrow batch of corpus codes, numpy computes each query's ADC
+    scores by a SEQUENTIAL j-loop of lookup-adds — the identical IEEE op
+    order as the fold expression, so batch-kth cuts are taken on exactly
+    the doubles the rescore will emit — and keeps every non-self row
+    within _CAND_EPS of the batch's keep_n-th best (all rows when a batch
+    has fewer than keep_n). The union over batches is a superset of the
+    global top-``keep_n`` per query, so the downstream exact-fold rescore
+    + row_number window reproduce the full plan's output exactly.
+    Declines (returns None) when the query side exceeds the broadcast
+    budget — caller keeps the crossJoin plan.
+    """
+    import numpy as np
+
+    qrows = qtab.limit(BF_TOPK_MAX_QUERIES + 1).collect()
+    if len(qrows) > BF_TOPK_MAX_QUERIES:
+        return None
+    if not qrows:
+        spark = codes.sparkSession
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, codes array<int>"
+        )
+    qids = np.array([r["query_id"] for r in qrows], dtype="int64")
+    # flat (|Q|, m*k_codes) table; holes (codes emptied by Lloyd rounds)
+    # stay NaN and are never indexed — every corpus code exists in qtab
+    qt = np.full((len(qrows), m * k_codes), np.nan, dtype="float64")
+    for qi, r in enumerate(qrows):
+        for slot, tv in r["qtab"].items():
+            qt[qi, slot] = tv
+    offs = np.arange(m, dtype="int64") * k_codes
+    b = codes.sparkSession.sparkContext.broadcast((qids, qt, offs))
+
+    def gen(batches):
+        import pandas as pd
+
+        bqids, bqt, boffs = b.value
+        nq = len(bqids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cd = np.vstack(
+                [np.asarray(c, dtype="int64") for c in pdf["codes"]]
+            )
+            aid = pdf["id"].to_numpy()
+            slots = cd + boffs[None, :]
+            # sequential accumulation over j — same order as the fold
+            s = np.zeros((len(cd), nq), dtype="float64")
+            for j in range(slots.shape[1]):
+                s = s + bqt[:, slots[:, j]].T
+            s[aid[:, None] == bqids[None, :]] = -np.inf  # self rows
+            out_q, out_n, out_c = [], [], []
+            for qi in range(nq):
+                col = s[:, qi]
+                n_fin = int(np.isfinite(col).sum())
+                if n_fin >= keep_n:
+                    kth = np.partition(col, len(col) - keep_n)[
+                        len(col) - keep_n
+                    ]
+                    keep = np.where(col >= kth - _CAND_EPS)[0]
+                else:
+                    keep = np.where(aid != bqids[qi])[0]
+                out_q.extend([bqids[qi]] * len(keep))
+                out_n.extend(aid[keep].tolist())
+                out_c.extend(cd[i].tolist() for i in keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "codes": pd.Series(out_c, dtype=object),
+                }
+            )
+
+    return codes.select(
+        F.col(id_col).alias("id"), "codes"
+    ).mapInPandas(gen, "query_id long, neighbor_id long, codes array<int>")
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1216,6 +1494,7 @@ def pq_topk(
     vec_col: str = "embedding",
     refine_iterations: int = 2,
     rerank_factor: int = 0,
+    arrow: bool = False,
 ) -> DataFrame:
     """PQ-ADC top-k: score = sum over subspaces of dot(query subvector,
     codeword centroid) — a lookup-table approximation of the cosine on
@@ -1235,9 +1514,20 @@ def pq_topk(
     |Q| * k * rerank_factor rows — independent of corpus size — so the
     quantization error stops costing recall without giving up the
     narrow-scan candidate stage.
+
+    ``arrow=True`` is the third-decade path (suite-gated on corpus size,
+    same as rp_bucket_topk): encode assignment proposes candidate codes
+    with an Arrow numpy pass instead of scoring rows x k_codes
+    interpreted euclideans, and the ADC rank stage pre-selects per-query
+    candidates per Arrow batch before the row_number window — without it
+    the window sorts the FULL corpus-scaled scored relation with |Q|-way
+    parallelism (at sf100: 5M rows through 5 tasks). Both splits keep
+    the exact expressions as the decider, so emitted values are
+    identical (pin-tested).
     """
     codes, codebooks = pq_train_encode(
-        corpus, m, k_codes, id_col, vec_col, refine_iterations
+        corpus, m, k_codes, id_col, vec_col, refine_iterations,
+        arrow_assign=arrow,
     )
     qsub = _pq_subvectors(queries, m, id_col, vec_col)
     # (query, j, code) -> dot(q_j, centroid); flattened to qtab[j*k + code]
@@ -1259,22 +1549,37 @@ def pq_topk(
             ).alias("qtab")
         )
     )
-    scored = (
-        codes.crossJoin(F.broadcast(qtab))
-        .filter(F.col("query_id") != F.col(id_col))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            F.aggregate(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                F.lit(0.0),
-                lambda acc, j: acc
-                + F.element_at(
-                    F.col("qtab"), j * k_codes + F.element_at(F.col("codes"), j + 1)
-                ),
-            ).alias("score"),
-        )
+    adc_score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("qtab"), j * k_codes + F.element_at(F.col("codes"), j + 1)
+        ),
     )
+    keep_n = k * max(rerank_factor, 1)
+    pre = None
+    if arrow:
+        pre = _pq_adc_candidates(codes, qtab, id_col, m, k_codes, keep_n)
+    if pre is not None:
+        # exact fold re-scores the per-batch-selected candidates — the
+        # same expression on the same (codes, qtab) operands as the full
+        # plan, so scores and the downstream ranking are identical
+        scored = (
+            pre.join(F.broadcast(qtab), "query_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", adc_score.alias("score"))
+        )
+    else:
+        scored = (
+            codes.crossJoin(F.broadcast(qtab))
+            .filter(F.col("query_id") != F.col(id_col))
+            .select(
+                "query_id",
+                F.col(id_col).alias("neighbor_id"),
+                adc_score.alias("score"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     if rerank_factor <= 0:
         return (

@@ -139,42 +139,48 @@ def distinct_count_sketches_detail(
     return flag: HLL++ (``approx_count_distinct``, mergeable across
     partitions/segments — the 100 TB cardinality path) vs exact.
 
-    The exact counts run as distinct-then-count aggregates JOINED back to
-    the sketch aggregate rather than as ``countDistinct`` in the same agg:
-    mixing exact distincts with other aggregates plans an Expand that
-    replays every fact row once per distinct group (3x the shuffle, with
-    HLL buffers riding along) — measured 2.7s vs 0.8s at sf0.1, and the
-    gap grows with fact size since distinct-then-count dedupes map-side.
-    The raw estimate values are engine-specific (this detail variant is
-    the pytest surface); the registry entry is the certified projection
-    below."""
+    SINGLE-SCAN shape (r8; the sf100 audit found the previous plan read
+    the 600M-row fact THREE times — one HLL agg + two distinct-then-count
+    branches — and the scans were the dominant cost, 101.5s): one scan
+    explodes each row into (kind=0, l_orderkey) and (kind=1, l_partkey),
+    one map-side-combining distinct dedupes (flag, kind, key), and one
+    tiny aggregate computes BOTH the exact count and the HLL estimate per
+    (flag, kind) before a 12-row pivot back to columns. The HLL estimate
+    over the deduped keys is IDENTICAL to one over the raw rows —
+    register updates are max-based, so duplicates never change the sketch
+    (pin-tested against the three-scan plan in tests/test_setops.py).
+
+    Two earlier shapes, both measured and rejected: countDistinct mixed
+    into the approx agg plans an Expand that replays every fact row once
+    per distinct column (3x shuffle, 2.7s vs 0.8s at sf0.1); and the
+    three-scan join shape this replaces (correct partial-agg behavior,
+    but scan-bound at the third decade). The raw estimate values are
+    engine-specific (this detail variant is the pytest surface); the
+    registry entry is the certified projection below."""
     li = load_table(spark, sf_dir, "lineitem")
-    approx = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.05).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
-    )
-    exact_orders = (
-        li.select("l_returnflag", "l_orderkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("exact_orders"))
-    )
-    exact_parts = (
-        li.select("l_returnflag", "l_partkey")
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("exact_parts"))
-    )
-    return (
-        approx.join(exact_orders, "l_returnflag")
-        .join(exact_parts, "l_returnflag")
-        .select(
-            "l_returnflag",
-            "approx_orders",
-            "exact_orders",
-            "approx_parts",
-            "exact_parts",
+    exploded = li.select(
+        "l_returnflag",
+        F.expr(
+            "explode(array(named_struct('kind', 0, 'k', l_orderkey),"
+            " named_struct('kind', 1, 'k', l_partkey)))"
+        ).alias("__e"),
+    ).select("l_returnflag", F.col("__e.kind").alias("kind"), F.col("__e.k").alias("k"))
+    per_kind = (
+        exploded.distinct()
+        .groupBy("l_returnflag", "kind")
+        .agg(
+            F.count(F.lit(1)).alias("exact"),
+            F.approx_count_distinct("k", 0.05).alias("approx"),
         )
+    )
+    first_if = lambda kind, col: F.first(  # noqa: E731
+        F.when(F.col("kind") == kind, F.col(col)), ignorenulls=True
+    )
+    return per_kind.groupBy("l_returnflag").agg(
+        first_if(0, "approx").alias("approx_orders"),
+        first_if(0, "exact").alias("exact_orders"),
+        first_if(1, "approx").alias("approx_parts"),
+        first_if(1, "exact").alias("exact_parts"),
     )
 
 

@@ -28,6 +28,14 @@ from .base import Query as _q
 N_QUERY_VECS = 5
 TOP_K = 10
 
+#: Corpus rows above which ANN queries switch to Arrow-batched kernels
+#: where one exists (key computation / candidate selection). Both paths
+#: emit identical values by construction; below the line the expression
+#: plans (verified at every sf through sf10) avoid the Arrow pass's fixed
+#: setup cost. sf0.1 = 50k and sf10 = 500k stay on expressions; sf100 =
+#: 5M crosses.
+ARROW_KEYS_MIN_ROWS = 1_000_000
+
 
 def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
@@ -241,6 +249,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_bucket_topk(
         emb, queries, k=TOP_K, dim=EMB_DIM, n_tables=LSH_TABLES,
         bucket_length=LSH_BUCKET_LEN,
+        # keys are bit-identical on both paths (sequential-accumulation
+        # numpy, pin-tested), so this gate is pure economics: the Arrow
+        # pass has a fixed per-query cost that loses at bench scale and
+        # wins ~dim*n_tables interpreted evals per row at the third
+        # decade; <=sf10 keeps the long-verified expression plan
+        arrow_keys=_emb_count(spark, sf_dir) >= ARROW_KEYS_MIN_ROWS,
     )
 
 
@@ -570,6 +584,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, queries, k=TOP_K, m=PQ_M, k_codes=PQ_CODES,
         refine_iterations=0, rerank_factor=PQ_RERANK,
+        # Arrow encode-assign + ADC candidate selection above the line
+        # (values identical by construction; see rp_bucket_topk note)
+        arrow=_emb_count(spark, sf_dir) >= ARROW_KEYS_MIN_ROWS,
     )
 
 

@@ -26,6 +26,50 @@ def test_hll_relative_error_within_bound(spark, sf_smoke):
         assert r.orders_within_bound and r.parts_within_bound
 
 
+def test_single_scan_sketch_plan_matches_three_scan(spark, sf_correctness):
+    """The r8 single-scan shape (explode kinds -> one distinct -> one agg
+    -> pivot) must reproduce the previous three-scan plan EXACTLY — exact
+    counts trivially, and the HLL estimates too, because register updates
+    are max-based so deduped input yields the identical sketch."""
+    from pyspark.sql import functions as F
+
+    from nosql_based_business_intelligence_system_spark.sources.tables import (
+        load_table,
+    )
+
+    got = {
+        r.l_returnflag: (
+            r.approx_orders, r.exact_orders, r.approx_parts, r.exact_parts
+        )
+        for r in distinct_count_sketches_detail(spark, sf_correctness).collect()
+    }
+    li = load_table(spark, sf_correctness, "lineitem")
+    approx = {
+        r.l_returnflag: (r.ao, r.ap)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.05).alias("ao"),
+            F.approx_count_distinct("l_partkey", 0.05).alias("ap"),
+        )
+        .collect()
+    }
+    exact_o = {
+        r.l_returnflag: r.n
+        for r in li.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    exact_p = {
+        r.l_returnflag: r.n
+        for r in li.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {
+        k: (approx[k][0], exact_o[k], approx[k][1], exact_p[k])
+        for k in approx
+    }
+    assert got == want
+
+
 def test_gapfill_months_fills_sparse_series(spark):
     from pyspark.sql import Row
 

@@ -95,6 +95,64 @@ def test_rp_bucket_raises_on_wrong_dim(spark):
     df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0])])
     with pytest.raises(Exception, match="expected dim"):
         similarity.rp_bucket_topk(df, df, k=1, dim=64).collect()
+    with pytest.raises(Exception, match="expected dim"):
+        similarity.rp_bucket_topk(
+            df, df, k=1, dim=64, arrow_keys=True
+        ).collect()
+
+
+def test_rp_bucket_arrow_keys_bit_identical(spark, sf_smoke):
+    """The Arrow key path (sequential-accumulation numpy) must produce
+    BIT-IDENTICAL bucket keys to the fold expression — same IEEE ops in
+    the same left-to-right order, not epsilon-close (a flipped key on a
+    floor boundary silently changes the candidate set and breaks the
+    DuckDB twin). Also pins full end-to-end result equality, floats
+    compared exactly."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 5")
+
+    expr = similarity.rp_bucket_topk(
+        emb, queries, k=10, dim=64, n_tables=8, bucket_length=4.0
+    ).collect()
+    arrow = similarity.rp_bucket_topk(
+        emb, queries, k=10, dim=64, n_tables=8, bucket_length=4.0,
+        arrow_keys=True,
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    e = {key(r): (r.neighbor_id, r.score) for r in expr}
+    a = {key(r): (r.neighbor_id, r.score) for r in arrow}
+    assert e == a
+
+    # planted floor-boundary case: projections land exactly on integer
+    # multiples of bucket_length (+-1 planes, +-0.5/+-1.0 components),
+    # where any accumulation-order drift would flip the floor
+    rows = [
+        Row(vec_id=100 + i, embedding=[0.5 if j % 2 else -0.5
+                                       for j in range(64)])
+        for i in range(4)
+    ] + [
+        Row(vec_id=200 + i, embedding=[1.0] * 64) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    e2 = similarity.rp_bucket_topk(
+        df, df.filter("vec_id < 102"), k=3, dim=64, n_tables=8,
+        bucket_length=4.0,
+    ).collect()
+    a2 = similarity.rp_bucket_topk(
+        df, df.filter("vec_id < 102"), k=3, dim=64, n_tables=8,
+        bucket_length=4.0, arrow_keys=True,
+    ).collect()
+    e2m = {key(r): (r.neighbor_id, r.score) for r in e2}
+    a2m = {key(r): (r.neighbor_id, r.score) for r in a2}
+    assert e2m == a2m and e2m
+
+
+def test_rp_bucket_arrow_keys_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id="a", embedding=[1.0] * 64)]
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        similarity.rp_bucket_topk(df, df, k=1, dim=64, arrow_keys=True)
 
 
 def test_ivf_portable_mode_recall(spark, sf_smoke):
@@ -186,6 +244,43 @@ def test_cosine_pairs_input_cap_raises(spark):
         cosine_pairs(df, threshold=0.9, max_rows=10)
     # within the cap it still works
     assert cosine_pairs(df, threshold=0.99, max_rows=100).count() > 0
+
+
+def test_pq_arrow_path_bit_identical(spark, sf_smoke):
+    """The r8 Arrow splits (encode candidate proposal + ADC per-batch
+    selection) and the two-stage bottom-k codebook seeding must leave
+    every emitted value identical to the expression plan — the exact
+    fold expressions remain the decider on both paths."""
+    emb = load_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    kw = dict(k=10, m=4, k_codes=32, refine_iterations=0, rerank_factor=8)
+    expr = similarity.pq_topk(emb, queries, **kw).collect()
+    arrow = similarity.pq_topk(emb, queries, arrow=True, **kw).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    e = {key(r): (r.neighbor_id, r.score) for r in expr}
+    a = {key(r): (r.neighbor_id, r.score) for r in arrow}
+    assert e == a and e
+
+    # Lloyd-refined trainers (refine_iterations>0) are NOT bit-pinned
+    # across plan shapes: F.avg over members is accumulation-order-
+    # sensitive, so centroids drift at the last ulp whenever the physical
+    # plan changes (measured: 32/32 codebook rows differ at 1 ulp between
+    # the arrow and expression encode plans, while refine=0 — the
+    # registry contract — is exactly equal). The float-trained variant
+    # keeps recall coverage (test_pq_recall_on_fixture); assert here only
+    # that the arrow trainer runs and ranks validly.
+    kw2 = dict(k=5, m=4, k_codes=8, refine_iterations=1, rerank_factor=0)
+    a2 = similarity.pq_topk(emb, queries, arrow=True, **kw2).collect()
+    assert len(a2) == 5 * 5
+    assert all(1 <= r.rank <= 5 for r in a2)
+
+
+def test_pq_arrow_rejects_non_integral_ids(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id="x", embedding=[1.0, 0.0, 0.0, 0.0])]
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        similarity.pq_train_encode(df, m=4, k_codes=2, arrow_assign=True)
 
 
 # --- SemDeDup ----------------------------------------------------------------
