@@ -139,48 +139,47 @@ def distinct_count_sketches_detail(
     return flag: HLL++ (``approx_count_distinct``, mergeable across
     partitions/segments — the 100 TB cardinality path) vs exact.
 
-    SINGLE-SCAN shape (r8; the sf100 audit found the previous plan read
-    the 600M-row fact THREE times — one HLL agg + two distinct-then-count
-    branches — and the scans were the dominant cost, 101.5s): one scan
-    explodes each row into (kind=0, l_orderkey) and (kind=1, l_partkey),
-    one map-side-combining distinct dedupes (flag, kind, key), and one
-    tiny aggregate computes BOTH the exact count and the HLL estimate per
-    (flag, kind) before a 12-row pivot back to columns. The HLL estimate
-    over the deduped keys is IDENTICAL to one over the raw rows —
-    register updates are max-based, so duplicates never change the sketch
-    (pin-tested against the three-scan plan in tests/test_setops.py).
+    FUSED TWO-SCAN shape (r8): each key column gets ONE distinct-then-agg
+    branch computing BOTH its exact count and its HLL estimate from the
+    deduped (flag, key) set — the HLL estimate over deduped keys is
+    IDENTICAL to one over the raw rows, since register updates are
+    max-based and duplicates never change the sketch (pin-tested against
+    the raw-row plan in tests/test_setops.py). This drops the r7 plan's
+    third scan (a separate raw-row approx agg).
 
-    Two earlier shapes, both measured and rejected: countDistinct mixed
-    into the approx agg plans an Expand that replays every fact row once
-    per distinct column (3x shuffle, 2.7s vs 0.8s at sf0.1); and the
-    three-scan join shape this replaces (correct partial-agg behavior,
-    but scan-bound at the third decade). The raw estimate values are
+    Shapes measured at sf100/267 partitions (best-of-2 warm) and
+    rejected: countDistinct mixed into one agg plans an Expand that
+    replays every fact row once per distinct column (3x shuffle, 2.7s vs
+    0.8s at sf0.1); the r7 three-scan join 88.7s; a single-scan explode
+    of both kinds into one distinct 128.1s (halving scans but DOUBLING
+    the rows through the dedup shuffle loses — the exchange, not the
+    scan, is the binding cost); this fused shape 82.1s. The remaining
+    cost is the exact-ground-truth distincts themselves — irreducible
+    while the certified output emits exact counts (a 100 TB deployment
+    reports the mergeable sketch alone). The raw estimate values are
     engine-specific (this detail variant is the pytest surface); the
     registry entry is the certified projection below."""
     li = load_table(spark, sf_dir, "lineitem")
-    exploded = li.select(
-        "l_returnflag",
-        F.expr(
-            "explode(array(named_struct('kind', 0, 'k', l_orderkey),"
-            " named_struct('kind', 1, 'k', l_partkey)))"
-        ).alias("__e"),
-    ).select("l_returnflag", F.col("__e.kind").alias("kind"), F.col("__e.k").alias("k"))
-    per_kind = (
-        exploded.distinct()
-        .groupBy("l_returnflag", "kind")
-        .agg(
-            F.count(F.lit(1)).alias("exact"),
-            F.approx_count_distinct("k", 0.05).alias("approx"),
+
+    def branch(key: str, exact_name: str, approx_name: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", key)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias(exact_name),
+                F.approx_count_distinct(key, 0.05).alias(approx_name),
+            )
         )
-    )
-    first_if = lambda kind, col: F.first(  # noqa: E731
-        F.when(F.col("kind") == kind, F.col(col)), ignorenulls=True
-    )
-    return per_kind.groupBy("l_returnflag").agg(
-        first_if(0, "approx").alias("approx_orders"),
-        first_if(0, "exact").alias("exact_orders"),
-        first_if(1, "approx").alias("approx_parts"),
-        first_if(1, "exact").alias("exact_parts"),
+
+    orders = branch("l_orderkey", "exact_orders", "approx_orders")
+    parts = branch("l_partkey", "exact_parts", "approx_parts")
+    return orders.join(parts, "l_returnflag").select(
+        "l_returnflag",
+        "approx_orders",
+        "exact_orders",
+        "approx_parts",
+        "exact_parts",
     )
 
 
