@@ -277,6 +277,143 @@ def lsh_topk(
     )
 
 
+def _rp_keys_seq(mat, planes, bucket_length: float):
+    """Bucket keys for a (n, dim) float64 matrix by SEQUENTIAL d-loop
+    accumulation — ``acc = acc + v[:, d] * plane[d, :]`` performs the
+    identical IEEE-754 double ops in the identical left-to-right order as
+    the fold expression ``0.0 + v[0]*p0 + v[1]*p1 + ...``, so every
+    projection (and floor key) is bit-identical to the expression plan
+    (a matmul would reassociate the sum and could flip a floor)."""
+    import numpy as np
+
+    acc = np.zeros((mat.shape[0], planes.shape[1]), dtype="float64")
+    for d in range(planes.shape[0]):
+        acc = acc + mat[:, d : d + 1] * planes[d, :]
+    return np.floor(acc / float(bucket_length)).astype("int64")
+
+
+def _rp_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes,
+    k: int,
+    dim: int,
+    n_tables: int,
+    bucket_length: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """One-pass Arrow candidate stage for :func:`rp_bucket_topk` — see
+    its ``arrow_keys`` docstring for semantics and the measured rationale.
+    Returns None past the query broadcast budget (caller falls back)."""
+    import numpy as np
+
+    id_type = dict(corpus.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"rp_bucket_topk(arrow_keys=True) requires an integral id"
+            f" column; got {id_col}: {id_type} — use the expression"
+            " path or map ids to bigint upstream."
+        )
+
+    def _dim_check(vals):
+        bad = [
+            "NULL" if v is None else str(len(v))
+            for v in vals
+            if v is None or len(v) != dim
+        ]
+        if bad:
+            raise ValueError(
+                f"rp_bucket_topk: expected dim={dim}, got {bad[0]}"
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        V.as_double(F.col(vec_col)).alias("qv"),
+    )
+    qrows = q.limit(BF_TOPK_MAX_QUERIES + 1).collect()
+    if len(qrows) > BF_TOPK_MAX_QUERIES:
+        return None
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double, rank bigint"
+        )
+    _dim_check([r["qv"] for r in qrows])
+    qids = np.array([r["query_id"] for r in qrows], dtype="int64")
+    qmat = np.array([r["qv"] for r in qrows], dtype="float64")
+    qkeys = _rp_keys_seq(qmat, planes, bucket_length)  # (nq, n_tables)
+    qn = np.sqrt(np.einsum("ij,ij->i", qmat, qmat))
+    b = spark.sparkContext.broadcast((qids, qmat, qkeys, qn))
+
+    def gen(batches):
+        import pandas as pd
+
+        bqids, bqmat, bqkeys, bqn = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            _dim_check(list(pdf["v"]))
+            a = np.vstack([np.asarray(v, dtype="float64") for v in pdf["v"]])
+            aid = pdf["id"].to_numpy()
+            keys = _rp_keys_seq(a, planes, bucket_length)  # (n, n_tables)
+            # candidate iff ANY table key matches — exactly the bucket
+            # equi-join + distinct of the expression plan
+            cand = (keys[:, None, :] == bqkeys[None, :, :]).any(axis=2)
+            cand &= aid[:, None] != bqids[None, :]  # self-filter
+            an = np.sqrt(np.einsum("ij,ij->i", a, a))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (a @ bqmat.T) / np.outer(an, bqn)
+            s[~cand] = -np.inf
+            nan_mask = np.isnan(s) & cand
+            s_sel = np.where(nan_mask, -np.inf, s)
+            out_q, out_n, out_v = [], [], []
+            for j in range(len(bqids)):
+                col = s_sel[:, j]
+                n_fin = int(np.isfinite(col).sum())
+                if n_fin >= k:
+                    kth = np.partition(col, len(col) - k)[len(col) - k]
+                    keep = np.where(col >= kth - _CAND_EPS)[0]
+                else:
+                    # fewer than k finite candidate scores in this batch:
+                    # keep every candidate (incl. NULL-score ones — the
+                    # expression plan ranks them last rather than
+                    # dropping them)
+                    keep = np.where(cand[:, j])[0]
+                out_q.extend([bqids[j]] * len(keep))
+                out_n.extend(aid[keep].tolist())
+                out_v.extend(a[i].tolist() for i in keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "nv": pd.Series(out_v, dtype=object),
+                }
+            )
+
+    from .partitioning import spread
+
+    cands = (
+        spread(corpus, id_col)
+        .select(
+            F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
+        )
+        .mapInPandas(gen, "query_id long, neighbor_id long, nv array<double>")
+    )
+    rescored = cands.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        V.cosine(F.col("qv"), F.col("nv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def rp_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -314,20 +451,33 @@ def rp_bucket_topk(
     ``bucket_length`` down / ``n_tables`` up for sparser buckets at
     scale.
 
-    ``arrow_keys=True`` computes the SAME keys in one Arrow-batched numpy
-    pass per side — NOT a matmul: a d-indexed loop of vectorized
-    multiply-adds (``acc = acc + v[:, d] * plane[d, :]``) performs the
-    identical IEEE-754 double ops in the identical left-to-right order as
-    the fold, so every projection (and so every floor key) is
-    bit-identical BY CONSTRUCTION, not epsilon-close (pin-tested:
-    tests/test_similarity.py asserts exact key equality both paths).
-    This is the 100 TB corpus-side path: the interpreted fold prices the
-    per-row key stage at ~dim*n_tables CodegenFallback evaluations; the
-    Arrow pass is ~dim vectorized ops per BATCH. Requires an integral id
-    column (ids ride Arrow as int64) — the expression path has no such
-    constraint.
+    ``arrow_keys=True`` replaces the whole candidate stage with ONE
+    Arrow-batched corpus pass (the bf/_bf_topk_cosine_arrow shape): the
+    broadcast query side carries its bucket keys, each corpus batch
+    computes its own keys with a SEQUENTIAL d-loop of vectorized
+    multiply-adds — the identical IEEE-754 op order as the fold
+    expression, so every projection (and floor key) is bit-identical BY
+    CONSTRUCTION, not epsilon-close — masks non-bucket-sharing pairs
+    out, and keeps per query every candidate within _CAND_EPS of the
+    batch's k-th best cosine. The exact fold cosine re-scores survivors
+    and the window ranks them, so output is identical to the expression
+    plan (pin-tested end-to-end, incl. a planted floor-boundary corpus).
+    Why this beats fixing the keys alone: with generous buckets most of
+    the corpus is a candidate, and the expression plan's candidate
+    ``.distinct()`` shuffles two full vectors per candidate row (sf100:
+    ~60s after Arrow keys, ~100s before); the one-pass mask never
+    materializes candidates at all. Requires an integral id column (ids
+    ride Arrow as int64) and collects/broadcasts the query side — past
+    BF_TOPK_MAX_QUERIES rows it falls back to the expression plan.
     """
     planes = sign_planes(seed, dim, n_tables)
+    if arrow_keys:
+        res = _rp_topk_arrow(
+            corpus, queries, planes, k, dim, n_tables, bucket_length,
+            id_col, vec_col,
+        )
+        if res is not None:
+            return res
 
     def _keys(df: DataFrame, idname: str) -> DataFrame:
         v0 = V.as_double(F.col(vec_col))
@@ -359,73 +509,8 @@ def rp_bucket_topk(
             F.explode(F.array(*entries)).alias("tk"),
         ).select(idname, f"{idname[0]}v", "tk.t", "tk.key")
 
-    def _keys_arrow(df: DataFrame, idname: str) -> DataFrame:
-        import numpy as np
-
-        id_type = dict(df.dtypes).get(id_col, "")
-        if id_type not in ("tinyint", "smallint", "int", "bigint"):
-            raise TypeError(
-                f"rp_bucket_topk(arrow_keys=True) requires an integral id"
-                f" column; got {id_col}: {id_type} — use the expression"
-                " path or map ids to bigint upstream."
-            )
-        pl = planes  # (dim, n_tables) float64 of +-1.0
-        bl = float(bucket_length)
-        d_ = dim
-        nt = n_tables
-
-        def gen(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                bad = [
-                    "NULL" if v is None else str(len(v))
-                    for v in pdf["v"]
-                    if v is None or len(v) != d_
-                ]
-                if bad:
-                    raise ValueError(
-                        f"rp_bucket_topk: expected dim={d_}, got {bad[0]}"
-                    )
-                a = np.vstack(
-                    [np.asarray(v, dtype="float64") for v in pdf["v"]]
-                )
-                # SEQUENTIAL accumulation, d left-to-right: each step is
-                # acc + (v_d * p_d) in float64 — the identical IEEE op
-                # sequence as the fold expression, so keys are
-                # bit-identical (a matmul would reassociate the sum)
-                acc = np.zeros((len(a), nt), dtype="float64")
-                for di in range(d_):
-                    acc = acc + a[:, di : di + 1] * pl[di, :]
-                keys = np.floor(acc / bl).astype("int64")
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"].to_numpy(),
-                        "v": pdf["v"],
-                        "keys": pd.Series(
-                            [row.tolist() for row in keys], dtype=object
-                        ),
-                    }
-                )
-
-        out = (
-            df.select(
-                F.col(id_col).alias("id"),
-                V.as_double(F.col(vec_col)).alias("v"),
-            )
-            .mapInPandas(gen, "id long, v array<double>, keys array<bigint>")
-        )
-        return out.select(
-            F.col("id").alias(idname),
-            F.col("v").alias(f"{idname[0]}v"),
-            F.posexplode("keys").alias("t", "key"),
-        )
-
-    keyer = _keys_arrow if arrow_keys else _keys
-    qk = keyer(queries, "query_id")
-    ck = keyer(corpus, "neighbor_id")
+    qk = _keys(queries, "query_id")
+    ck = _keys(corpus, "neighbor_id")
     cand = (
         qk.join(ck, ["t", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -91,13 +91,27 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                 # died) — measuring the dup-heavy edge case, not the scale
                 # path. Replacing every 5th token with a replica-unique
                 # marker touches 3 of every 5 shingle windows, pushing
-                # cross-replica Jaccard to ~0.25 (< the 0.5 threshold)
+                # cross-replica Jaccard to ~0.3 (< the 0.5 threshold)
                 # while organic intra-replica dup structure replicates
                 # linearly. Replica 0 stays byte-identical to the source.
+                #
+                # PROTECTED TOKENS (r8): the source corpus's heavy
+                # hitters clear the Misra-Gries certification support
+                # (count > n/33) by only ~11%, so losing 20% of their
+                # occurrences to markers pushed EVERY common token below
+                # support at any factor — the sf100 token_heavy_hitters
+                # check passed vacuously (0 rows == 0 rows, r7 verdict
+                # item 3). Exempting the top four source tokens (~13% of
+                # all tokens) keeps their relative frequency
+                # replica-invariant — certified heavy at every factor —
+                # while marker density only drops 0.20 -> 0.17
+                # (cross-replica Jaccard ~0.25 -> ~0.3, still far under
+                # the 0.5 LSH threshold).
                 exprs.append(
                     "CASE WHEN r.r = 0 THEN text ELSE "
                     "array_to_string(list_transform(string_split(text, ' '), "
                     "(t, i) -> CASE WHEN (i % 5) = 1 "
+                    "AND t NOT IN ('spark', 'window', 'merge', 'table') "
                     "THEN 'r' || r.r || 'x' || i ELSE t END), ' ') "
                     "END AS text"
                 )
@@ -106,6 +120,7 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                     "CASE WHEN r.r = 0 THEN n_chars ELSE "
                     "length(array_to_string(list_transform(string_split(text, ' '), "
                     "(t, i) -> CASE WHEN (i % 5) = 1 "
+                    "AND t NOT IN ('spark', 'window', 'merge', 'table') "
                     "THEN 'r' || r.r || 'x' || i ELSE t END), ' ')) "
                     "END AS n_chars"
                 )
