@@ -1270,6 +1270,7 @@ def pq_train_encode(
     vec_col: str = "embedding",
     refine_iterations: int = 2,
     arrow_assign: bool = False,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization codebooks + corpus codes (Jegou et al. 2011,
     "Product Quantization for Nearest Neighbor Search").
@@ -1480,6 +1481,17 @@ def pq_train_encode(
             ).alias("codes")
         )
     )
+    if materialize:
+        # Build-once/search-many split (the FAISS shape, same as the IVF
+        # index cache): eagerly checkpoint the narrow outputs and RELEASE
+        # the fat subvector table — without this every pq_topk call
+        # leaves another persisted copy of ``sub`` in the CacheManager
+        # (strong driver-side refs; free_blocks can't reclaim them), and
+        # an in-session repeat re-trains from scratch. Deterministic
+        # frames, so staging never changes results.
+        codes = codes.localCheckpoint(eager=True)
+        codebooks = codebooks.localCheckpoint(eager=True)
+        sub.unpersist()
     return codes, codebooks
 
 
@@ -1580,6 +1592,7 @@ def pq_topk(
     refine_iterations: int = 2,
     rerank_factor: int = 0,
     arrow: bool = False,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ-ADC top-k: score = sum over subspaces of dot(query subvector,
     codeword centroid) — a lookup-table approximation of the cosine on
@@ -1610,10 +1623,15 @@ def pq_topk(
     the exact expressions as the decider, so emitted values are
     identical (pin-tested).
     """
-    codes, codebooks = pq_train_encode(
-        corpus, m, k_codes, id_col, vec_col, refine_iterations,
-        arrow_assign=arrow,
-    )
+    if index is not None:
+        # prebuilt (codes, codebooks) — the build-once/search-many split;
+        # caller owns parameter consistency (m/k_codes must match)
+        codes, codebooks = index
+    else:
+        codes, codebooks = pq_train_encode(
+            corpus, m, k_codes, id_col, vec_col, refine_iterations,
+            arrow_assign=arrow,
+        )
     qsub = _pq_subvectors(queries, m, id_col, vec_col)
     # (query, j, code) -> dot(q_j, centroid); flattened to qtab[j*k + code]
     # Map, not flat array: Lloyd steps can empty a code cluster, leaving

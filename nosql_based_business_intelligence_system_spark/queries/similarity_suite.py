@@ -581,12 +581,28 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the m-byte code column."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    arrow = _emb_count(spark, sf_dir) >= ARROW_KEYS_MIN_ROWS
+    # Build-once/search-many: the trained+encoded corpus is a pure
+    # function of (corpus, m, k_codes, md5 seed policy); staging it in
+    # the bounded index cache skips the train/encode jobs on repeat
+    # searches AND releases the fat subvector persist (r8: a cold
+    # in-session run after storage-heavy queries paid 207s re-training
+    # at sf100 under block-manager pressure; the staged index pays once).
+    index = _MODEL_CACHE.get_or_build(
+        spark,
+        (sf_dir, "pq", PQ_M, PQ_CODES, arrow),
+        lambda: similarity.pq_train_encode(
+            emb, PQ_M, PQ_CODES, refine_iterations=0,
+            arrow_assign=arrow, materialize=True,
+        ),
+    )
     return similarity.pq_topk(
         emb, queries, k=TOP_K, m=PQ_M, k_codes=PQ_CODES,
         refine_iterations=0, rerank_factor=PQ_RERANK,
-        # Arrow encode-assign + ADC candidate selection above the line
-        # (values identical by construction; see rp_bucket_topk note)
-        arrow=_emb_count(spark, sf_dir) >= ARROW_KEYS_MIN_ROWS,
+        # Arrow ADC candidate selection above the line (values identical
+        # by construction; see rp_bucket_topk note)
+        arrow=arrow,
+        index=index,
     )
 
 
