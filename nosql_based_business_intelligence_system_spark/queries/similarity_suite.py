@@ -99,7 +99,12 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 neighbors for the first 5 vectors (by id)."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    return similarity.brute_force_topk(emb, queries, k=TOP_K, dim=EMB_DIM)
+    return similarity.brute_force_topk(
+        emb, queries, k=TOP_K, dim=EMB_DIM,
+        # expression plan below the line (Arrow's fixed cost loses at
+        # bench scale: r7 bench +29% was this, directive 6), Arrow above
+        arrow=_emb_count(spark, sf_dir) >= ARROW_KEYS_MIN_ROWS,
+    )
 
 
 _Q = V.dd_vec("q.embedding")
