@@ -48,11 +48,26 @@ def token_bigrams(toks: Column) -> Column:
 
 
 def doc_lm_scores(
-    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    shuffle_hash_joins: bool = False,
 ) -> DataFrame:
     """(id, n_bigrams, cross_entropy, perplexity) under the corpus's own
     add-one bigram model. Lower = more typical of the corpus; documents
     with fewer than two tokens carry NULL scores (no bigrams to average).
+
+    ``shuffle_hash_joins`` is the third-decade lever (suite-gated on
+    corpus size): statically the count tables are aggregates over a
+    checkpoint with no usable size statistic, so the planner picks
+    SortMergeJoin and SORTS the corpus-scaled bigram relation twice (once
+    per scoring join) — measured at sf100 (265M bigram rows): 82.5s ->
+    61.7s with the hints, values identical. At bench scale the hint
+    instead BLOCKS AQE's runtime broadcast conversion (sf0.1: 1.33 ->
+    1.50s), so it stays off below the gate. A hint, not a forced
+    broadcast: count tables are vocabulary-scaled, and a real web
+    corpus's bigram table can outgrow any broadcast budget while a
+    per-partition hash build side scales with the partition count.
     """
     from .partitioning import spread
 
@@ -82,9 +97,13 @@ def doc_lm_scores(
     )
 
     logp = F.log(F.col("cb") + F.lit(1.0)) - F.log(F.col("cp") + F.col("v"))
+    uni_prev = uni.withColumnRenamed("w", "prev")
+    if shuffle_hash_joins:  # see docstring: the third-decade join shape
+        big = big.hint("shuffle_hash")
+        uni_prev = uni_prev.hint("shuffle_hash")
     scored = (
         pairs.join(big, ["prev", "cur"], "left")
-        .join(uni.withColumnRenamed("w", "prev"), ["prev"], "left")
+        .join(uni_prev, ["prev"], "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

@@ -24,6 +24,20 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+#: Corpus rows above which text queries switch on third-decade join/plan
+#: levers (mirrors similarity_suite.ARROW_KEYS_MIN_ROWS — sf10's 500k
+#: docs keep the verified small-scale plans, sf100's 5M cross).
+TEXT_SCALE_MIN_DOCS = 1_000_000
+
+_DOCS_COUNT_CACHE = SessionCache("docs-count", capacity=8, holds_storage=False)
+
+
+def _docs_count(spark, sf_dir) -> int:
+    return _DOCS_COUNT_CACHE.get_or_build(
+        spark, (sf_dir,), lambda: _docs(spark, sf_dir).count()
+    )
+
+
 # --- per-doc text statistics -------------------------------------------------
 
 
@@ -1438,7 +1452,14 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram model (operators/lm.py) — the perplexity-filter signal of web
     curation pipelines, bootstrapped without an external model. Rounded to
     6 decimals on both engines (libm vs JVM log ulp drift)."""
-    return lm.doc_lm_scores(_docs(spark, sf_dir))
+    return lm.doc_lm_scores(
+        _docs(spark, sf_dir),
+        # above the line: shuffle_hash the count-table joins (sf100:
+        # 82.5 -> 61.7s, the double sort of 265M bigram rows); below:
+        # let AQE broadcast-convert at runtime (hinting costs +13% at
+        # bench scale). See lm.doc_lm_scores docstring.
+        shuffle_hash_joins=_docs_count(spark, sf_dir) >= TEXT_SCALE_MIN_DOCS,
+    )
 
 
 DOC_LM_PERPLEXITY_SQL = f"""WITH toks AS (
