@@ -61,6 +61,34 @@ def mg_fold(
     return counters
 
 
+def mg_merge_counts(
+    counters: dict[str, int], counts, k: int
+) -> dict[str, int]:
+    """Merge an EXACT batch summary (a pandas ``value_counts``) into a
+    Misra-Gries summary under the mergeable-summaries rule: sum counters
+    per item, then subtract the (k+1)-th largest combined value and drop
+    non-positives (Agarwal et al. 2012 — the merge of two summaries with
+    errors e1, e2 over streams n1, n2 keeps error ≤ (n1+n2)/(k+1); an
+    exact value_counts is an error-0 summary, so folding batch counts
+    this way preserves the full MG guarantee: every item with true
+    frequency > n/(k+1) survives, and counts are never overestimated).
+
+    This is the VECTORIZED batch path: pandas counts occurrences (C
+    speed), Python touches one entry per DISTINCT item per batch — the
+    per-occurrence ``mg_fold`` loop priced the sf100 sketch pass at
+    ~108s for 270M tokens (r8 measurement; the dict loop was the whole
+    cost). Estimates differ from the sequential fold (both are valid MG
+    summaries; the certified registry output never emits them), the
+    guarantee does not.
+    """
+    for it, c in counts.items():
+        counters[it] = counters.get(it, 0) + int(c)
+    if len(counters) > k:
+        sub = sorted(counters.values(), reverse=True)[k]
+        counters = {i: v - sub for i, v in counters.items() if v > sub}
+    return counters
+
+
 def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     """(item, est_count, err_bound, n_total) — every item with true
     frequency > ``n_total/(k+1)`` is present; its true count lies in
@@ -76,15 +104,11 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = 0
-
-        def stream():
-            nonlocal n
-            for b in batches:
-                col = b["__item"].dropna()
-                n += len(col)
-                yield from col
-
-        counters = mg_summary(stream(), k)
+        counters: dict[str, int] = {}
+        for b in batches:
+            col = b["__item"].dropna()
+            n += len(col)
+            counters = mg_merge_counts(counters, col.value_counts(), k)
         # one reserved row carries the partition's item count (the bound
         # needs the GLOBAL n; \x00 can't collide with real tokens)
         yield pd.DataFrame(
