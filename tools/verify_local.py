@@ -215,9 +215,18 @@ def main() -> int:
         # localCheckpoint blocks of every checkpointing query until the
         # Python DataFrame refs are collected — observed 41 GB of
         # block-manager spill and a transient disk-full that failed two
-        # queries. Dropping refs eagerly lets Spark's ContextCleaner
-        # release the blocks between queries.
-        gc.collect()
+        # queries (and again at r8: three dedup self-joins hit ENOSPC
+        # when their shuffle scratch landed on top of 100 queries'
+        # lingering blocks). gc.collect alone drops the py4j refs but the
+        # ContextCleaner frees blocks via WEAK references the JVM only
+        # notices on a JVM GC — under a barely-pressured 48g heap that
+        # can be never. free_blocks = gc.collect + System.gc (the same
+        # between-passes hygiene bench.py uses).
+        from nosql_based_business_intelligence_system_spark.caching import (
+            free_blocks,
+        )
+
+        free_blocks(spark)
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
