@@ -95,23 +95,27 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                 # while organic intra-replica dup structure replicates
                 # linearly. Replica 0 stays byte-identical to the source.
                 #
-                # PROTECTED TOKENS (r8): the source corpus's heavy
+                # PROTECTED TOKEN (r8): the source corpus's heavy
                 # hitters clear the Misra-Gries certification support
                 # (count > n/33) by only ~11%, so losing 20% of their
                 # occurrences to markers pushed EVERY common token below
                 # support at any factor — the sf100 token_heavy_hitters
                 # check passed vacuously (0 rows == 0 rows, r7 verdict
-                # item 3). Exempting the top four source tokens (~13% of
-                # all tokens) keeps their relative frequency
-                # replica-invariant — certified heavy at every factor —
-                # while marker density only drops 0.20 -> 0.17
-                # (cross-replica Jaccard ~0.25 -> ~0.3, still far under
-                # the 0.5 LSH threshold).
+                # item 3). Exempting the single highest-margin source
+                # token keeps its relative frequency replica-invariant —
+                # certified heavy at every factor. Exactly ONE token, not
+                # the top four: every protected occurrence makes its
+                # surrounding trigram shingles IDENTICAL across replicas,
+                # and a four-token exemption (~13% of tokens) inflated
+                # the sf10 trigram-join candidate volume 2.7e9 -> 3.9e9
+                # pairs (+45%), pushing the dedup trio's pair shuffle
+                # past this box's scratch disk (measured ENOSPC). One
+                # token (~3.4%) keeps the volume near the r7 level while
+                # still de-vacuifying the heavy-hitter check.
                 exprs.append(
                     "CASE WHEN r.r = 0 THEN text ELSE "
                     "array_to_string(list_transform(string_split(text, ' '), "
-                    "(t, i) -> CASE WHEN (i % 5) = 1 "
-                    "AND t NOT IN ('spark', 'window', 'merge', 'table') "
+                    "(t, i) -> CASE WHEN (i % 5) = 1 AND t <> 'merge' "
                     "THEN 'r' || r.r || 'x' || i ELSE t END), ' ') "
                     "END AS text"
                 )
@@ -119,8 +123,7 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                 exprs.append(
                     "CASE WHEN r.r = 0 THEN n_chars ELSE "
                     "length(array_to_string(list_transform(string_split(text, ' '), "
-                    "(t, i) -> CASE WHEN (i % 5) = 1 "
-                    "AND t NOT IN ('spark', 'window', 'merge', 'table') "
+                    "(t, i) -> CASE WHEN (i % 5) = 1 AND t <> 'merge' "
                     "THEN 'r' || r.r || 'x' || i ELSE t END), ' ')) "
                     "END AS n_chars"
                 )
