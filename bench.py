@@ -39,7 +39,10 @@ HEADLINE = (
     "large_volume_customers",     # Q18 HAVING + join-back
     "monthly_revenue_running",    # window: running/lag
     "revenue_trailing_7d",        # window: time-range frame
-    "dedup_minhash",              # banded MinHash-LSH dedup
+    "dedup_minhash_guarded",      # banded MinHash-LSH dedup (100 TB contract:
+                                  # bucket-size cap; r9 swap — the legacy
+                                  # unguarded entry is quadratic-candidate-
+                                  # infeasible at sf100, PLANS.md r7 hazard 1)
     "dedup_exact_summary",        # hash-agg exact dedup
     "ann_bruteforce_topk",        # ANN exact baseline
     "ann_ivf_topk",               # ANN IVF cell-probe path

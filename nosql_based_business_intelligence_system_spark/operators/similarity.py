@@ -118,9 +118,11 @@ def _bf_topk_cosine_arrow(
     the BYTECODE INTERPRETER (~5.7us/pair — 57s for 10M pairs at sf100).
     Here each Arrow batch scores against the broadcast query matrix with
     one numpy matmul and keeps, per query, every row within 1e-9 of the
-    batch's k-th best (self-matches forced to -inf, NaN scores kept only
-    when the batch has fewer than k finite candidates — mirroring the
-    expression path, where NULL scores sort last under ``desc``). The
+    batch's k-th best (self-matches forced to -inf; NULL-vector rows —
+    NULL score, ranked LAST under ``desc`` on the expression path — kept
+    only when the batch has fewer than k finite candidates; non-NULL
+    rows with a NaN COMPONENT — NaN score, which Spark orders LARGER
+    than any value, so ranked FIRST — always kept). The
     matmul only SELECTS candidates: survivors (~batches x |Q| x k rows)
     are re-scored with the same fold/unrolled expressions as the
     expression path — identical doubles, so ranking and the oracle hash
@@ -167,19 +169,36 @@ def _bf_topk_cosine_arrow(
             ]
             a = np.vstack(vals)
             aid = pdf["id"].to_numpy()
+            # non-NULL vectors CONTAINING a NaN component score NaN on the
+            # expression path too — and Spark orders NaN LARGER than any
+            # value, so `desc` ranks them FIRST (rank 1), unlike NULL
+            # vectors whose NULL score ranks last. Force-keep them as
+            # candidates; the exact rescore re-derives the NaN score and
+            # the window reproduces Spark's NaN-first ordering (ADVICE r8).
+            # The flag must ride ALONGSIDE the vector: the pandas->Arrow
+            # boundary masks NaN elements inside the emitted list to null
+            # (from_pandas semantics), so a re-emitted NaN-bearing vector
+            # would rescore to NULL (ranked last) — the flag lets the
+            # rescore re-create the NaN score as a literal instead.
+            comp_nan = np.isnan(a).any(axis=1) & ~np.array(
+                [v is None for v in pdf["v"]], dtype=bool
+            )
             an = np.sqrt(np.einsum("ij,ij->i", a, a))
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = (a @ bqmat.T) / np.outer(an, bqn)
             s[aid[:, None] == bqids[None, :]] = -np.inf  # self-matches
             nan_mask = np.isnan(s)
             s_sel = np.where(nan_mask, -np.inf, s)
-            out_q, out_n, out_v = [], [], []
+            out_q, out_n, out_v, out_h = [], [], [], []
             for j in range(len(bqids)):
                 col = s_sel[:, j]
                 n_fin = int(np.isfinite(col).sum())
                 if n_fin >= k:
                     kth = np.partition(col, len(col) - k)[len(col) - k]
-                    keep = np.where(col >= kth - _CAND_EPS)[0]
+                    keep = np.where(
+                        (col >= kth - _CAND_EPS)
+                        | (comp_nan & (aid != bqids[j]))
+                    )[0]
                 else:
                     # fewer than k finite scores in this batch: keep every
                     # non-self row (incl. NULL-score ones — the expression
@@ -194,11 +213,13 @@ def _bf_topk_cosine_arrow(
                     None if pdf["v"].iloc[i] is None else a[i].tolist()
                     for i in keep
                 )
+                out_h.extend(bool(comp_nan[i]) for i in keep)
             yield pd.DataFrame(
                 {
                     "query_id": pd.Series(out_q, dtype="int64"),
                     "neighbor_id": pd.Series(out_n, dtype="int64"),
                     "cv": pd.Series(out_v, dtype=object),
+                    "had_nan": pd.Series(out_h, dtype=bool),
                 }
             )
 
@@ -209,17 +230,29 @@ def _bf_topk_cosine_arrow(
         .select(
             F.col(id_col).alias("id"), V.as_double(F.col(vec_col)).alias("v")
         )
-        .mapInPandas(gen, "query_id long, neighbor_id long, cv array<double>")
+        .mapInPandas(
+            gen,
+            "query_id long, neighbor_id long, cv array<double>,"
+            " had_nan boolean",
+        )
     )
     # exact rescoring: the SAME expressions (and dim arguments) the
-    # expression path uses, on the tiny survivor set
+    # expression path uses, on the tiny survivor set. had_nan rows get a
+    # LITERAL NaN — exactly the value the expression path computes for a
+    # NaN-component vector (NaN/NaN) — because their re-emitted vector
+    # lost its NaN to the Arrow null mask and would rescore to NULL.
     rescored = (
         cands.join(F.broadcast(q), "query_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cn", V.norm("cv", dim))
     )
     d = F.col("qn") * F.col("cn")
-    score = F.when(d > 0, V.dot("qv", "cv", dim) / d)
+    # qn-null guard: a NULL query vector makes d NULL on the expression
+    # path (NULL * NaN = NULL -> score NULL, ranked last) even against a
+    # NaN-component corpus row, so the literal only fires when qn exists.
+    score = F.when(
+        F.col("had_nan") & F.col("qn").isNotNull(), F.lit(float("nan"))
+    ).otherwise(F.when(d > 0, V.dot("qv", "cv", dim) / d))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
@@ -308,23 +341,21 @@ def _rp_topk_arrow(
     planes,
     k: int,
     dim: int,
-    n_tables: int,
     bucket_length: float,
     id_col: str,
     vec_col: str,
 ) -> DataFrame | None:
     """One-pass Arrow candidate stage for :func:`rp_bucket_topk` — see
     its ``arrow_keys`` docstring for semantics and the measured rationale.
-    Returns None past the query broadcast budget (caller falls back)."""
+    Returns None when it declines — query side past the broadcast budget,
+    or a non-integral id column (ids ride Arrow as int64; ADVICE r8:
+    decline like the budget path instead of hard-failing, so string-id
+    callers get the expression plan rather than a TypeError)."""
     import numpy as np
 
     id_type = dict(corpus.dtypes).get(id_col, "")
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
-        raise TypeError(
-            f"rp_bucket_topk(arrow_keys=True) requires an integral id"
-            f" column; got {id_col}: {id_type} — use the expression"
-            " path or map ids to bigint upstream."
-        )
+        return None  # expression plan handles arbitrary id types
 
     def _dim_check(vals):
         bad = [
@@ -472,6 +503,12 @@ def rp_bucket_topk(
     batch's k-th best cosine. The exact fold cosine re-scores survivors
     and the window ranks them, so output is identical to the expression
     plan (pin-tested end-to-end, incl. a planted floor-boundary corpus).
+    NaN COMPONENTS are out-of-contract for this operator (unlike
+    brute_force_topk, which reproduces Spark's NaN-first ranking): a NaN
+    projection's bucket key is engine-undefined on BOTH plans — Java
+    ``floor(NaN)`` casts to 0 while numpy ``astype('int64')`` of NaN is
+    INT64_MIN — so there is no single candidate set to preserve.
+    Validate or impute NaN-bearing vectors upstream.
     Why this beats fixing the keys alone: with generous buckets most of
     the corpus is a candidate, and the expression plan's candidate
     ``.distinct()`` shuffles two full vectors per candidate row (sf100:
@@ -483,8 +520,7 @@ def rp_bucket_topk(
     planes = sign_planes(seed, dim, n_tables)
     if arrow_keys:
         res = _rp_topk_arrow(
-            corpus, queries, planes, k, dim, n_tables, bucket_length,
-            id_col, vec_col,
+            corpus, queries, planes, k, dim, bucket_length, id_col, vec_col,
         )
         if res is not None:
             return res

@@ -99,7 +99,12 @@ def autosize_shuffle_partitions(spark: SparkSession, sf_dir: str) -> int | None:
                         total += os.path.getsize(os.path.join(root, fname))
         except OSError:
             total = 0
-        _SF_BYTES[sf_dir] = total
+        # Memoize only non-empty walks: a not-yet-generated sf_dir (or a
+        # transient walk error) must not pin the dir to the core count for
+        # the process lifetime — fixtures generated later in the same
+        # process re-walk and get the proportional sizing (ADVICE r8).
+        if total:
+            _SF_BYTES[sf_dir] = total
     n = max(
         default_parallelism(),
         min(MAX_AUTO_SHUFFLE_PARTITIONS, total // AUTO_PARTITION_BYTES),

@@ -27,10 +27,14 @@ def test_hll_relative_error_within_bound(spark, sf_smoke):
 
 
 def test_single_scan_sketch_plan_matches_three_scan(spark, sf_correctness):
-    """The r8 single-scan shape (explode kinds -> one distinct -> one agg
-    -> pivot) must reproduce the previous three-scan plan EXACTLY — exact
+    """The shipped r8 FUSED TWO-SCAN shape (per key column: one dedup of
+    (l_returnflag, key), then exact count + HLL from that same deduped
+    set) must reproduce the previous three-scan plan EXACTLY — exact
     counts trivially, and the HLL estimates too, because register updates
-    are max-based so deduped input yields the identical sketch."""
+    are max-based so deduped input yields the identical sketch. (The
+    single-scan explode->distinct->pivot variant was A/B'd and REJECTED —
+    128.1s at sf100; doubling dedup-shuffle rows loses to halving scans —
+    see the distinct_count_sketches docstring / PLANS.md r8.)"""
     from pyspark.sql import functions as F
 
     from nosql_based_business_intelligence_system_spark.sources.tables import (

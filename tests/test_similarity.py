@@ -147,12 +147,51 @@ def test_rp_bucket_arrow_keys_bit_identical(spark, sf_smoke):
     assert e2m == a2m and e2m
 
 
-def test_rp_bucket_arrow_keys_rejects_non_integral_ids(spark):
-    df = spark.createDataFrame(
-        [Row(vec_id="a", embedding=[1.0] * 64)]
-    )
-    with pytest.raises(TypeError, match="integral id"):
-        similarity.rp_bucket_topk(df, df, k=1, dim=64, arrow_keys=True)
+def test_rp_bucket_arrow_keys_falls_back_on_non_integral_ids(spark):
+    """String ids can't ride the Arrow int64 contract; arrow_keys=True
+    must DECLINE to the expression plan (same stance as the query-budget
+    overflow path, ADVICE r8), not hard-fail."""
+    rows = [
+        Row(vec_id=f"id{i}", embedding=[float((i * 7 + j) % 5 - 2)
+                                        for j in range(64)])
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows)
+    expr = similarity.rp_bucket_topk(
+        df, df, k=3, dim=64, bucket_length=4.0
+    ).collect()
+    arrow = similarity.rp_bucket_topk(
+        df, df, k=3, dim=64, bucket_length=4.0, arrow_keys=True
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert {key(r): (r.neighbor_id, r.score) for r in arrow} == {
+        key(r): (r.neighbor_id, r.score) for r in expr
+    }
+
+
+def test_brute_force_arrow_nan_component_parity(spark):
+    """A non-NULL corpus vector CONTAINING a NaN component scores NaN on
+    the expression path, and Spark orders NaN larger than any value — so
+    `desc` ranks it FIRST. The Arrow selection must force-keep such rows
+    as candidates (ADVICE r8: it used to map them to -inf and drop them
+    whenever a batch had >=k finite candidates) so both plans agree."""
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 3 + j) % 7 - 3)
+                                 for j in range(8)])
+        for i in range(20)
+    ] + [Row(vec_id=99, embedding=[float("nan")] + [1.0] * 7)]
+    df = spark.createDataFrame(rows)
+    q = df.filter("vec_id = 0")
+    expr = similarity.brute_force_topk(df, q, k=3, dim=8, arrow=False)
+    arrow = similarity.brute_force_topk(df, q, k=3, dim=8, arrow=True)
+    e = sorted(expr.collect(), key=lambda r: r.rank)
+    a = sorted(arrow.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in e] == [r.neighbor_id for r in a]
+    # NaN score sorts first under desc on BOTH plans
+    assert e[0].neighbor_id == 99 and math.isnan(e[0].score)
+    assert math.isnan(a[0].score)
+    for re_, ra in zip(e[1:], a[1:]):
+        assert re_.score == ra.score
 
 
 def test_ivf_portable_mode_recall(spark, sf_smoke):

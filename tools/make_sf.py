@@ -57,6 +57,58 @@ SPACES = {
 }
 
 
+#: Required headroom of the protected token's count over the Misra-Gries
+#: certification support (n/33): its relative frequency is replica-invariant
+#: by construction, so clearing support in the SOURCE with this margin means
+#: it stays certified-heavy at every factor.
+PROTECT_MARGIN = 1.05
+
+
+def protected_token(con: duckdb.DuckDBPyConnection, src: str) -> str:
+    """Derive the replica-exempt heavy-hitter token from the SOURCE corpus.
+
+    r8 hardcoded 'merge' while the comment claimed "the single
+    highest-margin source token" — on the shipped sf0.1 corpus 'merge' is
+    actually 3rd (9157 occurrences vs 'spark' 9182), and nothing checked
+    it at all, so a different src corpus would silently re-vacuify the
+    sf100 token_heavy_hitters check (0 rows == 0 rows — the exact r7
+    failure the protection exists to fix; ADVICE r9). Now: take the top
+    token by count (tok as deterministic tie-break) and FAIL LOUDLY if
+    even that one doesn't clear MG support (n/33) with margin — a corpus
+    with no protectable heavy hitter cannot produce a non-vacuous
+    heavy-hitter check at any factor, and the generator must say so
+    instead of building a fixture that fakes a pass.
+    """
+    tok, c, n = con.execute(
+        f"""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS tok
+          FROM read_parquet('{src}/documents.parquet')
+        )
+        SELECT tok, COUNT(*) AS c, (SELECT COUNT(*) FROM toks) AS n
+        FROM toks GROUP BY tok ORDER BY c DESC, tok LIMIT 1
+        """
+    ).fetchone()
+    support = n / 33.0
+    if c <= support * PROTECT_MARGIN:
+        raise SystemExit(
+            f"make_sf: top source token {tok!r} has {c} occurrences but the "
+            f"Misra-Gries certification support is n/33 = {support:.0f} "
+            f"(margin {PROTECT_MARGIN}x required). No protectable heavy "
+            "hitter exists, so the scaled token_heavy_hitters check would "
+            "be VACUOUS (0 rows == 0 rows). Use a source corpus with a "
+            "genuine heavy hitter."
+        )
+    if "'" in tok or " " in tok:
+        raise SystemExit(f"make_sf: unquotable protected token {tok!r}")
+    print(
+        f"make_sf: protected token {tok!r} ({c} occurrences, "
+        f"support n/33 = {support:.0f}, margin {c / support:.2f}x)",
+        file=sys.stderr,
+    )
+    return tok
+
+
 def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -> None:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -66,6 +118,7 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
         ).fetchone()[0]
         for space, (tbl, col) in SPACES.items()
     }
+    prot = protected_token(con, src)
     for t in TABLES:
         src_sql = f"read_parquet('{src}/{t}.parquet')"
         if t not in KEYED:  # shared dimension leaves
@@ -95,27 +148,29 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                 # while organic intra-replica dup structure replicates
                 # linearly. Replica 0 stays byte-identical to the source.
                 #
-                # PROTECTED TOKEN (r8): the source corpus's heavy
-                # hitters clear the Misra-Gries certification support
+                # PROTECTED TOKEN (r8, derivation r9): the source corpus's
+                # heavy hitters clear the Misra-Gries certification support
                 # (count > n/33) by only ~11%, so losing 20% of their
                 # occurrences to markers pushed EVERY common token below
                 # support at any factor — the sf100 token_heavy_hitters
                 # check passed vacuously (0 rows == 0 rows, r7 verdict
-                # item 3). Exempting the single highest-margin source
-                # token keeps its relative frequency replica-invariant —
-                # certified heavy at every factor. Exactly ONE token, not
-                # the top four: every protected occurrence makes its
-                # surrounding trigram shingles IDENTICAL across replicas,
-                # and a four-token exemption (~13% of tokens) inflated
-                # the sf10 trigram-join candidate volume 2.7e9 -> 3.9e9
-                # pairs (+45%), pushing the dedup trio's pair shuffle
-                # past this box's scratch disk (measured ENOSPC). One
-                # token (~3.4%) keeps the volume near the r7 level while
-                # still de-vacuifying the heavy-hitter check.
+                # item 3). Exempting the top-count source token (derived +
+                # support-asserted in protected_token(), no longer a
+                # hardcoded literal) keeps its relative frequency
+                # replica-invariant — certified heavy at every factor.
+                # Exactly ONE token, not the top four: every protected
+                # occurrence makes its surrounding trigram shingles
+                # IDENTICAL across replicas, and a four-token exemption
+                # (~13% of tokens) inflated the sf10 trigram-join
+                # candidate volume 2.7e9 -> 3.9e9 pairs (+45%), pushing
+                # the dedup trio's pair shuffle past this box's scratch
+                # disk (measured ENOSPC). One token (~3.4%) keeps the
+                # volume near the r7 level while still de-vacuifying the
+                # heavy-hitter check.
                 exprs.append(
                     "CASE WHEN r.r = 0 THEN text ELSE "
                     "array_to_string(list_transform(string_split(text, ' '), "
-                    "(t, i) -> CASE WHEN (i % 5) = 1 AND t <> 'merge' "
+                    f"(t, i) -> CASE WHEN (i % 5) = 1 AND t <> '{prot}' "
                     "THEN 'r' || r.r || 'x' || i ELSE t END), ' ') "
                     "END AS text"
                 )
@@ -123,7 +178,7 @@ def make_sf(out_dir: str, factor: int = 10, src: str = "/root/testdata/sf0.1") -
                 exprs.append(
                     "CASE WHEN r.r = 0 THEN n_chars ELSE "
                     "length(array_to_string(list_transform(string_split(text, ' '), "
-                    "(t, i) -> CASE WHEN (i % 5) = 1 AND t <> 'merge' "
+                    f"(t, i) -> CASE WHEN (i % 5) = 1 AND t <> '{prot}' "
                     "THEN 'r' || r.r || 'x' || i ELSE t END), ' ')) "
                     "END AS n_chars"
                 )
