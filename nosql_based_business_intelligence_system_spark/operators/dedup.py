@@ -27,6 +27,95 @@ from ..functions import text as T
 from .partitioning import spread
 
 
+class PairExplosionError(RuntimeError):
+    """A candidate-pair stage would exceed the scratch-disk budget.
+
+    Raised BEFORE the pair shuffle launches, with the estimate and the cap
+    lever in the message — the clean-error replacement for the mid-job
+    ENOSPC class (r8: the dedup trio's trigram join on a 4-protected-token
+    fixture filled the box's scratch disk hours into a campaign; r9
+    verdict directive 4)."""
+
+
+#: Conservative serialized bytes per candidate-pair shuffle row. Two 8-byte
+#: ids is the uncompressed minimum; real shuffles add framing but also
+#: lz4-compress and partial-aggregate, so this is deliberately the LOW end —
+#: the guard is a BLAST detector (order-of-magnitude admission check, e.g.
+#: the unguarded sf100 MinHash's 6.26e9 candidates = ~100 GB at this width),
+#: not a precise spill model. Calibration: sf10's measured-green trigram
+#: stage (2.7e9 pairs -> ~43 GB at this width) must PASS on a ~75 GB-free
+#: box, the sf100 blast must FAIL.
+PAIR_ROW_WIDTH = 16
+
+
+def _pair_disk_budget(spark) -> int:
+    """Scratch-disk byte budget for one candidate-pair stage: the env
+    override ``SPARK_GRAFT_PAIR_DISK_BUDGET`` (bytes), else the free space
+    on the Spark local (shuffle/spill) directory."""
+    import os
+    import shutil
+
+    env = os.environ.get("SPARK_GRAFT_PAIR_DISK_BUDGET")
+    if env:
+        return int(env)
+    local = (
+        os.environ.get("SPARK_LOCAL_DIRS", "").split(",")[0]
+        or spark.conf.get("spark.local.dir", None)
+        or None
+    )
+    import tempfile
+
+    return shutil.disk_usage(local or tempfile.gettempdir()).free
+
+
+def pair_disk_guard(
+    keyed: DataFrame,
+    key_cols: list[str],
+    lever: str,
+    budget_bytes: int | None = None,
+    row_width: int = PAIR_ROW_WIDTH,
+    max_bucket: int | None = None,
+) -> int:
+    """Estimate the candidate-pair volume a bucketed self-join would emit
+    and fail fast when it exceeds the scratch-disk budget.
+
+    One cheap narrow aggregate (groupBy the bucket key -> count -> sum of
+    d*(d-1)/2) — the same arithmetic the sf-ladder analyses do by hand —
+    priced BEFORE the pair explode launches, so a degenerate corpus (one
+    boilerplate shingle shared by 100k docs = 5e9 pairs from a single
+    bucket) dies with a clear error naming the cap ``lever`` instead of
+    filling the disk mid-job. ``max_bucket`` mirrors an active cap: only
+    buckets the operator will actually pair are counted. Returns the byte
+    estimate. Runs as its own job; call on a persisted/checkpointed frame
+    so the keyed lineage isn't recomputed for the guard.
+    """
+    sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("d"))
+    if max_bucket is not None:
+        sizes = sizes.filter(F.col("d") <= max_bucket)
+    row = sizes.agg(
+        F.coalesce(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)
+        ).alias("pairs"),
+        F.coalesce(F.max("d"), F.lit(0)).alias("biggest"),
+    ).first()
+    est = int(row["pairs"] * row_width)
+    budget = (
+        budget_bytes
+        if budget_bytes is not None
+        else _pair_disk_budget(keyed.sparkSession)
+    )
+    if est > budget:
+        raise PairExplosionError(
+            f"candidate-pair stage would emit ~{int(row['pairs']):,} pairs "
+            f"(~{est / 1e9:.1f} GB at {row_width} B/row) against a "
+            f"{budget / 1e9:.1f} GB scratch-disk budget; largest bucket = "
+            f"{int(row['biggest']):,} docs. Cap bucket size with "
+            f"`{lever}` (a bucket of B docs is B*(B-1)/2 pairs), or raise "
+            "SPARK_GRAFT_PAIR_DISK_BUDGET if the disk can take it."
+        )
+    return est
+
+
 def _sh(df: DataFrame) -> DataFrame:
     """shuffle_hash join hint for data-scaled join sides.
 
@@ -115,6 +204,8 @@ def shingle_doc_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_docs_per_shingle: int | None = None,
+    disk_guard: bool = False,
+    pair_disk_budget: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) for every pair sharing >=1 n-word shingle.
 
@@ -127,6 +218,10 @@ def shingle_doc_pairs(
     materialize-before-self-join pattern, ~24 bytes/shingle cached.
     ``max_docs_per_shingle`` drops degenerate ultra-common shingles before
     the join — the standard skew guard for this operator at scale.
+    ``disk_guard`` prices the pair volume against the scratch-disk budget
+    before the self-join launches (:func:`pair_disk_guard`) — one extra
+    narrow aggregate over the persisted shingle rows, so engage it at
+    scale, not on sub-second fixtures.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -138,6 +233,10 @@ def shingle_doc_pairs(
             .drop("df_")
         )
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if disk_guard:
+        pair_disk_guard(
+            sh, ["shingle"], "max_docs_per_shingle", pair_disk_budget
+        )
     a = _sh(sh.alias("a"))
     b = _sh(sh.alias("b"))
     return (
@@ -167,15 +266,21 @@ def ngram_jaccard_dupes(
     n: int = 3,
     threshold: float = 0.5,
     max_docs_per_shingle: int | None = None,
+    disk_guard: bool = False,
+    pair_disk_budget: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at/above a Jaccard threshold, deterministic
     order. ``max_docs_per_shingle`` engages shingle_doc_pairs' skew
     guard — REQUIRED at scale: one boilerplate shingle shared by d docs
     alone generates d^2/2 candidate pairs (a 10k-doc shingle is 50M
     pairs; measured 63 GB of partial-aggregate spill at sf10 without
-    the guard)."""
+    the guard). ``disk_guard``/``pair_disk_budget`` fail fast on a
+    pair-volume blast (see :func:`pair_disk_guard`)."""
     return (
-        shingle_doc_pairs(df, content_col, id_col, n, max_docs_per_shingle)
+        shingle_doc_pairs(
+            df, content_col, id_col, n, max_docs_per_shingle,
+            disk_guard=disk_guard, pair_disk_budget=pair_disk_budget,
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -334,6 +439,8 @@ def minhash_lsh_dupes(
     seed: int = 42,
     signatures: DataFrame | None = None,
     max_docs_per_band_key: int | None = None,
+    disk_guard: bool = False,
+    pair_disk_budget: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH fuzzy dedup, native DataFrame ops end to end:
     signature -> band keys (hash of each r-row signature slice) -> candidate
@@ -415,6 +522,16 @@ def minhash_lsh_dupes(
         # 64-struct explode evaluates twice (~4s/side at sf10)
         .localCheckpoint(eager=False)
     )
+    if disk_guard:
+        # priced on the checkpointed banded rows (the guard's aggregate
+        # doubles as the checkpoint's materializing action); with an
+        # active cap only the buckets that will actually pair count —
+        # the sf100 unguarded blast (6.26e9 candidates, ~300 GB shuffle)
+        # dies HERE with the cap lever named, not mid-join on ENOSPC
+        pair_disk_guard(
+            banded, ["band", "key"], "max_docs_per_band_key",
+            pair_disk_budget, max_bucket=max_docs_per_band_key,
+        )
     a, b = _sh(banded.alias("a")), _sh(banded.alias("b"))
     # Candidate volume, not per-stage machinery, is this operator's cost:
     # at r=2 every pair of docs with baseline Jaccard s collides per band

@@ -38,6 +38,19 @@ def _docs_count(spark, sf_dir) -> int:
     )
 
 
+#: Corpus rows above which pair-generating dedup queries price their
+#: candidate volume against the scratch disk before the pair stage launches
+#: (operators/dedup.pair_disk_guard). Lower than TEXT_SCALE_MIN_DOCS on
+#: purpose: the r8 ENOSPC blast happened at sf10 (500k docs), and the
+#: guard's one narrow aggregate is noise at that scale — only the
+#: sub-second bench fixtures (<=50k docs) skip it.
+PAIR_GUARD_MIN_DOCS = 100_000
+
+
+def _pair_guard_on(spark, sf_dir) -> bool:
+    return _docs_count(spark, sf_dir) >= PAIR_GUARD_MIN_DOCS
+
+
 # --- per-doc text statistics -------------------------------------------------
 
 
@@ -234,7 +247,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with trigram-shingle Jaccard >= 0.5 (shingle-key join,
     never O(n^2)); oracle recomputes the identical pipeline in SQL."""
     return dedup.ngram_jaccard_dupes(
-        _docs(spark, sf_dir), n=3, threshold=0.5
+        _docs(spark, sf_dir), n=3, threshold=0.5,
+        disk_guard=_pair_guard_on(spark, sf_dir),
     )
 
 
@@ -259,7 +273,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     .connected_components) -> per-cluster member count. The oracle proves
     the iterative Spark algorithm against a recursive SQL closure
     (DuckDB WITH RECURSIVE)."""
-    pairs = dedup.ngram_jaccard_dupes(_docs(spark, sf_dir), n=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_dupes(
+        _docs(spark, sf_dir), n=3, threshold=0.5,
+        disk_guard=_pair_guard_on(spark, sf_dir),
+    )
     cc = dedup.connected_components(pairs)
     return cc.groupBy(F.col("comp").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members")
@@ -304,7 +321,9 @@ def dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.dedup_connected_keep_min). The downstream \"write the cleaned
     corpus\" step of a training-data pipeline, fully oracle-checked."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.ngram_jaccard_dupes(docs, n=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_dupes(
+        docs, n=3, threshold=0.5, disk_guard=_pair_guard_on(spark, sf_dir)
+    )
     return dedup.dedup_connected_keep_min(pairs, docs.select("doc_id")).select(
         "doc_id"
     )
@@ -588,7 +607,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=False),
     )
     return dedup.minhash_lsh_dupes(
-        _docs(spark, sf_dir), jaccard_threshold=0.5, signatures=sig
+        _docs(spark, sf_dir), jaccard_threshold=0.5, signatures=sig,
+        disk_guard=_pair_guard_on(spark, sf_dir),
     ).select("doc_a", "doc_b", "est_jaccard")
 
 
@@ -624,6 +644,7 @@ def dedup_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5,
         signatures=sig,
         max_docs_per_band_key=50,
+        disk_guard=_pair_guard_on(spark, sf_dir),
     ).select("doc_a", "doc_b", "est_jaccard")
 
 
@@ -1513,15 +1534,46 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     check is therefore a live test of the sketch, not a bypass of it.
     (est_count itself is partitioning-defined and stays out of the
     output; the estimate-bound properties are pytest-asserted in
-    tests/test_heavyhitters.py. At 100 TB the exact_count pass becomes a
-    targeted filtered groupBy on the <=k survivors, not a full scan.)"""
+    tests/test_heavyhitters.py.)
+
+    TARGETED EXACT SECOND PASS (r9, gated >= TEXT_SCALE_MIN_DOCS): below
+    the gate, one lazy plan computes the exact counts as a full-domain
+    groupBy — fine when the domain is small, and it keeps the verified
+    sf0.01/sf0.1 plan byte-for-byte. Above it, the full-domain shuffle IS
+    the cost (sf100's marker-injected corpus has ~48M distinct tokens for
+    270M occurrences; r8 measured 92.0s): instead, run the sketch job
+    first, collect its <=k survivor rows (bounded by construction — the
+    merge keeps at most k counters), and make the exact pass
+    ``filter(tok IN survivors) -> groupBy`` — tokens are discarded
+    MAP-SIDE by a codegen IN-list, so the shuffle carries at most
+    k * n_partitions partial rows instead of the domain. Every truly
+    heavy token is in the survivor set (the MG guarantee), so the
+    certified output — and the oracle hash — is unchanged; the join
+    against the collected sketch (rebuilt as a literal frame, not
+    recomputed) still drops any row the sketch missed."""
     toks = _docs(spark, sf_dir).select(
         F.explode(T.tokens(F.col("text"))).alias("tok")
     )
     sketch = heavyhitters.mg_heavy_hitters(toks, "tok", k=MG_K)
-    exact = toks.groupBy(F.col("tok").alias("item")).agg(
-        F.count(F.lit(1)).alias("exact_count")
-    )
+    if _docs_count(spark, sf_dir) >= TEXT_SCALE_MIN_DOCS:
+        rows = sketch.collect()  # <= MG_K rows by construction
+        if not rows:
+            return spark.createDataFrame(
+                [], "item string, exact_count bigint, n_total bigint"
+            )
+        sketch = spark.createDataFrame(
+            [(r.item, r.n_total) for r in rows], "item string, n_total long"
+        )
+        survivors = F.col("tok").isin([r.item for r in rows])
+        exact = (
+            toks.filter(survivors)
+            .groupBy(F.col("tok").alias("item"))
+            .agg(F.count(F.lit(1)).alias("exact_count"))
+        )
+    else:
+        exact = toks.groupBy(F.col("tok").alias("item")).agg(
+            F.count(F.lit(1)).alias("exact_count")
+        )
     certified = sketch.join(exact, "item").filter(
         F.col("exact_count") * (MG_K + 1) > F.col("n_total")
     )

@@ -71,3 +71,24 @@ def test_bounds_hold_under_repartitioning(spark):
         for item, r in out.items():
             assert r.est_count <= exact[item]
             assert exact[item] - r.est_count <= r.err_bound
+
+
+def test_targeted_exact_pass_matches_full_domain(spark, sf_correctness, monkeypatch):
+    """The r9 scale lever — collect the <=k sketch survivors and run the
+    exact pass as filter(IN survivors) -> groupBy — must emit EXACTLY the
+    full-domain plan's certified rows: every truly heavy token is in the
+    survivor set by the MG guarantee, so the map-side IN-list discards
+    only tokens that could never certify."""
+    from nosql_based_business_intelligence_system_spark.queries import text_suite
+
+    full = {
+        (r.item, r.exact_count, r.n_total)
+        for r in text_suite.token_heavy_hitters(spark, sf_correctness).collect()
+    }
+    monkeypatch.setattr(text_suite, "TEXT_SCALE_MIN_DOCS", 0)
+    # gate now active at fixture scale -> targeted path
+    targeted = {
+        (r.item, r.exact_count, r.n_total)
+        for r in text_suite.token_heavy_hitters(spark, sf_correctness).collect()
+    }
+    assert targeted == full and full

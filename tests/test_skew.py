@@ -241,3 +241,62 @@ def test_minhash_band_key_guard_caps_giant_buckets(spark):
     cur = con.execute(_dd_minhash_sql(max_docs_per_band_key=10))
     want = {(a, b) for a, b, _ in cur.fetchall()}
     assert {(a, b) for a, b in g} == want
+
+
+def test_pair_disk_guard_fires_on_blast_corpus(spark):
+    """A corpus where every doc shares one boilerplate shingle is the
+    ENOSPC class: d docs in one bucket = d*(d-1)/2 pairs. The guard must
+    price that BEFORE the self-join and raise a clear error naming the
+    cap lever — 200 docs sharing a trigram = 19,900 pairs, priced over a
+    deliberately tiny 1 KB budget."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the quick fox jumps " + f"tail{i}")
+         for i in range(200)]
+    )
+    with pytest.raises(
+        dedup.PairExplosionError, match="max_docs_per_shingle"
+    ):
+        dedup.ngram_jaccard_dupes(
+            docs, n=3, threshold=0.5, disk_guard=True, pair_disk_budget=1024
+        ).count()
+    # minhash flavor: exact-duplicate texts collide in every band bucket
+    dupes = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta")
+         for i in range(100)]
+    )
+    with pytest.raises(
+        dedup.PairExplosionError, match="max_docs_per_band_key"
+    ):
+        dedup.minhash_lsh_dupes(
+            dupes, jaccard_threshold=0.5, disk_guard=True,
+            pair_disk_budget=1024,
+        ).count()
+
+
+def test_pair_disk_guard_noop_on_fixture(spark, sf_correctness):
+    """On the real fixtures the guard must be a pure no-op: default
+    budget (free scratch disk), same rows as the unguarded plan, and the
+    byte estimate far under budget. Also pins that an ACTIVE bucket cap
+    shrinks the estimate (only pair-eligible buckets are priced)."""
+    from nosql_based_business_intelligence_system_spark.queries import text_suite
+
+    docs = text_suite._docs(spark, sf_correctness)
+    plain = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_dupes(docs, n=3, threshold=0.5).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_dupes(
+            docs, n=3, threshold=0.5, disk_guard=True
+        ).collect()
+    }
+    assert guarded == plain and plain
+    sh = dedup.shingle_rows(docs, "text", "doc_id", 3)
+    est_all = dedup.pair_disk_guard(sh, ["shingle"], "max_docs_per_shingle")
+    est_capped = dedup.pair_disk_guard(
+        sh, ["shingle"], "max_docs_per_shingle", max_bucket=2
+    )
+    assert 0 < est_capped < est_all
