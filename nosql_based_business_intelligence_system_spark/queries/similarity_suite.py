@@ -630,8 +630,10 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "ann_bruteforce_topk": _q(ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL),
-    "ann_pq_topk": _q(ann_pq_topk, _dd_pq_topk_sql()),
+    "ann_bruteforce_topk": _q(
+        ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL, sample_col="query_id"
+    ),
+    "ann_pq_topk": _q(ann_pq_topk, _dd_pq_topk_sql(), sample_col="query_id"),
     "semantic_dedup_survivors": _q(
         semantic_dedup_survivors, _dd_semantic_dedup_sql()
     ),
@@ -639,11 +641,13 @@ QUERIES = {
     "dedup_embedding_cosine": _q(
         dedup_embedding_cosine, _dd_embedding_cosine_sql()
     ),
-    "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),
+    "ann_nearest_same_label": _q(
+        ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL, sample_col="query_id"
+    ),
     "embedding_norm_stats": _q(embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
     "embedding_component_stats": _q(
         embedding_component_stats, EMBEDDING_COMPONENT_STATS_SQL
     ),
-    "ann_lsh_topk": _q(ann_lsh_topk, _dd_rp_topk_sql()),
-    "ann_ivf_topk": _q(ann_ivf_topk, _dd_ivf_topk_sql()),
+    "ann_lsh_topk": _q(ann_lsh_topk, _dd_rp_topk_sql(), sample_col="query_id"),
+    "ann_ivf_topk": _q(ann_ivf_topk, _dd_ivf_topk_sql(), sample_col="query_id"),
 }

@@ -1621,10 +1621,14 @@ QUERIES = {
     "doc_fingerprints": _q(doc_fingerprints, DOC_FINGERPRINTS_SQL),
     "dedup_exact_summary": _q(dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
     "dedup_exact_keep": _q(dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
-    "dedup_ngram_jaccard": _q(dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL),
+    "dedup_ngram_jaccard": _q(
+        dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, sample_col="doc_a"
+    ),
     "dedup_fuzzy_keep": _q(dedup_fuzzy_keep, DEDUP_FUZZY_KEEP_SQL),
     "dedup_clusters": _q(dedup_clusters, DEDUP_CLUSTERS_SQL),
-    "dedup_cross_corpus": _q(dedup_cross_corpus, DEDUP_CROSS_CORPUS_SQL),
+    "dedup_cross_corpus": _q(
+        dedup_cross_corpus, DEDUP_CROSS_CORPUS_SQL, sample_col="new_doc"
+    ),
     "span_dedup_docs": _q(span_dedup_docs, SPAN_DEDUP_DOCS_SQL),
     "span_dedup_stats": _q(span_dedup_stats, SPAN_DEDUP_STATS_SQL),
     "doc_chunks": _q(doc_chunks, _doc_chunks_sql()),
@@ -1634,10 +1638,12 @@ QUERIES = {
     "dsir_selected_docs": _q(dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
     "bpe_vocab": _q(bpe_vocab, None),
     "bpe_token_counts": _q(bpe_token_counts, None),
-    "dedup_minhash": _q(dedup_minhash, _dd_minhash_sql()),
+    "dedup_minhash": _q(dedup_minhash, _dd_minhash_sql(), sample_col="doc_a"),
     "dedup_minhash_guarded": _q(
-        dedup_minhash_guarded, _dd_minhash_sql(max_docs_per_band_key=50)
+        dedup_minhash_guarded,
+        _dd_minhash_sql(max_docs_per_band_key=50),
+        sample_col="doc_a",
     ),
-    "dedup_simhash": _q(dedup_simhash, _dd_simhash_sql()),
+    "dedup_simhash": _q(dedup_simhash, _dd_simhash_sql(), sample_col="doc_a"),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
 }

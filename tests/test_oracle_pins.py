@@ -116,3 +116,64 @@ def test_twin_matches_under_hostile_splits(spark, sf_smoke, name):
     cur = con.execute(q.oracle)
     want = _table(cur.fetchall(), [d[0] for d in cur.description])
     assert got == want
+
+
+def _load_verify_local():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "verify_local",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "verify_local.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sampled_twin_is_exact_subset_and_cross_engine_green(spark, sf_smoke):
+    """The sampled big-scale twin (tools/verify_local --sample=N) must be
+    SOUND: (a) the Spark-side wrapper selects exactly the md5-prefix
+    subset of the full output — no row added, none lost — and (b) the
+    sampled outputs still hash identically across engines. Pinned on a
+    pair-list query (the shape the mechanism exists for: the id filter
+    pushes down one side of the quadratic DuckDB join at sf100)."""
+    import hashlib
+
+    import duckdb
+
+    vl = _load_verify_local()
+    name = "dedup_ngram_jaccard"
+    q = QUERIES[name]
+    sq = vl._sampled(q, 1)
+    assert sq is not None, f"{name} lost its sample_col"
+
+    full = q.fn(spark, sf_smoke)
+    full_rows = _table([tuple(r) for r in full.collect()], full.columns)
+    samp = sq.fn(spark, sf_smoke)
+    samp_rows = _table([tuple(r) for r in samp.collect()], samp.columns)
+
+    # (a) exact subset: python-side md5 replay over the full output
+    idx = sorted(full.columns).index(q.sample_col)
+    want = [
+        r
+        for r in full_rows
+        if hashlib.md5(str(r[idx]).encode()).hexdigest().startswith("0")
+    ]
+    assert samp_rows == want
+    assert 0 < len(samp_rows) < len(full_rows)  # non-vacuous, non-total
+
+    # (b) cross-engine: sampled DuckDB twin returns the same table
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_smoke}/{t}.parquet')"
+        )
+    cur = con.execute(sq.oracle)
+    cols = [d[0] for d in cur.description]
+    assert sorted(samp.columns) == sorted(cols)
+    assert _table(cur.fetchall(), cols) == samp_rows

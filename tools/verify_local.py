@@ -6,7 +6,13 @@ then compares row count, column names, and an order-insensitive value hash
 (floats at full precision; ``--sig6`` for the loose diagnostic mode).
 Queries without an oracle get a rows-only report.
 
-Usage: python tools/verify_local.py [--sig6] [--determinism] [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--sig6] [--determinism] [--sample=N]
+           [--spark-only=F | --oracle-only=F] [sf_dir] [query ...]
+
+``--sample=N`` runs the SAMPLED big-scale twin (see ``_sampled``): both
+engines keep only output rows whose md5(sample_col) starts with N zero hex
+chars, making quadratic twins affordable at sf100. Only queries that
+declare ``Query.sample_col`` participate; the rest are skipped.
 """
 
 from __future__ import annotations
@@ -62,6 +68,48 @@ def table_digest(rows, colnames) -> tuple[int, str]:
     return len(rows), h.hexdigest()[:16]
 
 
+def _sampled(q, n: int):
+    """Wrap a Query's two sides with the deterministic md5-bucket sample:
+    keep only output rows whose md5(CAST(sample_col AS VARCHAR)) starts
+    with ``n`` zero hex chars (a 16^-n fraction). Returns None when the
+    query declares no ``sample_col``.
+
+    Soundness: both engines compute the SAME filter over the SAME full
+    output, so sampled-output equality is implied by full-output equality
+    — a strictly weaker but still cross-engine check. The point is
+    affordability: for pair/top-k twins the id filter pushes down one
+    side of the quadratic join in DuckDB (the output id is a passthrough
+    of a base-table/materialized-CTE column), cutting the candidate
+    explosion by the sample factor, which is what makes a third-decade
+    (sf100) twin of e.g. the banded-MinHash pair list runnable at all
+    (PLANS.md: full shingle twins cost ~18 min already at sf10)."""
+    import dataclasses
+
+    if q.sample_col is None:
+        return None
+    zeros = "0" * n
+    c = q.sample_col
+
+    def sampled_fn(spark, sf_dir, _fn=q.fn, _c=c, _z=zeros, _n=n):
+        from pyspark.sql import functions as F
+
+        df = _fn(spark, sf_dir)
+        # md5 over the UTF-8 bytes of the id's decimal/string form —
+        # byte-identical to DuckDB's md5(CAST(c AS VARCHAR)).
+        return df.filter(
+            F.substring(
+                F.md5(F.encode(F.col(_c).cast("string"), "UTF-8")), 1, _n
+            )
+            == _z
+        )
+
+    oracle = q.oracle and (
+        f"SELECT * FROM ({q.oracle}) WHERE"
+        f" substr(md5(CAST({c} AS VARCHAR)), 1, {n}) = '{zeros}'"
+    )
+    return dataclasses.replace(q, fn=sampled_fn, oracle=oracle)
+
+
 def _write_json_atomic(path: str, obj) -> None:
     """tmp+rename so a kill mid-write can't leave a truncated recording."""
     import json
@@ -83,6 +131,7 @@ def main() -> int:
     # in a JVM-free process (whole-box memory, whole-disk spill) and
     # compares against F.
     spark_only = oracle_only = None
+    sample_n = None
     flag_args = []
     for a in sys.argv[1:]:
         if a.startswith("--spark-only="):
@@ -91,6 +140,15 @@ def main() -> int:
         elif a.startswith("--oracle-only="):
             oracle_only = a.split("=", 1)[1]
             flag_args.append(a)
+        elif a.startswith("--sample="):
+            sample_n = int(a.split("=", 1)[1])
+            flag_args.append(a)
+    if sample_n:
+        print(
+            f"SAMPLED mode: md5-prefix {'0' * sample_n} (16^-{sample_n} of"
+            " output rows) on each query's declared sample_col; queries"
+            " without one are skipped"
+        )
     args = [
         a
         for a in sys.argv[1:]
@@ -150,12 +208,27 @@ def main() -> int:
         for name, q in QUERIES.items():
             if only and name not in only:
                 continue
+            if sample_n:
+                sq = _sampled(q, sample_n)
+                if sq is None:
+                    print(f"skip  {name}: --sample set but no sample_col")
+                    continue
+                q = sq
             rec = recorded.get(name)
             if q.oracle is None:
                 rows_only_skipped.append(name)
                 continue
             if rec is None:
                 print(f"FAIL  {name}: oracle-bearing query has no recording")
+                failures.append(name)
+                continue
+            if rec.get("sample") != sample_n:
+                # a full recording must never green a sampled compare (or
+                # vice versa) — the two hash different row sets
+                print(
+                    f"FAIL  {name}: recording sample={rec.get('sample')}"
+                    f" does not match --sample={sample_n}"
+                )
                 failures.append(name)
                 continue
             t0 = time.time()
@@ -211,6 +284,12 @@ def main() -> int:
     for name, q in QUERIES.items():
         if only and name not in only:
             continue
+        if sample_n:
+            sq = _sampled(q, sample_n)
+            if sq is None:
+                print(f"skip  {name}: --sample set but no sample_col")
+                continue
+            q = sq
         # Long full-registry sessions (sf10: 2h+) accumulate the
         # localCheckpoint blocks of every checkpointing query until the
         # Python DataFrame refs are collected — observed 41 GB of
@@ -255,6 +334,7 @@ def main() -> int:
                         "rows": sn_probe,
                         "hash": None,
                         "cols": scols,
+                        "sample": sample_n,
                     }
                     _write_json_atomic(spark_only, spark_results)
                     print(
@@ -300,7 +380,12 @@ def main() -> int:
             failures.append(name)
             continue
         if spark_only:
-            spark_results[name] = {"rows": sn, "hash": sh, "cols": scols}
+            spark_results[name] = {
+                "rows": sn,
+                "hash": sh,
+                "cols": scols,
+                "sample": sample_n,
+            }
             # persist incrementally so a crash keeps completed entries
             _write_json_atomic(spark_only, spark_results)
             print(f"spark {name}: {sn} rows h={sh} [{time.time()-t0:.1f}s]")
