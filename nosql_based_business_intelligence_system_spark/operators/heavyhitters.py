@@ -14,8 +14,9 @@ summaries" — the merged sketch keeps the same bound for the combined
 stream). Every item with true frequency > n/(k+1) is guaranteed to
 survive; counts are never overestimated.
 
-Spark shape: one Arrow-batched ``mapInPandas`` pass builds per-partition
-summaries (narrow, no shuffle; counter dict capped at k entries), then ONE
+Spark shape: one ``mapInArrow`` pass builds per-partition summaries
+(narrow, no shuffle; pyarrow C++ value_counts per batch, one grouped
+reduce per partition, state capped near k entries), then ONE
 grouped sum over at most ``n_partitions * k`` sketch rows plus a k+1-row
 correction aggregate. The shuffle carries the sketch, not the domain.
 """
@@ -23,8 +24,6 @@ correction aggregate. The shuffle carries the sketch, not the domain.
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
-
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -61,32 +60,12 @@ def mg_fold(
     return counters
 
 
-def mg_merge_counts(
-    counters: dict[str, int], counts, k: int
-) -> dict[str, int]:
-    """Merge an EXACT batch summary (a pandas ``value_counts``) into a
-    Misra-Gries summary under the mergeable-summaries rule: sum counters
-    per item, then subtract the (k+1)-th largest combined value and drop
-    non-positives (Agarwal et al. 2012 — the merge of two summaries with
-    errors e1, e2 over streams n1, n2 keeps error ≤ (n1+n2)/(k+1); an
-    exact value_counts is an error-0 summary, so folding batch counts
-    this way preserves the full MG guarantee: every item with true
-    frequency > n/(k+1) survives, and counts are never overestimated).
-
-    This is the VECTORIZED batch path: pandas counts occurrences (C
-    speed), Python touches one entry per DISTINCT item per batch — the
-    per-occurrence ``mg_fold`` loop priced the sf100 sketch pass at
-    ~108s for 270M tokens (r8 measurement; the dict loop was the whole
-    cost). Estimates differ from the sequential fold (both are valid MG
-    summaries; the certified registry output never emits them), the
-    guarantee does not.
-    """
-    for it, c in counts.items():
-        counters[it] = counters.get(it, 0) + int(c)
-    if len(counters) > k:
-        sub = sorted(counters.values(), reverse=True)[k]
-        counters = {i: v - sub for i, v in counters.items() if v > sub}
-    return counters
+#: Per-partition memory bound for the Arrow partials: whenever the
+#: accumulated value_counts chunks pass this many distinct items, they are
+#: merged and capped to k early (a valid MG merge), so a partition's
+#: in-flight state never exceeds ~this many (item, count) Arrow cells no
+#: matter how wide the domain is.
+_PARTIAL_CAP_ROWS = 2_000_000
 
 
 def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
@@ -102,27 +81,92 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partials(batches) -> "Iterator":
+        # ARROW-NATIVE partials (r9): the r8 pandas path still built one
+        # Python string object per token at the Arrow->pandas boundary
+        # and merged per-batch counts through a Python dict — measured
+        # ~62s for the 270M-token sf100 sketch pass, where the identical
+        # logic in pyarrow C++ (value_counts per batch, one grouped
+        # reduce per partition) runs in ~40s, i.e. at the Arrow-transfer
+        # floor. Correctness is the same mergeable-summaries argument as
+        # before, one level up: each batch's value_counts is an ERROR-0
+        # summary; summing chunks and subtracting the (k+1)-th largest
+        # (_reduce_cap) is the Agarwal merge, and applying it
+        # periodically (whenever the accumulated distinct items pass the
+        # memory bound) is a sequence of such merges, which keeps the
+        # global n/(k+1) bound. Estimates may differ from the per-batch
+        # fold (both are valid MG summaries); the guarantee — every item
+        # with true frequency > n/(k+1) survives, never overestimated —
+        # does not, and the bound tests assert it under both shapes.
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def _reduce_cap(parts: list, cap: int):
+            vals = pa.chunked_array([p.field("values") for p in parts])
+            cnts = pa.chunked_array([p.field("counts") for p in parts])
+            t = (
+                pa.table({"item": vals, "c": cnts})
+                .group_by("item")
+                .aggregate([("c", "sum")])
+            )
+            c = t.column("c_sum").to_numpy(zero_copy_only=False)
+            if len(c) > cap:
+                kth = np.partition(c, -(cap + 1))[-(cap + 1)]
+                keep = c > kth
+                t = t.filter(pa.array(keep))
+                c = c[keep] - kth
+            return pa.StructArray.from_arrays(
+                [
+                    t.column("item").combine_chunks().cast(pa.string()),
+                    pa.array(c, type=pa.int64()),
+                ],
+                names=["values", "counts"],
+            )
+
         n = 0
-        counters: dict[str, int] = {}
+        chunks: list = []
+        acc_rows = 0
         for b in batches:
-            col = b["__item"].dropna()
+            col = b.column(0).drop_null()
             n += len(col)
-            counters = mg_merge_counts(counters, col.value_counts(), k)
+            vc = pc.value_counts(col)
+            chunks.append(vc)
+            acc_rows += len(vc)
+            if acc_rows > _PARTIAL_CAP_ROWS:
+                chunks = [_reduce_cap(chunks, k)]
+                acc_rows = len(chunks[0])
+        counters = _reduce_cap(chunks, k) if chunks else None
+        items = (
+            counters.field("values").to_pylist() if counters is not None else []
+        )
+        counts = (
+            counters.field("counts").to_pylist() if counters is not None else []
+        )
         # one reserved row carries the partition's item count (the bound
         # needs the GLOBAL n; \x00 can't collide with real tokens)
-        yield pd.DataFrame(
-            {
-                "item": list(counters) + ["\x00__n__"],
-                "c": list(counters.values()) + [n],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(items + ["\x00__n__"], type=pa.string()),
+                pa.array(counts + [n], type=pa.int64()),
+            ],
+            names=["item", "c"],
         )
 
     from .partitioning import spread
 
-    rows = spread(df.select(F.col(item_col).alias("__item"))).mapInPandas(
+    rows = spread(df.select(F.col(item_col).alias("__item"))).mapInArrow(
         partials, "item string, c long"
     )
+    # Pin the partials to EXACTLY ONE execution. The three consumers below
+    # (merged output, the kth broadcast subquery, the n_total broadcast
+    # subquery) share this subtree, but AQE's exchange reuse does not
+    # extend across broadcast-subquery stage boundaries — measured at
+    # sf100: the 270M-token map stage executed TWICE per collect (64
+    # partition executions for 32 partitions), doubling the whole query.
+    # The checkpoint is ≤ (k+1) rows per partition — KBs — so pinning it
+    # is free, and lineage truncation makes every branch read the blocks.
+    rows = rows.localCheckpoint(eager=False)
     summed = rows.groupBy("item").agg(F.sum("c").alias("c"))
     totals = summed.filter(F.col("item") == "\x00__n__").select(
         F.col("c").alias("n_total")
