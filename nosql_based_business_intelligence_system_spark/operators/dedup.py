@@ -722,6 +722,7 @@ def simhash_dupes(
     content_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
+    disk_guard: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 60-bit fingerprints, banded by 15-bit chunks
     so candidate pairs share at least one exact band (pigeonhole: any pair
@@ -729,8 +730,17 @@ def simhash_dupes(
     recall, standard SimHash practice). Every stage is engine-portable,
     so the registry entry is fully oracle-checked against a generated
     DuckDB twin.
+
+    ``disk_guard`` prices the banded candidate volume before the self-join
+    launches (:func:`pair_disk_guard`) — SimHash was the one pair
+    generator without it, and its 15-bit band space saturates: 5M docs /
+    32,768 buckets x 4 bands averages ~600 docs per bucket, ~6e9
+    candidate pairs at sf100 — the same blast class the r8 ENOSPC came
+    from, now a clear fail-fast naming the lever instead.
     """
     fp = simhash_fingerprints(df, content_col, id_col)
+    if disk_guard:
+        fp = fp.localCheckpoint(eager=False)
     bands = fp.select(
         "doc",
         "fp",
@@ -748,6 +758,12 @@ def simhash_dupes(
             )
         ).alias("bk"),
     ).select("doc", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if disk_guard:
+        pair_disk_guard(
+            bands,
+            ["band", "key"],
+            lever="a band-key bucket cap for simhash_dupes",
+        )
     a, b = _sh(bands.alias("a")), _sh(bands.alias("b"))
     cand = (
         a.join(

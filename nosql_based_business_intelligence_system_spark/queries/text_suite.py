@@ -728,7 +728,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, fully oracle-checked: 60-bit fingerprints
     over the portable md5 base hash, 15-bit band pigeonhole, bit_count
     Hamming — all reproduced by the generated DuckDB twin."""
-    return dedup.simhash_dupes(_docs(spark, sf_dir), max_hamming=3)
+    return dedup.simhash_dupes(
+        _docs(spark, sf_dir), max_hamming=3,
+        disk_guard=_pair_guard_on(spark, sf_dir),
+    )
 
 
 def _dd_simhash_sql(max_hamming: int = 3) -> str:
