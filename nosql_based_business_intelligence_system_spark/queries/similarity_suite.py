@@ -630,10 +630,13 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
-    "ann_bruteforce_topk": _q(
-        ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL, sample_col="query_id"
-    ),
-    "ann_pq_topk": _q(ann_pq_topk, _dd_pq_topk_sql(), sample_col="query_id"),
+    # NOTE: no sample_col on the ANN entries — their query set is
+    # N_QUERY_VECS=5 ids (an output sample selects ~none, a vacuous 0=0
+    # compare) and their twin cost is CORPUS-side (PQ encode replay),
+    # which an output-id filter cannot prune. Their sf100 twins run FULL
+    # (r8 precedent: pq replay 849s of DuckDB, feasible).
+    "ann_bruteforce_topk": _q(ann_bruteforce_topk, ANN_BRUTEFORCE_TOPK_SQL),
+    "ann_pq_topk": _q(ann_pq_topk, _dd_pq_topk_sql()),
     "semantic_dedup_survivors": _q(
         semantic_dedup_survivors, _dd_semantic_dedup_sql()
     ),
@@ -641,13 +644,11 @@ QUERIES = {
     "dedup_embedding_cosine": _q(
         dedup_embedding_cosine, _dd_embedding_cosine_sql()
     ),
-    "ann_nearest_same_label": _q(
-        ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL, sample_col="query_id"
-    ),
+    "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),
     "embedding_norm_stats": _q(embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),
     "embedding_component_stats": _q(
         embedding_component_stats, EMBEDDING_COMPONENT_STATS_SQL
     ),
-    "ann_lsh_topk": _q(ann_lsh_topk, _dd_rp_topk_sql(), sample_col="query_id"),
-    "ann_ivf_topk": _q(ann_ivf_topk, _dd_ivf_topk_sql(), sample_col="query_id"),
+    "ann_lsh_topk": _q(ann_lsh_topk, _dd_rp_topk_sql()),
+    "ann_ivf_topk": _q(ann_ivf_topk, _dd_ivf_topk_sql()),
 }
