@@ -158,7 +158,19 @@ def with_fiscal_columns_via_dim(
     dates produce NULL keys, which match nothing — exactly the date-key
     semantics), so the output is bit-identical; the equivalence property
     test covers this variant like any other.
+
+    ``date_col`` must be DATE-typed: ``unix_date`` rejects
+    TIMESTAMP/STRING under the ANSI session (the pre-r9 direct DATE
+    equality coerced implicitly), and a silent cast here would change
+    semantics — the assert names the contract instead.
     """
+    (in_type,) = [f.dataType for f in df.schema.fields if f.name == date_col]
+    assert in_type.typeName() == "date", (
+        f"with_fiscal_columns_via_dim requires a DATE-typed {date_col!r} "
+        f"(got {in_type.simpleString()}): the unix_date join key does not "
+        "coerce under ANSI — cast explicitly at the call site if the "
+        "coercion is intended"
+    )
     dim = fiscal_calendar_dim(spark, start, end).withColumn(
         "__cal_key", F.unix_date(F.col("cal_date"))
     )

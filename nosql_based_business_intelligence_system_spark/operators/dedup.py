@@ -116,6 +116,61 @@ def pair_disk_guard(
     return est
 
 
+def cross_pair_disk_guard(
+    keyed_a: DataFrame,
+    keyed_b: DataFrame,
+    key_cols: list[str],
+    lever: str,
+    budget_bytes: int | None = None,
+    row_width: int = PAIR_ROW_WIDTH,
+    max_bucket: int | None = None,
+) -> int:
+    """:func:`pair_disk_guard` for an ASYMMETRIC (two-frame) bucketed
+    join: candidate volume per matched bucket is ``d_a * d_b``, not
+    ``d*(d-1)/2``. One narrow count-per-key aggregate on each side and a
+    key-equi join of the two count frames — both sides should be
+    persisted/checkpointed so the guard job doesn't recompute their
+    lineage. ``max_bucket`` mirrors an active per-side cap (over-cap
+    buckets are dropped from BOTH sides before pairing, so they must not
+    be priced). Returns the byte estimate; raises
+    :class:`PairExplosionError` past the budget."""
+    sa = keyed_a.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("da"))
+    sb = keyed_b.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("db"))
+    if max_bucket is not None:
+        sa = sa.filter(F.col("da") <= max_bucket)
+        sb = sb.filter(F.col("db") <= max_bucket)
+    row = (
+        sa.join(sb, key_cols)
+        .agg(
+            F.coalesce(F.sum(F.col("da") * F.col("db")), F.lit(0)).alias(
+                "pairs"
+            ),
+            F.coalesce(F.max(F.greatest("da", "db")), F.lit(0)).alias(
+                "biggest"
+            ),
+        )
+        .first()
+    )
+    est = int(row["pairs"] * row_width)
+    budget = (
+        budget_bytes
+        if budget_bytes is not None
+        else _pair_disk_budget(keyed_a.sparkSession)
+    )
+    if est > budget:
+        raise PairExplosionError(
+            f"cross-corpus candidate-pair stage would emit "
+            f"~{int(row['pairs']):,} pairs (~{est / 1e9:.1f} GB at "
+            f"{row_width} B/row) against a {budget / 1e9:.1f} GB "
+            f"scratch-disk budget; largest bucket = "
+            f"{int(row['biggest']):,} docs. Cap bucket size with "
+            f"`{lever}` (a matched bucket of A x B docs is A*B pairs), "
+            "or raise SPARK_GRAFT_PAIR_DISK_BUDGET if the disk can "
+            "take it."
+        )
+    return est
+
+
 def _sh(df: DataFrame) -> DataFrame:
     """shuffle_hash join hint for data-scaled join sides.
 
@@ -428,6 +483,40 @@ def minhash_signatures(
     )
 
 
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, key) LSH band rows from a (doc, sig) signature frame.
+
+    Band key: the r-row signature slice's values as a STRUCT — struct
+    equality is elementwise equality, i.e. exactly slice equality (the
+    engine-portable banding criterion), without building per-row strings;
+    16 bytes/key vs ~40-byte strings. The whole bands-array explode is
+    ONE parsed expression (see the signature agg note in
+    minhash_signatures: per-band F.struct/F.lit construction was ~200
+    py4j round-trips). Returned frame is lazily checkpointed: every
+    caller reads the banded rows at least twice (self-join sides, or
+    guard + bucket grouping), and without the checkpoint the explode
+    evaluates once per read (~4s/side at sf10)."""
+    r = num_hashes // bands
+    band_structs = ", ".join(
+        "named_struct('band', {i}, 'key', named_struct({ks}))".format(
+            i=i,
+            ks=", ".join(
+                f"'k{j}', element_at(sig, {i * r + j + 1})" for j in range(r)
+            ),
+        )
+        for i in range(bands)
+    )
+    return (
+        sig.select(
+            "doc", F.expr(f"explode(array({band_structs}))").alias("bk")
+        )
+        .select(
+            "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def minhash_lsh_dupes(
     df: DataFrame,
     content_col: str = "text",
@@ -496,32 +585,7 @@ def minhash_lsh_dupes(
             df, content_col, id_col, n, num_hashes, seed
         ).localCheckpoint(eager=False)
     )
-    # band key: the slice's values as a STRUCT — struct equality is
-    # elementwise equality, i.e. exactly slice equality (the engine-
-    # portable banding criterion), without building per-row strings;
-    # 16 bytes/key vs ~40-byte strings. The whole bands-array explode is
-    # ONE parsed expression (see the signature agg note above: the
-    # per-band F.struct/F.lit construction was ~200 py4j round-trips).
-    band_structs = ", ".join(
-        "named_struct('band', {i}, 'key', named_struct({ks}))".format(
-            i=i,
-            ks=", ".join(
-                f"'k{j}', element_at(sig, {i * r + j + 1})" for j in range(r)
-            ),
-        )
-        for i in range(bands)
-    )
-    banded = (
-        sig.select(
-            "doc", F.expr(f"explode(array({band_structs}))").alias("bk")
-        )
-        .select(
-            "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-        )
-        # both self-join sides read the banded rows; without this the
-        # 64-struct explode evaluates twice (~4s/side at sf10)
-        .localCheckpoint(eager=False)
-    )
+    banded = _band_rows(sig, num_hashes, bands)
     if disk_guard:
         # priced on the checkpointed banded rows (the guard's aggregate
         # doubles as the checkpoint's materializing action); with an
@@ -624,6 +688,142 @@ def minhash_lsh_dupes(
     return pairs.select(
         "doc_a",
         "doc_b",
+        (agree / F.lit(num_hashes)).alias("est_jaccard"),
+    ).filter(F.col("est_jaccard") >= jaccard_threshold)
+
+
+def minhash_cross_corpus_dupes(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    max_docs_per_band_key: int | None = None,
+    disk_guard: bool = False,
+    pair_disk_budget: int | None = None,
+) -> DataFrame:
+    """(new_doc, seen_doc, est_jaccard) MinHash-LSH near-dup pairs BETWEEN
+    two corpora — the incremental-crawl shape of :func:`minhash_lsh_dupes`
+    (dedupe today's batch against the ingested corpus without re-pairing
+    the corpus with itself), and the 100 TB replacement for the
+    trigram-shingle :func:`cross_corpus_dupes`, whose candidate stage the
+    r9 disk guard priced at 2.9e11 pairs / ~4.7 TB at sf100.
+
+    Same machinery as the self-join path — per-doc signatures
+    (:func:`minhash_signatures`, identical coefficients on both sides, so
+    a doc's signature is independent of which corpus it sits in), band
+    rows (:func:`_band_rows`), bucket-grouped pair generation — but the
+    join is new-buckets x seen-buckets on (band, key): one row per
+    matched bucket pair, exploded in place, so the shuffle carries bucket
+    lists once rather than a candidate-scaled row stream, and the seen
+    side's self-pairs never materialize. At 100 TB the seen side's
+    (doc, sig) frame is the artifact you keep materialized between crawl
+    batches (pass nothing here — signatures are a pure function of the
+    text, so recompute-vs-reuse never changes results).
+
+    ``max_docs_per_band_key`` drops over-cap (band, key) buckets on EACH
+    side before pairing — the same recall-for-survival trade as the
+    guarded self-join path, mirrored in the DuckDB twin with per-side
+    QUALIFY cuts. ``disk_guard`` prices sum(d_new * d_seen) over matched
+    buckets before the pair stage launches
+    (:func:`cross_pair_disk_guard`)."""
+    sig_new = minhash_signatures(
+        new_docs, content_col, id_col, n, num_hashes, seed
+    ).localCheckpoint(eager=False)
+    sig_seen = minhash_signatures(
+        seen_docs, content_col, id_col, n, num_hashes, seed
+    ).localCheckpoint(eager=False)
+    banded_new = _band_rows(sig_new, num_hashes, bands)
+    banded_seen = _band_rows(sig_seen, num_hashes, bands)
+    if disk_guard:
+        cross_pair_disk_guard(
+            banded_new,
+            banded_seen,
+            ["band", "key"],
+            "max_docs_per_band_key",
+            pair_disk_budget,
+            max_bucket=max_docs_per_band_key,
+        )
+
+    def _buckets(banded: DataFrame, list_col: str) -> DataFrame:
+        g = banded.groupBy("band", "key").agg(
+            F.sort_array(F.collect_list("doc")).alias(list_col)
+        )
+        if max_docs_per_band_key is not None:
+            g = g.filter(F.size(list_col) <= max_docs_per_band_key)
+        return g
+
+    # bucket-to-bucket join (one row per (band, key) per side; build side
+    # = the new batch's bucket count), then the cross product explodes in
+    # place — the same shuffled-hash-build-side discipline the guarded
+    # self-join path adopted after the sf100 155M-singleton-group OOM.
+    cand = (
+        _sh(_buckets(banded_new, "na"))
+        .join(_sh(_buckets(banded_seen, "sa")), ["band", "key"])
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(na, x -> transform(sa, y -> "
+                    "named_struct('new_doc', x, 'seen_doc', y))))"
+                )
+            ).alias("p")
+        )
+        .select("p.new_doc", "p.seen_doc")
+    )
+    # agreement stages mirror minhash_lsh_dupes: compact tinyint
+    # prefilter over every (band-duplicated) candidate, distinct only the
+    # survivor set, exact bigint agreement on the survivors.
+    min_agree = int(math.ceil(jaccard_threshold * num_hashes))
+    s8 = "transform(sig, x -> cast(x as tinyint))"
+    agree8 = F.size(
+        F.filter(F.zip_with("s8_a", "s8_b", lambda x, y: x == y), lambda v: v)
+    )
+    survivors = (
+        cand.join(
+            _sh(
+                sig_new.select(
+                    F.col("doc").alias("new_doc"), F.expr(s8).alias("s8_a")
+                )
+            ),
+            "new_doc",
+        )
+        .join(
+            _sh(
+                sig_seen.select(
+                    F.col("doc").alias("seen_doc"), F.expr(s8).alias("s8_b")
+                )
+            ),
+            "seen_doc",
+        )
+        .filter(agree8 >= min_agree)
+        .select("new_doc", "seen_doc")
+        .distinct()
+    )
+    pairs = survivors.join(
+        _sh(
+            sig_new.select(
+                F.col("doc").alias("new_doc"), F.col("sig").alias("sig_a")
+            )
+        ),
+        "new_doc",
+    ).join(
+        _sh(
+            sig_seen.select(
+                F.col("doc").alias("seen_doc"), F.col("sig").alias("sig_b")
+            )
+        ),
+        "seen_doc",
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    return pairs.select(
+        "new_doc",
+        "seen_doc",
         (agree / F.lit(num_hashes)).alias("est_jaccard"),
     ).filter(F.col("est_jaccard") >= jaccard_threshold)
 

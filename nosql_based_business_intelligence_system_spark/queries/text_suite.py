@@ -648,23 +648,18 @@ def dedup_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "est_jaccard")
 
 
-def _dd_minhash_sql(
-    num_hashes: int = 64, bands: int = 32, seed: int = 42, n: int = 3,
-    threshold: float = 0.5, max_docs_per_band_key: int | None = None,
-) -> str:
-    """Generated DuckDB twin of dedup.minhash_lsh_dupes at the registry
-    parameters — same coefficients (dedup.mh_coefficients), the same
-    two's-complement int64 wrap (emulated in HUGEINT: reduce mod 2^64,
-    then map the top half down), same band keys, same agreement
-    estimate. ``max_docs_per_band_key`` twins the guarded entry: drop
-    over-cap (band, key) buckets before pairing via QUALIFY — the same
-    drop-then-pair semantics as the operator's bucket-grouping path."""
+def _dd_mh_fragments(
+    num_hashes: int, bands: int, seed: int
+) -> tuple[str, str, str]:
+    """Shared SQL fragments for the MinHash DuckDB twins (self-join and
+    cross-corpus): the per-doc signature min columns (same coefficients
+    as dedup.mh_coefficients, same two's-complement int64 wrap emulated
+    in HUGEINT — reduce mod 2^64, then map the top half down), the
+    banded UNION ALL selects, and the pairwise agreement expression."""
     from ..operators.dedup import mh_coefficients
 
     r = num_hashes // bands
     coeffs = mh_coefficients(num_hashes, seed)
-    toks = T.dd_tokens("text")
-    grams = T.dd_shingles("t", n)  # distinct per-doc shingle strings
     two64, two63 = 1 << 64, 1 << 63
     def _wrap(a: int, b: int) -> str:
         # branch-free signed wrap: shift into [0, 2^64), mod, shift back
@@ -690,6 +685,23 @@ def _dd_minhash_sql(
         f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END"
         for i in range(num_hashes)
     )
+    return min_cols, band_selects, agree
+
+
+def _dd_minhash_sql(
+    num_hashes: int = 64, bands: int = 32, seed: int = 42, n: int = 3,
+    threshold: float = 0.5, max_docs_per_band_key: int | None = None,
+) -> str:
+    """Generated DuckDB twin of dedup.minhash_lsh_dupes at the registry
+    parameters — same coefficients (dedup.mh_coefficients), the same
+    two's-complement int64 wrap (emulated in HUGEINT: reduce mod 2^64,
+    then map the top half down), same band keys, same agreement
+    estimate. ``max_docs_per_band_key`` twins the guarded entry: drop
+    over-cap (band, key) buckets before pairing via QUALIFY — the same
+    drop-then-pair semantics as the operator's bucket-grouping path."""
+    toks = T.dd_tokens("text")
+    grams = T.dd_shingles("t", n)  # distinct per-doc shingle strings
+    min_cols, band_selects, agree = _dd_mh_fragments(num_hashes, bands, seed)
     if max_docs_per_band_key is not None:
         guard_cte = f""", kept AS MATERIALIZED (
   SELECT * FROM bands
@@ -721,6 +733,158 @@ def _dd_minhash_sql(
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, est_jaccard FROM cand
+WHERE est_jaccard >= {threshold}"""
+
+
+#: Band-bucket cap for the guarded (100 TB-contract) MinHash entries —
+#: the value the sf100 rehearsal proved out (PLANS.md r7 hazard 1:
+#: cap=50 completes sf100 in 175.2s; unguarded = 6.26e9 candidates).
+MINHASH_BAND_CAP = 50
+
+
+def dedup_fuzzy_keep_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup keep-list at the 100 TB contract: docs
+    surviving near-dup removal with candidates from GUARDED MinHash-LSH
+    banding (cap=50) instead of trigram shingles — the r9 disk guard
+    priced the trigram candidate stage at 2.9e11 pairs / ~4.7 TB at
+    sf100 (quadratic-infeasible by construction), while the guarded
+    banding completes the third decade in minutes. Pair resolution is
+    unchanged (drop the higher id of each pair,
+    dedup.dedup_connected_keep_min). RECALL TRADE inherited from
+    dedup_minhash_guarded: a near-dup pair detectable only through an
+    over-cap band bucket keeps BOTH docs (boilerplate-bucket pairs are
+    the ones lost); est_jaccard >= 0.5 replaces exact trigram Jaccard
+    >= 0.5 (probabilistic recall ~1-(1-s^2)^32). The legacy trigram
+    entry (dedup_fuzzy_keep) stays registered for <=sf10 hash history."""
+    docs = _docs(spark, sf_dir)
+    sig = _SIG_CACHE.get_or_build(
+        spark,
+        (sf_dir, 3, 64, 42),
+        lambda: dedup.minhash_signatures(
+            docs, "text", "doc_id", 3, 64, 42
+        ).localCheckpoint(eager=False),
+    )
+    pairs = dedup.minhash_lsh_dupes(
+        docs, jaccard_threshold=0.5, signatures=sig,
+        max_docs_per_band_key=MINHASH_BAND_CAP,
+        disk_guard=_pair_guard_on(spark, sf_dir),
+    )
+    return dedup.dedup_connected_keep_min(pairs, docs.select("doc_id")).select(
+        "doc_id"
+    )
+
+
+def _dd_fuzzy_keep_minhash_sql() -> str:
+    mh = _dd_minhash_sql(max_docs_per_band_key=MINHASH_BAND_CAP)
+    return f"""SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_b FROM ({mh}) mh)"""
+
+
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER inventory at the 100 TB contract: transitive
+    closure (operators/dedup.connected_components) over GUARDED
+    MinHash-LSH pairs (cap=50) -> per-cluster member count. Same closure
+    machinery and oracle shape as the trigram dedup_clusters entry
+    (recursive-CTE closure in DuckDB over the generated MinHash twin),
+    with the scale-safe candidate stage; recall trade as documented on
+    dedup_fuzzy_keep_minhash."""
+    pairs = dedup.minhash_lsh_dupes(
+        _docs(spark, sf_dir),
+        jaccard_threshold=0.5,
+        signatures=_SIG_CACHE.get_or_build(
+            spark,
+            (sf_dir, 3, 64, 42),
+            lambda: dedup.minhash_signatures(
+                _docs(spark, sf_dir), "text", "doc_id", 3, 64, 42
+            ).localCheckpoint(eager=False),
+        ),
+        max_docs_per_band_key=MINHASH_BAND_CAP,
+        disk_guard=_pair_guard_on(spark, sf_dir),
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.groupBy(F.col("comp").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def _dd_clusters_minhash_sql() -> str:
+    mh = _dd_minhash_sql(max_docs_per_band_key=MINHASH_BAND_CAP)
+    return f"""WITH RECURSIVE dupes AS (
+  SELECT doc_a, doc_b FROM ({mh}) mh
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM dupes
+  UNION SELECT doc_b, doc_a FROM dupes
+), reach(node, comp) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, r.comp FROM edges e JOIN reach r ON e.v = r.node
+)
+SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+GROUP BY comp"""
+
+
+def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl near-dup pairs (new batch x ingested corpus) at
+    the 100 TB contract: guarded MinHash-LSH banding on each side joined
+    bucket-to-bucket on (band, key)
+    (operators/dedup.minhash_cross_corpus_dupes) instead of the trigram
+    shingle join of dedup_cross_corpus. Same new/seen split
+    (SEEN_SOURCES); recall trade as documented on
+    dedup_fuzzy_keep_minhash, applied per side."""
+    d = _docs(spark, sf_dir)
+    seen = F.col("source").isin(*SEEN_SOURCES)
+    return dedup.minhash_cross_corpus_dupes(
+        d.filter(~seen),
+        d.filter(seen),
+        jaccard_threshold=0.5,
+        max_docs_per_band_key=MINHASH_BAND_CAP,
+        disk_guard=_pair_guard_on(spark, sf_dir),
+    )
+
+
+def _dd_minhash_cross_sql(
+    num_hashes: int = 64, bands: int = 32, seed: int = 42, n: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_band_key: int | None = MINHASH_BAND_CAP,
+) -> str:
+    """Generated DuckDB twin of dedup.minhash_cross_corpus_dupes at the
+    registry split: same signature fragments as the self-join twin
+    (signatures are per-doc, so computing them over the union equals the
+    operator's per-side computation), per-side QUALIFY bucket cuts
+    mirroring the per-side cap, and a new x seen (band, key) join with
+    no doc-order constraint."""
+    toks = T.dd_tokens("text")
+    grams = T.dd_shingles("t", n)
+    min_cols, band_selects, agree = _dd_mh_fragments(num_hashes, bands, seed)
+    cap_q = (
+        f"\n  QUALIFY count(*) OVER (PARTITION BY band, key)"
+        f" <= {max_docs_per_band_key}"
+        if max_docs_per_band_key is not None
+        else ""
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, source, {toks} AS t FROM documents
+), base AS (
+  SELECT doc_id, source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, source, unnest({grams}) AS g FROM toks)
+), sig AS MATERIALIZED (
+  SELECT doc_id, source,
+         {min_cols}
+  FROM base GROUP BY doc_id, source
+), bands AS MATERIALIZED (
+  {band_selects}
+), newb AS MATERIALIZED (
+  SELECT * FROM bands WHERE source NOT IN {_SEEN_IN}{cap_q}
+), seenb AS MATERIALIZED (
+  SELECT * FROM bands WHERE source IN {_SEEN_IN}{cap_q}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS seen_doc,
+         ({agree}) / {float(num_hashes)} AS est_jaccard
+  FROM newb a JOIN seenb b
+    ON a.band = b.band AND a.key = b.key
+)
+SELECT new_doc, seen_doc, est_jaccard FROM cand
 WHERE est_jaccard >= {threshold}"""
 
 
@@ -1648,5 +1812,21 @@ QUERIES = {
         sample_col="doc_a",
     ),
     "dedup_simhash": _q(dedup_simhash, _dd_simhash_sql(), sample_col="doc_a"),
+    # 100 TB-contract variants of the linear-output dedup deliverables
+    # (r10 verdict item 1): guarded-MinHash candidates, unchanged pair
+    # resolution. No sample_col on keep/clusters: their twins' cost is
+    # pair-stage-side, where an output-id sample can't prune (the 054d7c2
+    # ANN precedent); the cross pair list samples on the new-batch id.
+    "dedup_fuzzy_keep_minhash": _q(
+        dedup_fuzzy_keep_minhash, _dd_fuzzy_keep_minhash_sql()
+    ),
+    "dedup_clusters_minhash": _q(
+        dedup_clusters_minhash, _dd_clusters_minhash_sql()
+    ),
+    "dedup_cross_corpus_minhash": _q(
+        dedup_cross_corpus_minhash,
+        _dd_minhash_cross_sql(),
+        sample_col="new_doc",
+    ),
     "events_json_props": _q(events_json_props, EVENTS_JSON_PROPS_SQL),
 }

@@ -343,3 +343,57 @@ def test_simhash_fingerprints_match_duckdb(spark):
             if v > 0:
                 fp |= 1 << b
         assert got[doc_id] == fp, doc_id
+
+
+# --- cross-corpus MinHash (the 100 TB incremental-crawl contract) ------------
+
+
+def test_minhash_cross_corpus_asymmetric(spark):
+    """minhash_cross_corpus_dupes pairs only new x seen: within-side
+    exact dups never appear, the cross dup scores est_jaccard 1.0."""
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog again today"),
+            Row(doc_id=11, text="totally novel content nothing like anything previously stored"),
+            Row(doc_id=12, text="totally novel content nothing like anything previously stored"),  # dup within new: must NOT pair
+        ]
+    )
+    seen = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again today"),  # dup within seen: must NOT pair
+            Row(doc_id=3, text="some other stored document about warehouse inventory levels"),
+        ]
+    )
+    pairs = dedup.minhash_cross_corpus_dupes(
+        new, seen, jaccard_threshold=0.5
+    ).collect()
+    got = sorted((r.new_doc, r.seen_doc) for r in pairs)
+    assert got == [(10, 1), (10, 2)]
+    for r in pairs:
+        assert r.est_jaccard == 1.0
+
+
+def test_cross_pair_disk_guard_fires_on_blast(spark):
+    """An exact-duplicate blast across both corpora keys one giant
+    matched band bucket per band; the cross guard must price A*B pairs
+    and fail fast naming the cap lever BEFORE the bucket join."""
+    text = "alpha beta gamma delta epsilon zeta"
+    new = spark.createDataFrame([Row(doc_id=i, text=text) for i in range(60)])
+    seen = spark.createDataFrame(
+        [Row(doc_id=1000 + i, text=text) for i in range(60)]
+    )
+    with pytest.raises(dedup.PairExplosionError, match="max_docs_per_band_key"):
+        dedup.minhash_cross_corpus_dupes(
+            new, seen, jaccard_threshold=0.5, disk_guard=True,
+            pair_disk_budget=1024,
+        ).count()
+    # an ACTIVE per-side cap removes the blast buckets from the price, so
+    # the same budget passes (guard mirrors the drop-then-pair semantics)
+    assert (
+        dedup.minhash_cross_corpus_dupes(
+            new, seen, jaccard_threshold=0.5, disk_guard=True,
+            pair_disk_budget=1024, max_docs_per_band_key=10,
+        ).count()
+        == 0
+    )

@@ -300,3 +300,81 @@ def test_pair_disk_guard_noop_on_fixture(spark, sf_correctness):
         sh, ["shingle"], "max_docs_per_shingle", max_bucket=2
     )
     assert 0 < est_capped < est_all
+
+
+def test_minhash_cross_corpus_guard_caps_and_matches_duckdb(spark):
+    """Cross-corpus flavor of the band-cap pin: a boilerplate group
+    spanning both corpora keys over-cap matched buckets on BOTH sides;
+    the per-side cap drops them, the planted small cross pair survives,
+    and the generated DuckDB twin (per-side QUALIFY cuts) reproduces the
+    capped pair set exactly — on a corpus where the cap BINDS, which the
+    sf fixtures don't exercise."""
+    import duckdb
+    import pandas as pd
+
+    from nosql_based_business_intelligence_system_spark.queries.text_suite import (
+        SEEN_SOURCES,
+        _dd_minhash_cross_sql,
+    )
+
+    boiler = ("boiler plate body repeated verbatim in every copy of this "
+              "identical template document")
+    base = ("planted alpha bravo charlie delta echo foxtrot golf hotel "
+            "india juliet kilo lima mike november")
+    seen_rows = (
+        [(i, boiler, SEEN_SOURCES[0]) for i in range(30)]
+        + [(9001, f"{base} tokenA", SEEN_SOURCES[1])]
+        + [(500 + i, f"s{i}a s{i}b s{i}c s{i}d s{i}e s{i}f s{i}g s{i}h",
+            SEEN_SOURCES[0]) for i in range(20)]
+    )
+    new_rows = (
+        [(1000 + i, boiler, "srcX") for i in range(30)]
+        + [(9002, f"{base} tokenB", "srcX")]
+        + [(1500 + i, f"n{i}a n{i}b n{i}c n{i}d n{i}e n{i}f n{i}g n{i}h",
+            "srcX") for i in range(20)]
+    )
+    cols = ["doc_id", "text", "source"]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string, source string")
+    seen = spark.createDataFrame(seen_rows, "doc_id long, text string, source string")
+
+    unguarded = dedup.minhash_cross_corpus_dupes(new, seen, jaccard_threshold=0.5)
+    ug = {(r.new_doc, r.seen_doc) for r in unguarded.collect()}
+    assert sum(1 for a, b in ug if a >= 1000 and b < 30) == 30 * 30
+    assert (9002, 9001) in ug
+
+    guarded = dedup.minhash_cross_corpus_dupes(
+        new, seen, jaccard_threshold=0.5, max_docs_per_band_key=10
+    )
+    g = {(r.new_doc, r.seen_doc) for r in guarded.collect()}
+    assert (9002, 9001) in g  # small buckets unaffected
+    assert not any(1000 <= a < 1030 and b < 30 for a, b in g)  # blast capped
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(new_rows + seen_rows, columns=cols)
+    )
+    cur = con.execute(_dd_minhash_cross_sql(max_docs_per_band_key=10))
+    want = {(a, b) for a, b, _ in cur.fetchall()}
+    assert g == want
+
+
+def test_pair_disk_guard_fires_in_simhash(spark, monkeypatch):
+    """r9 advisory: the simhash_dupes disk_guard path (localCheckpoint +
+    band/key pricing) only activates at fixture scale via the suite
+    gate, so pin it at unit scale — identical docs share every band
+    bucket; a 1-byte env budget must fail fast naming the lever."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon zeta")
+         for i in range(10)]
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_DISK_BUDGET", "1")
+    with _pytest.raises(dedup.PairExplosionError, match="band-key bucket cap"):
+        dedup.simhash_dupes(docs, max_hamming=3, disk_guard=True).count()
+    monkeypatch.delenv("SPARK_GRAFT_PAIR_DISK_BUDGET")
+    # default budget (free disk): guard is a no-op, pairs all surface
+    assert (
+        dedup.simhash_dupes(docs, max_hamming=3, disk_guard=True).count()
+        == 10 * 9 // 2
+    )

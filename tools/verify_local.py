@@ -142,6 +142,12 @@ def main() -> int:
             flag_args.append(a)
         elif a.startswith("--sample="):
             sample_n = int(a.split("=", 1)[1])
+            # n < 1 would run UNSAMPLED while stamping {"sample": 0} into
+            # recordings — a later plain compare (sample=None) would then
+            # spuriously FAIL on 0 != None even though both runs were full
+            if sample_n < 1:
+                print(f"--sample={sample_n} invalid: need n >= 1")
+                return 2
             flag_args.append(a)
     if sample_n:
         print(
