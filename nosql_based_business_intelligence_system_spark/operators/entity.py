@@ -84,6 +84,8 @@ def fuzzy_name_pairs(
     id_col: str,
     max_distance: int = 2,
     max_names_per_block: int | None = None,
+    disk_guard: bool = False,
+    pair_disk_budget: int | None = None,
 ) -> DataFrame:
     """Near-identical name pairs: (name_a, name_b, id_a, id_b, rows_a,
     rows_b, edit_distance), name_a < name_b, distance <= ``max_distance``.
@@ -120,6 +122,26 @@ def fuzzy_name_pairs(
                 ["pass_", "bkey"],
             )
             .drop("__bn")
+        )
+    if disk_guard:
+        # r10 verdict item 5: the prefix/suffix passes key on only 4
+        # chars, so block sizes grow with corpus size and this was one of
+        # two pair generators of the r8 ENOSPC blast class without an
+        # admission check (per-pass caps bound bucket SIZE when set, but
+        # nothing priced total volume). One narrow aggregate over
+        # (pass_, bkey) — deliberately on the un-checkpointed frame: the
+        # guard job re-runs the (cheap, dictionary-bounded) blocking
+        # lineage once rather than checkpointing `keyed`, which would
+        # break the self-join's ReusedExchange and its size statistics.
+        # When the cap already filtered `keyed`, the price reflects the
+        # post-cap volume, as it must.
+        from .dedup import pair_disk_guard
+
+        pair_disk_guard(
+            keyed.select("pass_", "bkey"),
+            ["pass_", "bkey"],
+            lever="max_names_per_block",
+            budget_bytes=pair_disk_budget,
         )
     # No persist: the self-join's two sides are the identical subplan
     # exchanged on the same keys, so Catalyst reuses one shuffle
@@ -158,6 +180,7 @@ def resolve_entities(
     id_col: str,
     max_distance: int = 2,
     max_names_per_block: int | None = None,
+    disk_guard: bool = False,
 ) -> DataFrame:
     """Cluster near-identical names and pick a canonical spelling per
     cluster: (name, rep_id, n_rows, cluster_id, canonical_name).
@@ -172,7 +195,8 @@ def resolve_entities(
     from .dedup import connected_components
 
     names = fuzzy_name_pairs(
-        df, name_col, id_col, max_distance, max_names_per_block
+        df, name_col, id_col, max_distance, max_names_per_block,
+        disk_guard=disk_guard,
     )
     comps = connected_components(names, a_col="name_a", b_col="name_b")
     dictionary = name_dictionary(df, name_col, id_col)

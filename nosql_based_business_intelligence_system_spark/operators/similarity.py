@@ -693,6 +693,8 @@ def embedding_cosine_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    disk_guard: bool = False,
+    pair_disk_budget: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH.
 
@@ -743,6 +745,25 @@ def embedding_cosine_dupes(
         V.as_double(F.col(vec_col)).alias("v"),
         F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"),
     )
+    if disk_guard:
+        # the last unguarded pair generator of the r8 ENOSPC blast class
+        # (r10 verdict item 5): with r = n_planes/bands sign bits per key,
+        # 2^r buckets per band saturate like SimHash's 15-bit space —
+        # price sum(d*(d-1)/2) over (band, key) BEFORE the self-join and
+        # fail fast naming the lever. Priced on a narrow (band, key)
+        # re-projection (id/vector pruned), so the guard job re-runs only
+        # the projection UDF — a deliberate trade against checkpointing
+        # `sig`, which would both pin the full per-band vector payload in
+        # storage and invalidate the self-join's size statistics (the
+        # estimate-broadcast hazard dedup._sh exists for).
+        from .dedup import pair_disk_guard
+
+        pair_disk_guard(
+            sig.select("band", "key"),
+            ["band", "key"],
+            lever="a band-key bucket cap for embedding_cosine_dupes",
+            budget_bytes=pair_disk_budget,
+        )
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

@@ -443,3 +443,30 @@ def test_nearest_cell_arrow_matches_crossjoin(spark, sf_correctness):
         assert cross.exceptAll(arrow).count() == 0
     finally:
         similarity._NEAREST_CELL_ARROW_K = old_k
+
+
+def test_pair_disk_guard_fires_in_sign_lsh(spark):
+    """r10 verdict item 5: identical vectors key one giant band bucket in
+    every band; the guard must price d*(d-1)/2 per bucket and fail fast
+    before the self-join, and be a pure no-op at the default budget."""
+    from pyspark.sql import Row
+
+    from nosql_based_business_intelligence_system_spark.operators.dedup import (
+        PairExplosionError,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 2.0, 3.0, 4.0]) for i in range(80)]
+    )
+    with pytest.raises(PairExplosionError, match="band-key bucket cap"):
+        similarity.embedding_cosine_dupes(
+            df, threshold=0.9, n_planes=16, bands=4, disk_guard=True,
+            pair_disk_budget=1024,
+        ).count()
+    # default budget: no-op, all pairs surface (identical vectors)
+    assert (
+        similarity.embedding_cosine_dupes(
+            df, threshold=0.9, n_planes=16, bands=4, disk_guard=True
+        ).count()
+        == 80 * 79 // 2
+    )
