@@ -1684,6 +1684,17 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id"""
 
 
 #: Misra-Gries counter budget for the heavy-hitter queries.
+#:
+#: CEILING (r9 advisory): the targeted exact pass rebuilds the collected
+#: sketch as a map-side codegen IN-list (`F.col("tok").isin(...)`) — a
+#: literal whose compiled size grows with k. Spark's `isin` stays inside
+#: whole-stage codegen comfortably to ~low thousands of literals (the
+#: OptimizeIn rule rewrites to an O(1) hash set at
+#: spark.sql.optimizer.inSetConversionThreshold=10 elements, so lookup
+#: cost is flat; the ceiling is expression-tree/codegen size, not probe
+#: cost). Keep MG_K <= ~1,000; past that, switch the survivor filter to
+#: a broadcast left-semi join against the <=k-row literal frame — same
+#: semantics, no literal blowup.
 MG_K = 32
 
 
