@@ -104,6 +104,18 @@ def main() -> None:
         # sit as memory pressure under pass N+1's queries (visible at
         # sf10, where one dedup signature checkpoint is GBs).
         free_blocks(spark)
+        # SETTLE before the next timed query: free_blocks' System.gc +
+        # ContextCleaner block removal is ASYNC, and its tail lands inside
+        # the first timed queries of the next pass — measured r10 on
+        # pricing_summary at sf0.1 (7-pass min): 1.75s right after
+        # free_blocks vs 1.52s without it; one trivial action + 0.5s
+        # recovers to 1.62s. This artifact, compounding as the headline
+        # set gained checkpoint-bearing queries, was the r6->r9
+        # "pricing_summary drift" (1.427->1.888s) and the r9
+        # sales_by_fiscal_month "+22%" — the first two timed slots of
+        # every pass (PLANS.md r10 A/B).
+        spark.range(1_000).count()
+        time.sleep(0.5)
         for name in names:
             t0 = time.time()
             QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
