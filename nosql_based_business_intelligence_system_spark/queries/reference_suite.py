@@ -437,6 +437,8 @@ QUERIES = {
     "ar_by_region": _q(ar_by_region, AR_BY_REGION_SQL),
     "summary_stats": _q(summary_stats, SUMMARY_STATS_SQL),
     "quality_flag_counts": _q(quality_flag_counts, QUALITY_FLAG_COUNTS_SQL),
-    "line_metrics": _q(line_metrics, LINE_METRICS_SQL),
-    "high_discount_lines": _q(high_discount_lines, HIGH_DISCOUNT_LINES_SQL),
+    "line_metrics": _q(line_metrics, LINE_METRICS_SQL, sample_col="doc_number"),
+    "high_discount_lines": _q(
+        high_discount_lines, HIGH_DISCOUNT_LINES_SQL, sample_col="doc_number"
+    ),
 }

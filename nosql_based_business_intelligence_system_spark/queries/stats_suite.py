@@ -937,7 +937,8 @@ QUERIES = {
     "star_fk_integrity": _q(star_fk_integrity, STAR_FK_INTEGRITY_SQL),
     "orders_snapshot_diff": _q(orders_snapshot_diff, ORDERS_SNAPSHOT_DIFF_SQL),
     "orders_snapshot_changes": _q(
-        orders_snapshot_changes, ORDERS_SNAPSHOT_CHANGES_SQL
+        orders_snapshot_changes, ORDERS_SNAPSHOT_CHANGES_SQL,
+        sample_col="o_orderkey",
     ),
     "lineitem_expectations": _q(lineitem_expectations, LINEITEM_EXPECTATIONS_SQL),
     "revenue_rollup": _q(revenue_rollup, REVENUE_ROLLUP_SQL),
@@ -970,5 +971,7 @@ QUERIES = {
     "region_quarter_pivot": _q(region_quarter_pivot, REGION_QUARTER_PIVOT_SQL),
     "order_value_percentiles": _q(order_value_percentiles, ORDER_VALUE_PERCENTILES_SQL),
     "lineitem_price_stats": _q(lineitem_price_stats, LINEITEM_PRICE_STATS_SQL),
-    "ar_aging_buckets": _q(ar_aging_buckets, AR_AGING_BUCKETS_SQL),
+    "ar_aging_buckets": _q(
+        ar_aging_buckets, AR_AGING_BUCKETS_SQL, sample_col="customer_number"
+    ),
 }

@@ -290,10 +290,12 @@ LEFT JOIN t3 USING (user_id)"""
 QUERIES = {
     "conversion_funnel": _q(conversion_funnel, CONVERSION_FUNNEL_SQL),
     "funnel_sequence_stages": _q(
-        funnel_sequence_stages, FUNNEL_SEQUENCE_STAGES_SQL
+        funnel_sequence_stages, FUNNEL_SEQUENCE_STAGES_SQL,
+        sample_col="user_id",
     ),
     "user_latest_event_state": _q(
-        user_latest_event_state, USER_LATEST_EVENT_STATE_SQL
+        user_latest_event_state, USER_LATEST_EVENT_STATE_SQL,
+        sample_col="user_id",
     ),
     "weekly_retention_matrix": _q(
         weekly_retention_matrix, WEEKLY_RETENTION_MATRIX_SQL
@@ -301,6 +303,8 @@ QUERIES = {
     "payments_by_fiscal_month": _q(payments_by_fiscal_month, _payments_sql()),
     "events_tumbling_hourly": _q(events_tumbling_hourly, EVENTS_TUMBLING_HOURLY_SQL),
     "events_sliding_hourly": _q(events_sliding_hourly, EVENTS_SLIDING_HOURLY_SQL),
-    "events_sessionization": _q(events_sessionization, EVENTS_SESSIONIZATION_SQL),
+    "events_sessionization": _q(
+        events_sessionization, EVENTS_SESSIONIZATION_SQL, sample_col="user_id"
+    ),
     "events_dedup_count": _q(events_dedup_count, EVENTS_DEDUP_COUNT_SQL),
 }

@@ -518,27 +518,36 @@ FROM p JOIN c ON p.user_id = c.user_id
 
 QUERIES = {
     "activity_overlap_windows": _q(
-        activity_overlap_windows, ACTIVITY_OVERLAP_WINDOWS_SQL
+        activity_overlap_windows, ACTIVITY_OVERLAP_WINDOWS_SQL,
+        sample_col="user_id",
     ),
     "purchase_state_lookup": _q(
-        purchase_state_lookup, PURCHASE_STATE_LOOKUP_SQL
+        purchase_state_lookup, PURCHASE_STATE_LOOKUP_SQL,
+        sample_col="event_id",
     ),
     "ship_delay_profile": _q(ship_delay_profile, SHIP_DELAY_PROFILE_SQL),
-    "user_state_history": _q(user_state_history, USER_STATE_HISTORY_SQL),
+    "user_state_history": _q(
+        user_state_history, USER_STATE_HISTORY_SQL, sample_col="user_id"
+    ),
     "purchase_nearest_click_asof": _q(
-        purchase_nearest_click_asof, PURCHASE_NEAREST_CLICK_ASOF_SQL
+        purchase_nearest_click_asof, PURCHASE_NEAREST_CLICK_ASOF_SQL,
+        sample_col="event_id",
     ),
     "purchase_recent_click_asof": _q(
-        purchase_recent_click_asof, PURCHASE_RECENT_CLICK_ASOF_SQL
+        purchase_recent_click_asof, PURCHASE_RECENT_CLICK_ASOF_SQL,
+        sample_col="event_id",
     ),
     "purchase_last_click_asof": _q(
-        purchase_last_click_asof, PURCHASE_LAST_CLICK_ASOF_SQL
+        purchase_last_click_asof, PURCHASE_LAST_CLICK_ASOF_SQL,
+        sample_col="event_id",
     ),
     "price_tier_totals": _q(price_tier_totals, PRICE_TIER_TOTALS_SQL),
     "purchase_nearby_clicks": _q(
-        purchase_nearby_clicks, PURCHASE_NEARBY_CLICKS_SQL
+        purchase_nearby_clicks, PURCHASE_NEARBY_CLICKS_SQL,
+        sample_col="event_id",
     ),
     "session_purchase_attribution": _q(
-        session_purchase_attribution, SESSION_PURCHASE_ATTRIBUTION_SQL
+        session_purchase_attribution, SESSION_PURCHASE_ATTRIBUTION_SQL,
+        sample_col="user_id",
     ),
 }

@@ -1092,13 +1092,15 @@ QUERIES = {
         top_revenue_suppliers, TOP_REVENUE_SUPPLIERS_SQL
     ),
     "large_volume_customers": _q(
-        large_volume_customers, LARGE_VOLUME_CUSTOMERS_SQL
+        large_volume_customers, LARGE_VOLUME_CUSTOMERS_SQL,
+        sample_col="c_custkey",
     ),
     "part_supply_concentration": _q(
         part_supply_concentration, PART_SUPPLY_CONCENTRATION_SQL
     ),
     "sole_return_suppliers": _q(
-        sole_return_suppliers, SOLE_RETURN_SUPPLIERS_SQL
+        sole_return_suppliers, SOLE_RETURN_SUPPLIERS_SQL,
+        sample_col="s_name",
     ),
     "pricing_summary": _q(pricing_summary, PRICING_SUMMARY_SQL),
     "small_quantity_revenue": _q(small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),

@@ -554,7 +554,8 @@ QUERIES = {
     "revenue_moving_avg": _q(revenue_moving_avg, REVENUE_MOVING_AVG_SQL),
     "top_products_per_region": _q(top_products_per_region, TOP_PRODUCTS_PER_REGION_SQL),
     "latest_order_per_customer": _q(
-        latest_order_per_customer, LATEST_ORDER_PER_CUSTOMER_SQL
+        latest_order_per_customer, LATEST_ORDER_PER_CUSTOMER_SQL,
+        sample_col="custkey",
     ),
     "quarter_revenue_share": _q(quarter_revenue_share, QUARTER_REVENUE_SHARE_SQL),
 }
