@@ -535,7 +535,8 @@ QUERIES = {
         mongo_monthly_price_tiers, MONGO_MONTHLY_PRICE_TIERS_SQL
     ),
     "mongo_customer_region_chain": _q(
-        mongo_customer_region_chain, MONGO_CUSTOMER_REGION_CHAIN_SQL
+        mongo_customer_region_chain, MONGO_CUSTOMER_REGION_CHAIN_SQL,
+        sample_col="customer_number",
     ),
     "mongo_priority_monthly_running": _q(
         mongo_priority_monthly_running, MONGO_PRIORITY_MONTHLY_RUNNING_SQL
@@ -555,8 +556,12 @@ QUERIES = {
     "mongo_region_quarter_revenue": _q(
         mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL
     ),
-    "mongo_top_receivables": _q(mongo_top_receivables, _mongo_top_receivables_sql()),
+    "mongo_top_receivables": _q(
+        mongo_top_receivables, _mongo_top_receivables_sql(),
+        sample_col="customer_number",
+    ),
     "mongo_receivables_with_payments": _q(
-        mongo_receivables_with_payments, _mongo_receivables_with_payments_sql()
+        mongo_receivables_with_payments, _mongo_receivables_with_payments_sql(),
+        sample_col="customer_number",
     ),
 }

@@ -647,7 +647,7 @@ QUERIES = {
     ),
     "embedding_near_pairs": _q(embedding_near_pairs, EMBEDDING_NEAR_PAIRS_SQL),
     "dedup_embedding_cosine": _q(
-        dedup_embedding_cosine, _dd_embedding_cosine_sql()
+        dedup_embedding_cosine, _dd_embedding_cosine_sql(), sample_col="id_a"
     ),
     "ann_nearest_same_label": _q(ann_nearest_same_label, ANN_NEAREST_SAME_LABEL_SQL),
     "embedding_norm_stats": _q(embedding_norm_stats, EMBEDDING_NORM_STATS_SQL),

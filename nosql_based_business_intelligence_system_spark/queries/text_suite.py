@@ -1771,20 +1771,27 @@ WHERE exact_count * {MG_K + 1} > n_total"""
 
 
 QUERIES = {
-    "doc_lm_perplexity": _q(doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL),
+    "doc_lm_perplexity": _q(
+        doc_lm_perplexity, DOC_LM_PERPLEXITY_SQL, sample_col="doc_id"
+    ),
     "token_heavy_hitters": _q(token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
-    "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL),
+    "doc_text_stats": _q(doc_text_stats, DOC_TEXT_STATS_SQL, sample_col="doc_id"),
     "corpus_shard_plan": _q(corpus_shard_plan, CORPUS_SHARD_PLAN_SQL),
-    "doc_quality_filter": _q(doc_quality_filter, DOC_QUALITY_FILTER_SQL),
+    "doc_quality_filter": _q(
+        doc_quality_filter, DOC_QUALITY_FILTER_SQL, sample_col="doc_id"
+    ),
     "gopher_filter_summary": _q(gopher_filter_summary, GOPHER_FILTER_SUMMARY_SQL),
-    "doc_rarity_scores": _q(doc_rarity_scores, DOC_RARITY_SCORES_SQL),
+    "doc_rarity_scores": _q(
+        doc_rarity_scores, DOC_RARITY_SCORES_SQL, sample_col="doc_id"
+    ),
     "pii_redaction_report": _q(pii_redaction_report, PII_REDACTION_REPORT_SQL),
     "benchmark_decontam": _q(benchmark_decontam, BENCHMARK_DECONTAM_SQL),
     "doc_contamination_flags": _q(
-        doc_contamination_flags, DOC_CONTAMINATION_FLAGS_SQL
+        doc_contamination_flags, DOC_CONTAMINATION_FLAGS_SQL,
+        sample_col="doc_id",
     ),
-    "decontam_keep": _q(decontam_keep, DECONTAM_KEEP_SQL),
-    "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
+    "decontam_keep": _q(decontam_keep, DECONTAM_KEEP_SQL, sample_col="doc_id"),
+    "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL, sample_col="doc_id"),
     "docs_stratified_sample": _q(docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),
     "corpus_weighted_sample": _q(
         corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL
@@ -1794,11 +1801,17 @@ QUERIES = {
     ),
     "corpus_mixture_plan": _q(corpus_mixture_plan, CORPUS_MIXTURE_PLAN_SQL),
     "source_quality_report": _q(source_quality_report, SOURCE_QUALITY_REPORT_SQL),
-    "doc_token_counts": _q(doc_token_counts, DOC_TOKEN_COUNTS_SQL),
-    "doc_lang_id": _q(doc_lang_id, DOC_LANG_ID_SQL),
-    "doc_fingerprints": _q(doc_fingerprints, DOC_FINGERPRINTS_SQL),
+    "doc_token_counts": _q(
+        doc_token_counts, DOC_TOKEN_COUNTS_SQL, sample_col="doc_id"
+    ),
+    "doc_lang_id": _q(doc_lang_id, DOC_LANG_ID_SQL, sample_col="doc_id"),
+    "doc_fingerprints": _q(
+        doc_fingerprints, DOC_FINGERPRINTS_SQL, sample_col="doc_id"
+    ),
     "dedup_exact_summary": _q(dedup_exact_summary, DEDUP_EXACT_SUMMARY_SQL),
-    "dedup_exact_keep": _q(dedup_exact_keep, DEDUP_EXACT_KEEP_SQL),
+    "dedup_exact_keep": _q(
+        dedup_exact_keep, DEDUP_EXACT_KEEP_SQL, sample_col="doc_id"
+    ),
     "dedup_ngram_jaccard": _q(
         dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL, sample_col="doc_a"
     ),
@@ -1807,11 +1820,14 @@ QUERIES = {
     "dedup_cross_corpus": _q(
         dedup_cross_corpus, DEDUP_CROSS_CORPUS_SQL, sample_col="new_doc"
     ),
-    "span_dedup_docs": _q(span_dedup_docs, SPAN_DEDUP_DOCS_SQL),
+    "span_dedup_docs": _q(
+        span_dedup_docs, SPAN_DEDUP_DOCS_SQL, sample_col="doc_id"
+    ),
     "span_dedup_stats": _q(span_dedup_stats, SPAN_DEDUP_STATS_SQL),
-    "doc_chunks": _q(doc_chunks, _doc_chunks_sql()),
+    "doc_chunks": _q(doc_chunks, _doc_chunks_sql(), sample_col="doc_id"),
     "dsir_importance_weights": _q(
-        dsir_importance_weights, DSIR_IMPORTANCE_WEIGHTS_SQL
+        dsir_importance_weights, DSIR_IMPORTANCE_WEIGHTS_SQL,
+        sample_col="doc_id",
     ),
     "dsir_selected_docs": _q(dsir_selected_docs, DSIR_SELECTED_DOCS_SQL),
     "bpe_vocab": _q(bpe_vocab, None),
