@@ -557,11 +557,9 @@ QUERIES = {
         mongo_region_quarter_revenue, MONGO_REGION_QUARTER_REVENUE_SQL
     ),
     "mongo_top_receivables": _q(
-        mongo_top_receivables, _mongo_top_receivables_sql(),
-        sample_col="customer_number",
+        mongo_top_receivables, _mongo_top_receivables_sql()
     ),
     "mongo_receivables_with_payments": _q(
-        mongo_receivables_with_payments, _mongo_receivables_with_payments_sql(),
-        sample_col="customer_number",
+        mongo_receivables_with_payments, _mongo_receivables_with_payments_sql()
     ),
 }

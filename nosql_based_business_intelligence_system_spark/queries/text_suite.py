@@ -1791,7 +1791,7 @@ QUERIES = {
         sample_col="doc_id",
     ),
     "decontam_keep": _q(decontam_keep, DECONTAM_KEEP_SQL, sample_col="doc_id"),
-    "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL, sample_col="doc_id"),
+    "doc_top_terms": _q(doc_top_terms, DOC_TOP_TERMS_SQL),
     "docs_stratified_sample": _q(docs_stratified_sample, DOCS_STRATIFIED_SAMPLE_SQL),
     "corpus_weighted_sample": _q(
         corpus_weighted_sample, CORPUS_WEIGHTED_SAMPLE_SQL
