@@ -162,15 +162,24 @@ def with_fiscal_columns_via_dim(
     ``date_col`` must be DATE-typed: ``unix_date`` rejects
     TIMESTAMP/STRING under the ANSI session (the pre-r9 direct DATE
     equality coerced implicitly), and a silent cast here would change
-    semantics — the assert names the contract instead.
+    semantics — raised as TypeError (not assert: ``python -O`` strips
+    asserts, and this is an API contract, not a debug invariant; r10
+    ADVICE).
     """
-    (in_type,) = [f.dataType for f in df.schema.fields if f.name == date_col]
-    assert in_type.typeName() == "date", (
-        f"with_fiscal_columns_via_dim requires a DATE-typed {date_col!r} "
-        f"(got {in_type.simpleString()}): the unix_date join key does not "
-        "coerce under ANSI — cast explicitly at the call site if the "
-        "coercion is intended"
-    )
+    try:
+        in_type = df.schema[date_col].dataType
+    except KeyError:
+        raise KeyError(
+            f"with_fiscal_columns_via_dim: column {date_col!r} not found "
+            f"in schema (columns: {', '.join(df.columns)})"
+        ) from None
+    if in_type.typeName() != "date":
+        raise TypeError(
+            f"with_fiscal_columns_via_dim requires a DATE-typed "
+            f"{date_col!r} (got {in_type.simpleString()}): the unix_date "
+            "join key does not coerce under ANSI — cast explicitly at the "
+            "call site if the coercion is intended"
+        )
     dim = fiscal_calendar_dim(spark, start, end).withColumn(
         "__cal_key", F.unix_date(F.col("cal_date"))
     )

@@ -181,6 +181,7 @@ def resolve_entities(
     max_distance: int = 2,
     max_names_per_block: int | None = None,
     disk_guard: bool = False,
+    pair_disk_budget: int | None = None,
 ) -> DataFrame:
     """Cluster near-identical names and pick a canonical spelling per
     cluster: (name, rep_id, n_rows, cluster_id, canonical_name).
@@ -196,7 +197,7 @@ def resolve_entities(
 
     names = fuzzy_name_pairs(
         df, name_col, id_col, max_distance, max_names_per_block,
-        disk_guard=disk_guard,
+        disk_guard=disk_guard, pair_disk_budget=pair_disk_budget,
     )
     comps = connected_components(names, a_col="name_a", b_col="name_b")
     dictionary = name_dictionary(df, name_col, id_col)

@@ -695,8 +695,17 @@ def embedding_cosine_dupes(
     seed: int = 42,
     disk_guard: bool = False,
     pair_disk_budget: int | None = None,
+    max_ids_per_band_key: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs at scale: random-hyperplane LSH.
+
+    ``max_ids_per_band_key`` mirrors minhash_lsh_dupes'
+    ``max_docs_per_band_key``: drop (band, key) buckets larger than the
+    cap before the self-join — a bucket of B vectors is B*(B-1)/2
+    candidate pairs, and at sign-LSH an over-full bucket means a dense
+    direction cluster, not duplication. Pairs whose EVERY collision band
+    is capped are lost (recall, not precision); OFF by default so the
+    frozen registry entry keeps its verified recall contract.
 
     Signature = sign bits of ``n_planes`` Rademacher (+-1) projections —
     Achlioptas-style random projections give the same sign-LSH guarantee
@@ -755,15 +764,27 @@ def embedding_cosine_dupes(
         # the projection UDF — a deliberate trade against checkpointing
         # `sig`, which would both pin the full per-band vector payload in
         # storage and invalidate the self-join's size statistics (the
-        # estimate-broadcast hazard dedup._sh exists for).
+        # estimate-broadcast hazard dedup._sh exists for). max_bucket
+        # mirrors the active cap so capped-away buckets aren't priced.
         from .dedup import pair_disk_guard
 
         pair_disk_guard(
             sig.select("band", "key"),
             ["band", "key"],
-            lever="a band-key bucket cap for embedding_cosine_dupes",
+            lever="max_ids_per_band_key",
             budget_bytes=pair_disk_budget,
+            max_bucket=max_ids_per_band_key,
         )
+    if max_ids_per_band_key is not None:
+        # (band, key) space is bounded by bands * 2^r, so the allowed-
+        # bucket frame stays small; left-semi keeps sig narrow.
+        ok = (
+            sig.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") <= max_ids_per_band_key)
+            .drop("__d")
+        )
+        sig = sig.join(ok, ["band", "key"], "left_semi")
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

@@ -211,3 +211,22 @@ def test_pair_disk_guard_noop_in_blocking_join(spark):
         ).collect()
     }
     assert guarded == plain and plain
+
+
+def test_resolve_entities_forwards_pair_disk_budget(spark):
+    """r10 ADVICE: the clustering entry point must accept the same
+    explicit budget as fuzzy_name_pairs (API symmetry with the other
+    guarded operators), not only the env var."""
+    import pytest
+
+    from nosql_based_business_intelligence_system_spark.operators.dedup import (
+        PairExplosionError,
+    )
+
+    rows = [Row(id=i, name=f"name{i} corp") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(PairExplosionError, match="max_names_per_block"):
+        entity.resolve_entities(
+            df, "name", "id", max_distance=1, disk_guard=True,
+            pair_disk_budget=1024,
+        ).count()

@@ -134,3 +134,25 @@ def test_fin_week_label_properties(spark):
         | (F.datediff(F.col("d"), F.col("fin_month_start")) < 0)
     )
     assert bad.count() == 0
+
+
+def test_dim_variant_rejects_non_date_with_typeerror(spark):
+    """r10 ADVICE: the DATE contract must survive `python -O` — explicit
+    TypeError, not assert; a missing column gets its own KeyError."""
+    import pytest
+
+    ts = spark.createDataFrame(
+        [Row(event_date=dt.datetime(2020, 1, 1, 12))], "event_date timestamp"
+    )
+    with pytest.raises(TypeError, match="DATE-typed"):
+        fiscal.with_fiscal_columns_via_dim(
+            ts, spark, start="2019-12-01", end="2020-02-29"
+        )
+    ok = spark.createDataFrame(
+        [Row(event_date=dt.date(2020, 1, 1))], "event_date date"
+    )
+    with pytest.raises(KeyError, match="no_such_col"):
+        fiscal.with_fiscal_columns_via_dim(
+            ok, spark, date_col="no_such_col",
+            start="2019-12-01", end="2020-02-29",
+        )

@@ -458,7 +458,7 @@ def test_pair_disk_guard_fires_in_sign_lsh(spark):
     df = spark.createDataFrame(
         [Row(vec_id=i, embedding=[1.0, 2.0, 3.0, 4.0]) for i in range(80)]
     )
-    with pytest.raises(PairExplosionError, match="band-key bucket cap"):
+    with pytest.raises(PairExplosionError, match="max_ids_per_band_key"):
         similarity.embedding_cosine_dupes(
             df, threshold=0.9, n_planes=16, bands=4, disk_guard=True,
             pair_disk_budget=1024,
@@ -470,3 +470,27 @@ def test_pair_disk_guard_fires_in_sign_lsh(spark):
         ).count()
         == 80 * 79 // 2
     )
+
+
+def test_sign_lsh_band_key_cap_bounds_bucket(spark):
+    """r10 ADVICE: the lever the guard names must exist and actually
+    bound the bucket. 80 identical vectors fill ONE (band, key) bucket
+    per band; a cap below 80 drops those buckets, so (a) the guard's
+    post-cap price passes the same 1 KB budget that fails uncapped, and
+    (b) zero pairs survive (the drop is a recall loss, by contract)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 2.0, 3.0, 4.0]) for i in range(80)]
+    )
+    capped = similarity.embedding_cosine_dupes(
+        df, threshold=0.9, n_planes=16, bands=4, disk_guard=True,
+        pair_disk_budget=1024, max_ids_per_band_key=5,
+    )
+    assert capped.count() == 0
+    # cap above the bucket size: candidates unaffected
+    uncut = similarity.embedding_cosine_dupes(
+        df, threshold=0.9, n_planes=16, bands=4,
+        max_ids_per_band_key=200,
+    )
+    assert uncut.count() == 80 * 79 // 2
