@@ -189,7 +189,11 @@ def main() -> int:
             + os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "40GB")
             + "'"
         )
-        con.execute("SET temp_directory='/tmp/duckdb_spill'")
+        con.execute(
+            "SET temp_directory='"
+            + os.environ.get("SPARK_GRAFT_DUCKDB_SPILL", "/tmp/duckdb_spill")
+            + "'"
+        )
     except Exception:
         pass  # older duckdb without these pragmas
     for t in (
