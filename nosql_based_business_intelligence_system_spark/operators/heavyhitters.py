@@ -68,18 +68,18 @@ def mg_fold(
 _PARTIAL_CAP_ROWS = 2_000_000
 
 
-def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
-    """(item, est_count, err_bound, n_total) — every item with true
-    frequency > ``n_total/(k+1)`` is present; its true count lies in
-    ``[est_count, est_count + err_bound]``.
-
-    ``err_bound = floor(n_total/(k+1))`` is the sketch's certificate: a
-    consumer decides from it whether the summary is precise enough or a
-    targeted exact count (a filtered groupBy on the few surviving items)
-    is worth a second pass.
-    """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
+def _mg_partials(k: int, split_on: str | None = None):
+    """Build the per-partition Arrow partials function. ``split_on`` is the
+    doc-level fast path: the input column is raw TEXT and tokenization
+    (split on the literal separator, drop empties — bit-for-bit the
+    semantics of ``functions.text.tokens``) happens INSIDE pyarrow C++.
+    That moves the JVM->Python Arrow boundary from one string cell per
+    TOKEN to one cell per DOCUMENT: measured at sf100 (270M tokens, 5M
+    docs) the exploded-token transfer costs 10-44s per pass (the upper
+    end under a JVM Arrow-writer regression the boundary volume
+    triggers non-deterministically) vs 2.1s for the doc-level transfer —
+    and at 100 TB the boundary IS the sketch's cost, so it must scale
+    with corpus bytes, not token count."""
 
     def partials(batches) -> "Iterator":
         # ARROW-NATIVE partials (r9): the r8 pandas path still built one
@@ -129,6 +129,13 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
         acc_rows = 0
         for b in batches:
             col = b.column(0).drop_null()
+            if split_on is not None:
+                # doc-level transfer: tokenize in C++ — split on the
+                # literal separator, flatten, drop empty tokens (exact
+                # parity with F.split + filter(t != ""), incl. NULL text
+                # yielding no rows and runs of separators collapsing)
+                col = pc.list_flatten(pc.split_pattern(col, split_on))
+                col = col.filter(pc.not_equal(col, ""))
             n += len(col)
             vc = pc.value_counts(col)
             chunks.append(vc)
@@ -153,44 +160,96 @@ def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
             names=["item", "c"],
         )
 
+    return partials
+
+
+def _mg_combine(rows: DataFrame, k: int) -> DataFrame:
+    """Merge the per-partition summaries into the certified sketch frame."""
+    from pyspark.sql import Window
+
+    # ONE consumer, ONE linear plan (r11). The r9 shape derived the merge
+    # correction and the stream total as two broadcast-subquery crossJoins
+    # over a lazily checkpointed `rows` — but Spark executes broadcast
+    # subqueries CONCURRENTLY, and two of them racing an unmaterialized
+    # lazy localCheckpoint each recompute the partials map stage (measured
+    # r11: two simultaneous 32-task partials stages per collect at every
+    # sf; ~+20s per pass at sf100 — the r10 "Gap A" on
+    # token_heavy_hitters). Deriving both scalars from global windows over
+    # the combined sketch keeps everything in a single plan with a single
+    # consumer of `rows`, so the expensive stage cannot execute twice and
+    # the checkpoint (plus its free_blocks lifecycle) is unnecessary. The
+    # global windows run on the SKETCH frame — <= n_partitions * (k+1)
+    # rows before the combine, fewer after — never the item domain, so
+    # single-partition execution is bounded by construction.
+    summed = rows.groupBy("item").agg(F.sum("c").alias("c"))
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(F.col("c").desc(), F.col("item"))
+    with_total = summed.withColumn(
+        "n_total",
+        F.sum(F.when(F.col("item") == "\x00__n__", F.col("c"))).over(w_all),
+    )
+    ranked = with_total.filter(F.col("item") != "\x00__n__").withColumn(
+        "__rn", F.row_number().over(w_rank)
+    )
+    # merge correction: subtract the (k+1)-th largest combined counter
+    # (zero when at most k items survived the partials — no rank k+1 row)
+    corrected = ranked.withColumn(
+        "sub",
+        F.coalesce(
+            F.max(
+                F.when(F.col("__rn") == k + 1, F.col("c"))
+            ).over(Window.partitionBy()),
+            F.lit(0),
+        ),
+    )
+    return corrected.filter(F.col("c") > F.col("sub")).select(
+        "item",
+        (F.col("c") - F.col("sub")).alias("est_count"),
+        F.floor(F.col("n_total") / (k + 1)).alias("err_bound"),
+        "n_total",
+    )
+
+
+def mg_heavy_hitters(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+    """(item, est_count, err_bound, n_total) — every item with true
+    frequency > ``n_total/(k+1)`` is present; its true count lies in
+    ``[est_count, est_count + err_bound]``.
+
+    ``err_bound = floor(n_total/(k+1))`` is the sketch's certificate: a
+    consumer decides from it whether the summary is precise enough or a
+    targeted exact count (a filtered groupBy on the few surviving items)
+    is worth a second pass.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     from .partitioning import spread
 
     rows = spread(df.select(F.col(item_col).alias("__item"))).mapInArrow(
-        partials, "item string, c long"
+        _mg_partials(k), "item string, c long"
     )
-    # Pin the partials to EXACTLY ONE execution. The three consumers below
-    # (merged output, the kth broadcast subquery, the n_total broadcast
-    # subquery) share this subtree, but AQE's exchange reuse does not
-    # extend across broadcast-subquery stage boundaries — measured at
-    # sf100: the 270M-token map stage executed TWICE per collect (64
-    # partition executions for 32 partitions), doubling the whole query.
-    # The checkpoint is ≤ (k+1) rows per partition — KBs — so pinning it
-    # is free, and lineage truncation makes every branch read the blocks.
-    rows = rows.localCheckpoint(eager=False)
-    summed = rows.groupBy("item").agg(F.sum("c").alias("c"))
-    totals = summed.filter(F.col("item") == "\x00__n__").select(
-        F.col("c").alias("n_total")
+    return _mg_combine(rows, k)
+
+
+def mg_heavy_hitters_text(
+    df: DataFrame, text_col: str, k: int = 64, split_on: str = " "
+) -> DataFrame:
+    """:func:`mg_heavy_hitters` over the TOKENS of a raw text column,
+    tokenizing inside the Arrow partials (pyarrow ``split_pattern`` +
+    drop-empties — exact parity with ``functions.text.tokens``, which the
+    consumer's exact pass keeps using JVM-side).
+
+    Same output contract and MG guarantee as the generic operator; the
+    difference is purely physical — the Arrow boundary carries one cell
+    per DOCUMENT instead of one per exploded token (see ``_mg_partials``),
+    which at sf100 turns a 10-44s transfer into ~2s and removes the
+    explode + repartition of the full token stream. The certified-output
+    equivalence with the exploded path is pytest-pinned.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from .partitioning import spread
+
+    rows = spread(df.select(F.col(text_col).alias("__text"))).mapInArrow(
+        _mg_partials(k, split_on=split_on), "item string, c long"
     )
-    merged = summed.filter(F.col("item") != "\x00__n__")
-    # merge correction: subtract the (k+1)-th largest combined counter
-    # (zero when at most k items survived the partials)
-    kth = (
-        merged.orderBy(F.col("c").desc(), F.col("item"))
-        .limit(k + 1)
-        .agg(
-            F.when(F.count(F.lit(1)) > k, F.min("c"))
-            .otherwise(F.lit(0))
-            .alias("sub")
-        )
-    )
-    return (
-        merged.crossJoin(F.broadcast(kth))
-        .crossJoin(F.broadcast(totals))
-        .filter(F.col("c") > F.col("sub"))
-        .select(
-            "item",
-            (F.col("c") - F.col("sub")).alias("est_count"),
-            F.floor(F.col("n_total") / (k + 1)).alias("err_bound"),
-            "n_total",
-        )
-    )
+    return _mg_combine(rows, k)

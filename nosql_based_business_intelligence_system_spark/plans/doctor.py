@@ -105,9 +105,11 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
         "cartesian_join": "1-row vocabulary-size table joined to every bigram"
     },
     "token_heavy_hitters": {
-        "cartesian_join": (
-            "1-row merge-correction and stream-total tables joined to the "
-            "<=k sketch rows"
+        "global_window": (
+            "merge-correction/stream-total windows over the combined "
+            "sketch frame (<= n_partitions*(k+1) rows by construction — "
+            "the r11 single-plan shape that removed the broadcast-"
+            "subquery partials race)"
         )
     },
     "theta_customer_overlap": {

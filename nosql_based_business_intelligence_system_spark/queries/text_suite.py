@@ -1732,7 +1732,14 @@ def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         F.explode(T.tokens(F.col("text"))).alias("tok")
     )
-    sketch = heavyhitters.mg_heavy_hitters(toks, "tok", k=MG_K)
+    # sketch over RAW TEXT (r11): tokenization happens inside the Arrow
+    # partials, so the JVM->Python boundary carries one cell per doc, not
+    # one per token — sf100: ~2s vs 10-44s for the exploded transfer (and
+    # no repartition of the exploded stream). The exact pass below keeps
+    # the JVM-side tokens(); the two tokenizers are parity-pinned.
+    sketch = heavyhitters.mg_heavy_hitters_text(
+        _docs(spark, sf_dir), "text", k=MG_K
+    )
     if _docs_count(spark, sf_dir) >= TEXT_SCALE_MIN_DOCS:
         rows = sketch.collect()  # <= MG_K rows by construction
         if not rows:

@@ -92,3 +92,53 @@ def test_targeted_exact_pass_matches_full_domain(spark, sf_correctness, monkeypa
         for r in text_suite.token_heavy_hitters(spark, sf_correctness).collect()
     }
     assert targeted == full and full
+
+
+def test_text_variant_matches_exploded_on_fixture(spark, sf_smoke):
+    """mg_heavy_hitters_text (doc-level Arrow transfer, pyarrow-side
+    tokenize) must satisfy the same bounds AND certify the same heavy set
+    as the exploded-token path — the r11 physical rewrite is invariant at
+    the certified-output level."""
+    from nosql_based_business_intelligence_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    k = 16
+    via_items = {r.item: r for r in hh.mg_heavy_hitters(toks, "tok", k).collect()}
+    via_text = {
+        r.item: r for r in hh.mg_heavy_hitters_text(docs, "text", k).collect()
+    }
+    exact = {r.t: r.true_count for r in _exact_token_counts(docs).collect()}
+    n = sum(exact.values())
+    assert via_text
+    for item, r in via_text.items():
+        assert r.n_total == n  # identical token accounting
+        assert r.est_count <= exact[item]
+        assert exact[item] - r.est_count <= r.err_bound
+    # every certified-heavy token appears in BOTH sketches (the MG
+    # guarantee is partitioning/tokenizer-path independent)
+    for item, true in exact.items():
+        if true > n / (k + 1):
+            assert item in via_text and item in via_items
+
+
+def test_text_variant_tokenizer_edge_parity(spark):
+    """pyarrow split_pattern parity with F.split+drop-empties: runs of
+    separators, leading/trailing separators, empty and NULL text."""
+    rows = [
+        Row(text="a  b"),          # double space -> empty token dropped
+        Row(text=" a b "),         # leading/trailing
+        Row(text=""),              # no tokens
+        Row(text=None),            # no rows
+        Row(text="a a a b"),
+    ]
+    docs = spark.createDataFrame(rows, "text string")
+    got = {
+        r.item: r.est_count
+        for r in hh.mg_heavy_hitters_text(docs, "text", k=8).collect()
+    }
+    assert got == {"a": 5, "b": 3}
+    n_total = hh.mg_heavy_hitters_text(docs, "text", k=8).collect()[0].n_total
+    assert n_total == 8
