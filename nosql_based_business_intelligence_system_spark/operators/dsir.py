@@ -109,8 +109,23 @@ def importance_weights(
 
     raw = spread(raw, id_col)
     target = spread(target)
-    t_counts = ngram_count_model(target, content_col, n, n_buckets)
-    r_counts = ngram_count_model(raw, content_col, n, n_buckets)
+    # EAGER checkpoint of the two count models (r11): each table is at
+    # most n_buckets rows (parameter-bounded, KBs), but its LINEAGE is a
+    # corpus-scaled tokenize+shingle+hash pass — and it has three
+    # consumers (the per-gram left join, and the 1-row total as a
+    # broadcast SUBQUERY, which Spark executes as a concurrent separate
+    # job with no exchange reuse across the subquery boundary). Without
+    # the barrier the raw corpus is hashed up to 3x and the target 2x
+    # per execution (measured sf0.1: five ~10-26s 32-task stages for
+    # what is two corpus passes). Eager, not lazy: concurrent first
+    # consumers race a lazy checkpoint and each recompute the stage
+    # (the MG-sketch r11 race class).
+    t_counts = ngram_count_model(target, content_col, n, n_buckets).localCheckpoint(
+        eager=True
+    )
+    r_counts = ngram_count_model(raw, content_col, n, n_buckets).localCheckpoint(
+        eager=True
+    )
     t_total = t_counts.agg(F.sum("c").alias("nt"))
     r_total = r_counts.agg(F.sum("c").alias("nr"))
 

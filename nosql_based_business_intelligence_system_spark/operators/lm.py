@@ -76,11 +76,17 @@ def doc_lm_scores(
     # and the scoring pass all consume the token arrays, and without a
     # materialization barrier each consumer re-runs the regex tokenizer
     # over the full corpus (3 tokenize passes — the dominant cost of the
-    # sf10 wall clock, r5 verdict item 6). localCheckpoint truncates the
-    # shared prefix so tokenization runs once per query, not per consumer.
+    # sf10 wall clock, r5 verdict item 6). EAGER (r11): a lazy checkpoint
+    # only deduplicates consumers that arrive AFTER the first
+    # materialization — the vocab broadcast subquery (and AQE's runtime
+    # broadcast conversions of the count-table joins at small sf) launch
+    # CONCURRENTLY with the main pass, and concurrent first consumers
+    # each recompute the tokenize stage (the same race class as the MG
+    # sketch's r11 fix; measured here: big-stage CPU 26.6s -> 14.8s per
+    # sf0.1 pass with eager).
     toks_df = df.select(
         F.col(id_col), T.tokens(F.col(content_col)).alias("__toks")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     toks = F.col("__toks")
     pairs = toks_df.select(
         F.col(id_col), F.explode_outer(token_bigrams(toks)).alias("bg")

@@ -71,10 +71,15 @@ ORACLE_BUDGET_S = 1200
 ORACLE_MIN_FREE_GB = 40
 SPARK_BUDGET_S = 900
 OVERRIDES: dict[str, dict] = {
-    "dedup_minhash_guarded": {"budget": 2700, "min_free_gb": 80},
-    "dedup_cross_corpus_minhash": {"budget": 2700, "min_free_gb": 80},
-    "dedup_fuzzy_keep_minhash": {"budget": 2700, "min_free_gb": 80},
-    "dedup_clusters_minhash": {"budget": 2700, "min_free_gb": 80},
+    # min_free_gb 55: the r10 ENOSPC death came from SHARING the spill
+    # disk with two other oracle processes; solo with a 90GB memory
+    # limit the banded twins barely spill, and a solo ENOSPC is a clean
+    # recorded failure rather than a cross-process blast — the admission
+    # bar prices the sharing hazard, not the twin's worst case.
+    "dedup_minhash_guarded": {"budget": 2700, "min_free_gb": 55},
+    "dedup_cross_corpus_minhash": {"budget": 2700, "min_free_gb": 55},
+    "dedup_fuzzy_keep_minhash": {"budget": 2700, "min_free_gb": 55},
+    "dedup_clusters_minhash": {"budget": 2700, "min_free_gb": 55},
     "dsir_selected_docs": {"budget": 2400},
     "doc_lm_perplexity": {"budget": 2400},
     "line_metrics": {"budget": 2400},
