@@ -7,7 +7,9 @@ hashed-n-grams unigram models; resample raw docs proportionally to the
 ratio to shift the corpus toward the target domain.
 
 Spark shape (everything is counts + joins; the corpus is scanned once per
-count table):
+count table — or once for BOTH models via
+:func:`importance_weights_subset` when the target is a predicate over the
+raw corpus, the shape every in-corpus selection query uses):
 
 1. hash every token n-gram into ``n_buckets`` via an md5-derived bucket
    (:func:`hash_bucket` — stable across partitionings AND across engines,
@@ -50,17 +52,17 @@ def dd_hash_bucket(g: str, n_buckets: int) -> str:
     return f"((('0x' || substr(md5({g}), 1, 15))::BIGINT) % {n_buckets})"
 
 
-def _hashed_ngrams(
-    content: Column, n: int, n_buckets: int
-) -> Column:
-    """All (overlapping) word n-grams of the text, hashed to
-    [0, n_buckets) — duplicates kept (counts are what the model needs)."""
-    toks = T.tokens(content)
-    grams = (
-        T.word_shingles_all(toks, n)
-        if n > 1
-        else toks
-    )
+def _hashed_ngrams_of(toks: Column, n: int, n_buckets: int) -> Column:
+    """All (overlapping) word n-grams over a PROJECTED token-array column,
+    hashed to [0, n_buckets) — duplicates kept (counts are what the model
+    needs).
+
+    ``toks`` must be a materialized column, not a ``T.tokens(...)``
+    expression: the shingle transform's lambda slices the array per
+    element, subexpression elimination does not reach into HOF lambdas,
+    and an inlined tokenizer re-runs per reference (the r12 lm.py
+    finding — its inlined count map measured 6x the projected one)."""
+    grams = T.word_shingles_all(toks, n) if n > 1 else toks
     return F.transform(grams, lambda g: hash_bucket(g, n_buckets))
 
 
@@ -72,14 +74,90 @@ def ngram_count_model(
 ) -> DataFrame:
     """(bucket, c) hashed-n-gram counts — the bag-of-ngrams "model"."""
     return (
-        df.select(
-            F.explode(_hashed_ngrams(F.col(content_col), n, n_buckets)).alias(
-                "bucket"
-            )
+        df.select(T.tokens(F.col(content_col)).alias("__toks"))
+        .select(
+            F.explode(
+                _hashed_ngrams_of(F.col("__toks"), n, n_buckets)
+            ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def importance_weights_subset(
+    raw: DataFrame,
+    target_pred: Column,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    n_buckets: int = 1 << 16,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """:func:`importance_weights` for the common case where the target
+    domain is a PREDICATE over the raw corpus (e.g. ``lang == 'en'``) —
+    the shape every in-corpus DSIR selection uses.
+
+    Identical output to ``importance_weights(raw, raw.filter(pred))``,
+    with two corpus passes instead of three: ONE hash pass builds BOTH
+    count models (explode (bucket, is_target), one grouped count with a
+    conditional sum — target grams are a flag, not a second scan), and
+    the scoring pass consumes a single precomputed per-bucket term table
+    (``log(ct+1) - log(cr+1)``, n_buckets rows, one broadcast join
+    instead of two). The n_buckets-bounded combined model takes the
+    EAGER barrier (r11/r12 race-class discipline: the totals broadcast
+    subqueries replay checkpoint blocks, never the corpus; the
+    corpus-scaled scoring lineage has exactly one consumer).
+    sf100 (265M bigrams, 5M docs): 465.8s/pass -> see PLANS.md r12.
+    """
+    from .partitioning import spread
+
+    raw = spread(raw, id_col)
+    toked = raw.select(
+        F.col(id_col),
+        target_pred.cast("int").alias("__is_t"),
+        T.tokens(F.col(content_col)).alias("__toks"),
+    )
+    grams = _hashed_ngrams_of(F.col("__toks"), n, n_buckets)
+    model = (
+        toked.select(F.explode(grams).alias("bucket"), "__is_t")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.coalesce(F.sum("__is_t"), F.lit(0)).alias("ct"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    totals = model.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    per_gram = toked.select(
+        F.col(id_col), F.explode_outer(grams).alias("bucket")
+    ).join(model, "bucket", "left")
+    # BIT-IDENTICAL to the general path's gram_term: same operand order
+    # and association (FP addition is not associative; the pinned oracle
+    # hashes round logw AFTER summing ~50 gram terms, so even a last-ulp
+    # reassociation could flip a rounded 6th decimal).
+    gram_term = (
+        F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+        - F.log(F.col("nt") + float(n_buckets))
+        - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+        + F.log(F.col("nr") + float(n_buckets))
+    )
+    out = (
+        per_gram.crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bucket")).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket").isNotNull(), gram_term)),
+                F.lit(0.0),
+            ).alias("logw"),
+        )
+    )
+    if round_digits is not None:
+        out = out.withColumn("logw", F.round("logw", round_digits))
+    return out
 
 
 def importance_weights(
@@ -131,9 +209,12 @@ def importance_weights(
 
     per_gram = (
         raw.select(
+            F.col(id_col), T.tokens(F.col(content_col)).alias("__toks")
+        )
+        .select(
             F.col(id_col),
             F.explode_outer(
-                _hashed_ngrams(F.col(content_col), n, n_buckets)
+                _hashed_ngrams_of(F.col("__toks"), n, n_buckets)
             ).alias("bucket"),
         )
         .join(t_counts.withColumnRenamed("c", "ct"), "bucket", "left")
@@ -166,13 +247,14 @@ def importance_weights(
 
 def importance_resample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     fraction: float = 0.25,
     content_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
     n_buckets: int = 1 << 16,
     round_digits: int | None = None,
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Top-``fraction`` of raw docs by importance weight (deterministic
     rank cutoff, ties broken on id — the paper's Gumbel-noise sampling is
@@ -184,10 +266,19 @@ def importance_resample(
     callers pass ``round_digits`` so the sort key is the ROUNDED weight
     on both engines — a last-ulp libm divergence near the rank boundary
     must not flip which doc makes the cut.
+
+    Pass ``target_pred`` (and ``target=None``) when the target domain is
+    a predicate over ``raw`` — weights then come from the two-pass
+    :func:`importance_weights_subset`.
     """
-    w = importance_weights(
-        raw, target, content_col, id_col, n, n_buckets, round_digits
-    )
+    if target_pred is not None:
+        w = importance_weights_subset(
+            raw, target_pred, content_col, id_col, n, n_buckets, round_digits
+        )
+    else:
+        w = importance_weights(
+            raw, target, content_col, id_col, n, n_buckets, round_digits
+        )
     total = raw.count()
     keep = max(int(total * fraction), 1)
     # Zero-gram docs score a neutral 0.0, which would outrank any doc with

@@ -12,8 +12,9 @@ Model: add-one-smoothed bigram LM over whitespace tokens,
 cross-entropy is ``-avg(ln p)`` over the doc's bigrams and perplexity is
 its exp. Everything is counts + joins:
 
-- one explode -> grouped count for unigrams (c(prev) and V),
-- one explode -> grouped count for bigrams,
+- ONE explode -> grouped count producing BOTH tables at once (a unigram
+  record is a (w, NULL) row, a bigram record a (prev, cur) row — one
+  tokenize pass, one shuffle, then split by ``cur IS NULL``),
 - one scoring pass joining each doc bigram to the two count tables.
 
 Count tables are vocabulary-sized (<< corpus at any scale) and
@@ -72,35 +73,77 @@ def doc_lm_scores(
     from .partitioning import spread
 
     df = spread(df, id_col)
-    # Tokenize ONCE: the model-building passes (unigram + bigram counts)
-    # and the scoring pass all consume the token arrays, and without a
-    # materialization barrier each consumer re-runs the regex tokenizer
-    # over the full corpus (3 tokenize passes — the dominant cost of the
-    # sf10 wall clock, r5 verdict item 6). EAGER (r11): a lazy checkpoint
-    # only deduplicates consumers that arrive AFTER the first
-    # materialization — the vocab broadcast subquery (and AQE's runtime
-    # broadcast conversions of the count-table joins at small sf) launch
-    # CONCURRENTLY with the main pass, and concurrent first consumers
-    # each recompute the tokenize stage (the same race class as the MG
-    # sketch's r11 fix; measured here: big-stage CPU 26.6s -> 14.8s per
-    # sf0.1 pass with eager).
-    toks_df = df.select(
+    # Two corpus tokenize passes TOTAL, zero corpus-scale materialization
+    # (r12; the r11 shape eagerly checkpointed the full token-ARRAY frame
+    # to kill a duplicate-tokenize race, which halved CPU but LOST wall at
+    # every scale — sf0.1 0.94->1.12s, sf100 67.5->83.4s — because
+    # serializing 5M docs of array<string> into block storage costs more
+    # than the recompute it saved):
+    #
+    #   pass 1 (model build): ONE tokenize pass emits the doc's bigrams
+    #     PLUS one (last_token, NULL) record — n rows per n-token doc, not
+    #     2n-1 — then one grouped count -> the combined count table, which
+    #     is VOCABULARY-scaled (<< corpus). Unigram counts come back
+    #     EXACTLY as groupBy(prev).sum(c) over that bounded table: every
+    #     token occurrence appears exactly once as a ``prev`` (tokens
+    #     t1..tn-1 in the bigrams, tn in the last-token record). THAT
+    #     bounded frame takes the EAGER barrier — the
+    #     dsir.importance_weights pattern — so the vocab broadcast
+    #     subquery and AQE's runtime broadcast conversions (the concurrent
+    #     first consumers of the r11 race class) replay cheap checkpoint
+    #     blocks, never the corpus. (Deriving uni/big by FILTERING one
+    #     un-checkpointed counts plan does not work: Catalyst pushes the
+    #     cur-IS-NULL filters below the aggregate, the three exchanges
+    #     stop being identical, ReuseExchange is structurally defeated,
+    #     and the corpus is tokenized 3x — measured 1.88s vs 1.15s at
+    #     sf0.1.)
+    #   pass 2 (scoring): its own single tokenize lineage with exactly one
+    #     consumer — explode -> count-table joins -> per-doc agg is one
+    #     linear plan, so the corpus stage cannot race itself.
+    #
+    # NOTE: the eager barrier makes CONSTRUCTING this DataFrame run the
+    # model-build job (fn() is not lazy); plan-inspection tooling pays one
+    # bounded-output corpus pass at build time.
+    #
+    # The token array is PROJECTED as a real column in each pass rather
+    # than inlined as an expression: token_bigrams/last_rec reference the
+    # array many times (size, sequence bounds, element_at inside the
+    # transform lambda), codegen's subexpression elimination does not
+    # reach into higher-order-function lambdas, and an inlined ``toks``
+    # re-runs the regex tokenizer per reference — measured sf10: the
+    # count map stage is 475s CPU inlined vs 78s projected (CollapseProject
+    # keeps the projection because a non-cheap expression with multiple
+    # consumer references is not inlined).
+    toked = df.select(
         F.col(id_col), T.tokens(F.col(content_col)).alias("__toks")
-    ).localCheckpoint(eager=True)
+    )
     toks = F.col("__toks")
-    pairs = toks_df.select(
+    last_rec = F.when(
+        F.size(toks) >= 1,
+        F.array(
+            F.struct(
+                F.element_at(toks, -1).alias("prev"),
+                F.lit(None).cast("string").alias("cur"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+    counts = (
+        toked.select(
+            F.explode(F.concat(token_bigrams(toks), last_rec)).alias("r")
+        )
+        .select(F.col("r.prev").alias("prev"), F.col("r.cur").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uni = counts.groupBy(F.col("prev").alias("w")).agg(F.sum("c").alias("cp"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = counts.filter(F.col("cur").isNotNull()).select(
+        "prev", "cur", F.col("c").alias("cb")
+    )
+    pairs = toked.select(
         F.col(id_col), F.explode_outer(token_bigrams(toks)).alias("bg")
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-
-    uni = (
-        toks_df.select(F.explode(toks).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cp"))
-    )
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    big = pairs.filter(F.col("prev").isNotNull()).groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).alias("cb")
-    )
 
     logp = F.log(F.col("cb") + F.lit(1.0)) - F.log(F.col("cp") + F.col("v"))
     uni_prev = uni.withColumnRenamed("w", "prev")

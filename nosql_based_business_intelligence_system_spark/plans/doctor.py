@@ -20,6 +20,14 @@ Rules (severity):
   and write-layout pattern.
 - ``unpushed_filter`` (warn): a Filter sits on a Parquet scan whose
   PushedFilters list is empty — the predicate streams every row group.
+- ``lazy_rescan`` (error): the same NOT-YET-MATERIALIZED checkpoint RDD
+  is scanned more than once in a plan that also contains broadcast
+  exchanges or subqueries — the r11 race class: broadcast/subquery jobs
+  launch CONCURRENTLY with the main stages, and concurrent first
+  consumers of a lazy ``localCheckpoint`` each recompute its lineage
+  (the corpus stage silently runs 2-3x per action; found three times in
+  r11 — MG partials, LM tokenize, DSIR count models). Fix: eager
+  checkpoint the BOUNDED derived frame (never a corpus-scaled one).
 - ``wide_scan`` (info): a Parquet scan reading 12+ columns — verify the
   query really needs them (projection pruning may be blocked by
   ``select *`` or UDF opacity).
@@ -142,6 +150,34 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
 }
 
 
+def _lazy_rescans(df: DataFrame) -> list[tuple[int, int]]:
+    """(rdd_id, scan_count) for every checkpoint-backed ``LogicalRDD``
+    scanned >= 2 times in the analyzed plan whose RDD has NOT materialized
+    yet (``isCheckpointed()`` false — i.e. a lazy ``localCheckpoint``, or
+    one whose eager flag was dropped). Traverses the JVM logical plan;
+    an eager checkpoint is already materialized when the query builder
+    returns, so it reports true and never appears here."""
+    counts: dict[int, int] = {}
+    lazy: set[int] = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            rdd = node.rdd()
+            rid = rdd.id()
+            counts[rid] = counts.get(rid, 0) + 1
+            if not rdd.isCheckpointed():
+                lazy.add(rid)
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        # subquery plans hang off expressions, not children
+        subqs = node.subqueries()
+        for i in range(subqs.size()):
+            stack.append(subqs.apply(i))
+    return [(rid, c) for rid, c in counts.items() if c >= 2 and rid in lazy]
+
+
 def diagnose(df: DataFrame, allow: dict[str, str] | None = None) -> list[dict]:
     """Run every rule; return findings as dicts (rule, severity, detail).
 
@@ -176,6 +212,20 @@ def diagnose(df: DataFrame, allow: dict[str, str] | None = None) -> list[dict]:
             "error",
             "row-at-a-time Python UDF (BatchEvalPython)",
         )
+
+    # r11 race class: multiple scans of an unmaterialized checkpoint RDD
+    # in a plan whose broadcast exchanges / subqueries will launch
+    # concurrent first consumers — each recomputes the lineage.
+    if "BroadcastExchange" in formatted or "Subquery" in formatted:
+        for rid, c in _lazy_rescans(df):
+            hit(
+                "lazy_rescan",
+                "error",
+                f"unmaterialized checkpoint RDD {rid} scanned {c}x in a "
+                "plan with broadcast/subquery consumers — concurrent "
+                "first consumers recompute its lineage (use "
+                "localCheckpoint(eager=True) on a BOUNDED frame)",
+            )
 
     # Window with empty partition spec: the analyzed plan prints
     # `windowspecdefinition(<part cols>, <order> ASC ...)`; when no

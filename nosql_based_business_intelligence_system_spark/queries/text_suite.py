@@ -483,8 +483,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dsir
 
     d = _docs(spark, sf_dir)
-    return dsir.importance_weights(
-        d, d.filter(F.col("lang") == "en"), round_digits=6
+    return dsir.importance_weights_subset(
+        d, F.col("lang") == "en", round_digits=6
     )
 
 
@@ -496,7 +496,11 @@ def dsir_selected_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     return dsir.importance_resample(
-        d, d.filter(F.col("lang") == "en"), fraction=0.25, round_digits=6
+        d,
+        None,
+        fraction=0.25,
+        round_digits=6,
+        target_pred=F.col("lang") == "en",
     )
 
 

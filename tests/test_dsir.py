@@ -98,3 +98,59 @@ def test_resample_plans_take_ordered(spark):
     tgt_df = spark.createDataFrame(TARGET)
     df = dsir.importance_resample(raw_df, tgt_df, fraction=0.4)
     assert I.uses_take_ordered(df)
+
+
+def test_subset_path_matches_general_path(spark):
+    """importance_weights_subset(raw, pred) must equal
+    importance_weights(raw, raw.filter(pred)) at FULL precision — same
+    gram_term operand order, so even the unrounded doubles agree."""
+    from pyspark.sql import functions as F
+
+    docs = [
+        Row(doc_id=i, lang=("en" if i % 3 else "fr"),
+            text=RAW[i % len(RAW)].text + f" suffix{i % 7} tail{i % 5}")
+        for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(docs)
+    pred = F.col("lang") == "en"
+    general = {
+        r.doc_id: r
+        for r in dsir.importance_weights(
+            df, df.filter(pred), n=2, n_buckets=N_BUCKETS
+        ).collect()
+    }
+    subset = {
+        r.doc_id: r
+        for r in dsir.importance_weights_subset(
+            df, pred, n=2, n_buckets=N_BUCKETS
+        ).collect()
+    }
+    assert set(general) == set(subset)
+    for k in general:
+        assert general[k].n_grams == subset[k].n_grams
+        assert general[k].logw == subset[k].logw, k  # bit-exact
+
+
+def test_resample_subset_pred_matches_target_frame(spark):
+    from pyspark.sql import functions as F
+
+    docs = [
+        Row(doc_id=i, lang=("en" if i % 2 else "de"),
+            text=RAW[i % len(RAW)].text)
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(docs)
+    pred = F.col("lang") == "en"
+    a = sorted(
+        r.doc_id
+        for r in dsir.importance_resample(
+            df, df.filter(pred), fraction=0.3, round_digits=6
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in dsir.importance_resample(
+            df, None, fraction=0.3, round_digits=6, target_pred=pred
+        ).collect()
+    )
+    assert a == b

@@ -122,23 +122,34 @@ def _free_gb(path: str) -> float:
 
 def _run(cmd, timeout, env=None):
     """Run a subprocess, return (rc, tail_of_output, wall_s); rc=-9 on
-    timeout (process group killed so a hung JVM can't linger)."""
+    timeout. The child gets its OWN process group (start_new_session) and
+    on timeout the WHOLE group is SIGKILLed before the pipe is drained —
+    subprocess.run's own timeout only kills the direct python child, so a
+    pyspark JVM / DuckDB grandchild inheriting the stdout pipe would keep
+    the read blocked forever AND keep holding the memory/spill disk the
+    admission prechecks priced (r11 advice 1: the exact r10 ENOSPC
+    sharing hazard)."""
+    import signal
+
     t0 = time.time()
+    p = subprocess.Popen(
+        cmd,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        env=env,
+        text=True,
+        start_new_session=True,
+    )
     try:
-        p = subprocess.run(
-            cmd,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            timeout=timeout,
-            env=env,
-            text=True,
-        )
-        return p.returncode, p.stdout[-8000:], time.time() - t0
-    except subprocess.TimeoutExpired as e:
-        out = e.output or b""
-        if isinstance(out, bytes):
-            out = out.decode(errors="replace")
-        return -9, out[-8000:], time.time() - t0
+        out, _ = p.communicate(timeout=timeout)
+        return p.returncode, (out or "")[-8000:], time.time() - t0
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        out, _ = p.communicate()
+        return -9, (out or "")[-8000:], time.time() - t0
 
 
 def phase_spark(sf_dir, workdir, state, plan, chunk, spark_mem, only, force):
@@ -357,6 +368,9 @@ def report(state, plan, only=()) -> int:
         rows.append((name, mode, res, n))
         ok = res in ("OK", "guard-fired", "rows-recorded")
         bad += 0 if ok else 1
+    if not rows:
+        print("no entries (empty state file or --only matched nothing)")
+        return 0
     w = max(len(r[0]) for r in rows)
     print(f"{'query'.ljust(w)} | mode | result | spark rows")
     for r in rows:

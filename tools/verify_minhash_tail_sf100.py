@@ -68,6 +68,13 @@ def main() -> int:
         max_docs_per_band_key=MINHASH_BAND_CAP,
         disk_guard=_pair_guard_on(spark, sf_dir),
     ).select("doc_a", "doc_b")
+    # ONE pipeline execution (r11 advice 2: count() + collect() re-ran the
+    # full sf100 signature+banding pipeline twice — the only expensive
+    # stage of this tool): materialize the narrow edge frame once, then
+    # count and collect read the materialized blocks. The edge frame is
+    # ~MBs (pairs, two bigints) even at sf100's 281k edges; the cap check
+    # still gates the collect.
+    pairs = pairs.localCheckpoint(eager=True)
     n_edges = pairs.count()
     if n_edges > EDGE_CAP:
         print(f"ABORT: {n_edges} edges exceeds the {EDGE_CAP} collect cap")
