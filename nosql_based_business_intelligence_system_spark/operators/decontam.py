@@ -100,10 +100,16 @@ def flag_contaminated(
     """
     from ..functions import text as T
 
-    toks = T.tokens(F.col(content_col))
-    staged = docs.withColumn("__sh", T.word_shingle_hashes(toks, n))
+    # Project the token array before shingling: word_shingle_hashes'
+    # lambda reads ``toks`` via element_at n times per shingle, HOF lambda
+    # bodies are outside subexpression elimination, and an inlined
+    # tokenizer expression re-runs per reference (r12 lm/dsir finding).
+    staged = docs.withColumn(
+        "__toks", T.tokens(F.col(content_col))
+    ).withColumn("__sh", T.word_shingle_hashes(F.col("__toks"), n))
     return (
-        staged.crossJoin(eval_sh)
+        staged.drop("__toks")
+        .crossJoin(eval_sh)
         .withColumn(
             "n_shared_ngrams",
             F.size(F.array_intersect(F.col("__sh"), F.col("__eval_sh"))).cast(

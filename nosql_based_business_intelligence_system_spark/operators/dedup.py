@@ -843,10 +843,16 @@ def minhash_lsh_dupes_ml(
     benches faster (no fit pass, no vector conversion)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        T.word_shingles(T.tokens(F.col(content_col)), n).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    toks = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            T.tokens(F.col(content_col)).alias("__toks"),
+        )
+        .select(
+            "doc", T.word_shingles(F.col("__toks"), n).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )

@@ -33,6 +33,19 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
+#: Memory-size cap for broadcasting the materialized bigram model in the
+#: scoring join. This is an OPERATOR-level decision, deliberately larger
+#: than the engine's 64m dimension-table threshold: the alternative to
+#: broadcasting the model is shuffling the CORPUS (sf100 measured: 3.1GB
+#: of exploded bigrams written + 2.7GB of joined rows re-shuffled for the
+#: per-doc agg — 5.8GB of exchange the broadcast shape never
+#: materializes), so a few hundred MB of broadcast is the cheap side of
+#: the trade. The stats come from the checkpoint's actual block sizes
+#: (deserialized), not an estimate; a real web corpus's bigram model
+#: (tens of GB) exceeds the cap and falls back to the shuffle join with
+#: the ``shuffle_hash_joins`` lever.
+BROADCAST_MODEL_MAX_BYTES = 512 << 20
+
 
 def token_bigrams(toks: Column) -> Column:
     """(prev, cur) struct per adjacent token pair — transform over an index
@@ -146,13 +159,39 @@ def doc_lm_scores(
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
 
     logp = F.log(F.col("cb") + F.lit(1.0)) - F.log(F.col("cp") + F.col("v"))
-    uni_prev = uni.withColumnRenamed("w", "prev")
-    if shuffle_hash_joins:  # see docstring: the third-decade join shape
-        big = big.hint("shuffle_hash")
-        uni_prev = uni_prev.hint("shuffle_hash")
+    # Fold c(prev) into the bigram table BEFORE the corpus join: both
+    # sides are bounded (checkpoint-derived), so this inner join is
+    # vocabulary-scaled — and the corpus-side scoring then probes ONE
+    # table instead of two (every non-null (prev, cur) in pairs exists in
+    # big by construction: it was counted from the same corpus, so the
+    # single left join loses nothing). The joined model takes its OWN
+    # eager checkpoint: a LogicalRDD carries a real sizeInBytes, so the
+    # planner's broadcast decision on the scoring join is made STATICALLY
+    # against the actual model size — and when it broadcasts, the scoring
+    # pass never shuffles the corpus at all: pairs keep the spread's
+    # id-hash partitioning, the probe fuses into the tokenize stage, and
+    # groupBy(id) needs no exchange (measured sf100: the SMJ/SHJ shapes
+    # shuffle-write 4.3GB of exploded bigrams + 1.8GB of joined rows that
+    # the broadcast shape never materializes). A filter/agg DERIVED from
+    # the counts checkpoint does not get this: join-size estimation
+    # without column stats blows up and the planner falls back to sort-
+    # merge (the r12 proj-variant stage table in PLANS.md). Threshold-
+    # decided, never forced: a real web corpus's bigram table can exceed
+    # any broadcast budget, in which case the planner keeps the shuffle
+    # join and ``shuffle_hash_joins`` remains the third-decade lever
+    # (sf100: 72.6s shuffle_hash vs 82.4s SMJ).
+    model = big.join(uni.withColumnRenamed("w", "prev"), "prev").localCheckpoint(
+        eager=True
+    )
+    msize = int(
+        str(model._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    if msize <= BROADCAST_MODEL_MAX_BYTES:
+        model = F.broadcast(model)
+    elif shuffle_hash_joins:
+        model = model.hint("shuffle_hash")
     scored = (
-        pairs.join(big, ["prev", "cur"], "left")
-        .join(uni_prev, ["prev"], "left")
+        pairs.join(model, ["prev", "cur"], "left")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

@@ -30,6 +30,11 @@ Phases, each resumable from the state file in --workdir:
      pre-check (pricing the twin's scratch the way the engine's
      pair_disk_guard prices its own pair stages — the r10 ENOSPC death was
      exactly a twin spilling into a disk something else was filling).
+  4. tail: the minhash tail check (tools/verify_minhash_tail_sf100.py)
+     as a recorded per-query mode — keep/clusters re-derived by an
+     independent python union-find from the Spark pair list, compared
+     against the spark-phase recordings (r11 advisory 7: one artifact,
+     one state file).
   report: print the PLANS.md campaign table from the state file.
 
 Re-invoking skips everything already green; ``--force q...`` re-runs
@@ -352,6 +357,44 @@ def phase_oracle(sf_dir, workdir, state, plan, duckdb_mem, only, force):
         _save(os.path.join(workdir, "state.json"), state)
 
 
+#: Queries whose sf100 evidence comes from the minhash TAIL check
+#: (tools/verify_minhash_tail_sf100.py): the DuckDB twins are proven
+#: infeasible at sf100 (recorded oracle deaths), so an independent
+#: python union-find re-derives keep/clusters from the Spark pair list
+#: and compares against the --spark-only recordings.
+TAIL_QUERIES = ("dedup_fuzzy_keep_minhash", "dedup_clusters_minhash")
+
+
+def phase_tail(sf_dir, workdir, state, spark_mem, force):
+    """r11 advisory 7: run the minhash tail check as a recorded campaign
+    mode, so the third-decade evidence table is ONE artifact with ONE
+    state file (previously campaign-state + a side tool's stdout)."""
+    done = all(
+        state["queries"].get(q, {}).get("result") == "tail-OK"
+        for q in TAIL_QUERIES
+    )
+    if done and not (force & set(TAIL_QUERIES)):
+        return
+    rec_path = os.path.join(workdir, "rec_full.json")
+    if not os.path.exists(rec_path):
+        print("[tail] no rec_full.json yet — run the spark phase first")
+        return
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=spark_mem)
+    rc, out, wall = _run(
+        [sys.executable, os.path.join(REPO, "tools", "verify_minhash_tail_sf100.py"),
+         sf_dir, rec_path],
+        timeout=3600,
+        env=env,
+    )
+    print(out[-2000:])
+    for q in TAIL_QUERIES:
+        cur = state["queries"].setdefault(q, {})
+        line_ok = f"OK    {q}:" in out
+        cur["result"] = "tail-OK" if (rc == 0 and line_ok) else "tail-FAIL"
+        cur["tail_secs"] = round(wall, 1)
+    _save(os.path.join(workdir, "state.json"), state)
+
+
 def report(state, plan, only=()) -> int:
     rows = []
     bad = 0
@@ -366,7 +409,7 @@ def report(state, plan, only=()) -> int:
         if mode == "sampled":
             mode = f"sampled 16^-{SAMPLE_N}"
         rows.append((name, mode, res, n))
-        ok = res in ("OK", "guard-fired", "rows-recorded")
+        ok = res in ("OK", "guard-fired", "rows-recorded", "tail-OK")
         bad += 0 if ok else 1
     if not rows:
         print("no entries (empty state file or --only matched nothing)")
@@ -380,6 +423,7 @@ def report(state, plan, only=()) -> int:
         f"\n{greens} cross-engine green, "
         f"{sum(1 for r in rows if r[2] == 'guard-fired')} guard-proven, "
         f"{sum(1 for r in rows if r[2] == 'rows-recorded')} rows-only, "
+        f"{sum(1 for r in rows if r[2] == 'tail-OK')} tail-checked, "
         f"{bad} not green"
     )
     return 2 if bad else 0
@@ -427,6 +471,8 @@ def main() -> int:
         phase_guard(sf_dir, workdir, state, plan, spark_mem, only, force)
     if phase in ("oracle", "all"):
         phase_oracle(sf_dir, workdir, state, plan, duckdb_mem, only, force)
+    if phase in ("tail", "all"):
+        phase_tail(sf_dir, workdir, state, spark_mem, force)
     _save(state_path, state)
     if phase in ("report", "all"):
         return report(state, plan, only)
