@@ -35,6 +35,19 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 
+#: Broadcast the (bucket, counts) model tables in the scoring join when
+#: ``n_buckets`` guarantees they fit: the tables are PARAMETER-bounded
+#: (<= n_buckets rows regardless of corpus size), and without the explicit
+#: hint the planner sees only the checkpoint's ORIGIN estimates — which
+#: scale with the corpus and silently flip the join to sort-merge at some
+#: sf (measured sf100: 2GB of exploded-gram shuffle + a 648MB re-shuffle
+#: for the per-doc agg, while the model's actual blocks were 7.2MB; the
+#: broadcast shape keeps scoring in ONE fused map stage with the per-doc
+#: partial agg collapsing in place). ~32B/row -> 1<<24 buckets is ~0.5GB,
+#: the same budget class as lm.BROADCAST_MODEL_MAX_BYTES; callers raising
+#: n_buckets past it fall back to the planner's shuffle join.
+BROADCAST_MODEL_MAX_BUCKETS = 1 << 24
+
 
 def hash_bucket(g: Column, n_buckets: int) -> Column:
     """Engine-portable n-gram bucket: the first 15 hex chars of md5 (60
@@ -131,9 +144,12 @@ def importance_weights_subset(
     totals = model.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
     )
+    probe = (
+        F.broadcast(model) if n_buckets <= BROADCAST_MODEL_MAX_BUCKETS else model
+    )
     per_gram = toked.select(
         F.col(id_col), F.explode_outer(grams).alias("bucket")
-    ).join(model, "bucket", "left")
+    ).join(probe, "bucket", "left")
     # BIT-IDENTICAL to the general path's gram_term: same operand order
     # and association (FP addition is not associative; the pinned oracle
     # hashes round logw AFTER summing ~50 gram terms, so even a last-ulp
@@ -177,11 +193,12 @@ def importance_weights(
     add-one smoothing over the bucket vocabulary; docs with no n-grams get
     logw = 0.0 (neutral). Higher = more target-like.
 
-    The two count tables are at most ``n_buckets`` rows — broadcast-
-    eligible by size threshold, never forced (n_buckets is a parameter;
-    callers can raise it past broadcastability, and AQE then plans a
-    shuffled join). Left joins keep unseen buckets (count 0 under
-    smoothing).
+    The two count tables are at most ``n_buckets`` rows — broadcast by
+    contract while ``n_buckets <= BROADCAST_MODEL_MAX_BUCKETS`` (the
+    planner's own estimate for a checkpoint is corpus-scaled and flips to
+    sort-merge at scale; see the constant's docstring); raising n_buckets
+    past the budget falls back to the planner's shuffled join. Left joins
+    keep unseen buckets (count 0 under smoothing).
     """
     from .partitioning import spread
 
@@ -207,6 +224,10 @@ def importance_weights(
     t_total = t_counts.agg(F.sum("c").alias("nt"))
     r_total = r_counts.agg(F.sum("c").alias("nr"))
 
+    tt = t_counts.withColumnRenamed("c", "ct")
+    rr = r_counts.withColumnRenamed("c", "cr")
+    if n_buckets <= BROADCAST_MODEL_MAX_BUCKETS:
+        tt, rr = F.broadcast(tt), F.broadcast(rr)
     per_gram = (
         raw.select(
             F.col(id_col), T.tokens(F.col(content_col)).alias("__toks")
@@ -217,8 +238,8 @@ def importance_weights(
                 _hashed_ngrams_of(F.col("__toks"), n, n_buckets)
             ).alias("bucket"),
         )
-        .join(t_counts.withColumnRenamed("c", "ct"), "bucket", "left")
-        .join(r_counts.withColumnRenamed("c", "cr"), "bucket", "left")
+        .join(tt, "bucket", "left")
+        .join(rr, "bucket", "left")
     )
     # log((ct+1)/(nt+V)) - log((cr+1)/(nr+V)); constants enter once per
     # gram, via the 1-row total tables (broadcast cross join).

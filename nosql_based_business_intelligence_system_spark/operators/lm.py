@@ -12,14 +12,15 @@ Model: add-one-smoothed bigram LM over whitespace tokens,
 cross-entropy is ``-avg(ln p)`` over the doc's bigrams and perplexity is
 its exp. Everything is counts + joins:
 
-- ONE explode -> grouped count producing BOTH tables at once (a unigram
-  record is a (w, NULL) row, a bigram record a (prev, cur) row — one
-  tokenize pass, one shuffle, then split by ``cur IS NULL``),
-- one scoring pass joining each doc bigram to the two count tables.
+- ONE explode -> grouped count producing BOTH tables at once (bigram
+  records plus one (last_token, NULL) record per doc; unigram counts are
+  recovered exactly as a re-aggregation of the bounded table),
+- one scoring pass joining each doc bigram to the folded model table.
 
-Count tables are vocabulary-sized (<< corpus at any scale) and
-broadcast-eligible by threshold — never forced. The scoring join shuffles
-on the bigram key; no UDF, no collect, no iteration.
+Count tables are vocabulary-sized (<< corpus at any scale); the scoring
+join broadcasts the MATERIALIZED model while its actual bytes fit the
+operator cap, making the scoring pass a single fused map stage with no
+corpus shuffle. No UDF, no unbounded collect, no iteration.
 
 Results are rounded to 6 decimals ON BOTH ENGINES: cross-entropy sums libm
 logs, which differ from the JVM's in the last ulp (same discipline as the
@@ -47,6 +48,30 @@ from ..functions import text as T
 BROADCAST_MODEL_MAX_BYTES = 512 << 20
 
 
+def ckpt_actual_bytes(df: DataFrame) -> int | None:
+    """ACTUAL storage bytes (memory + disk) of a localCheckpoint'd
+    DataFrame's blocks, from the block manager's RDD storage info.
+
+    Catalyst's stats for a LogicalRDD are the ORIGIN plan's estimates,
+    not the materialized size — for an aggregate over an exploded corpus
+    the estimate scales with the corpus and crosses any broadcast
+    threshold at some sf even when the real table is a few MB (measured:
+    the dsir sf100 scoring join silently degraded to sort-merge, 2GB of
+    exploded-gram shuffle, while the model's real blocks were 7.2MB).
+    Returns None when the frame is not a materialized checkpoint root."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        rid = node.rdd().id()
+        for info in df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo():
+            if info.id() == rid:
+                return int(info.memSize()) + int(info.diskSize())
+    except Exception:
+        return None
+    return None
+
+
 def token_bigrams(toks: Column) -> Column:
     """(prev, cur) struct per adjacent token pair — transform over an index
     sequence, no explode until the caller needs rows. Empty for size < 2
@@ -71,17 +96,15 @@ def doc_lm_scores(
     add-one bigram model. Lower = more typical of the corpus; documents
     with fewer than two tokens carry NULL scores (no bigrams to average).
 
-    ``shuffle_hash_joins`` is the third-decade lever (suite-gated on
-    corpus size): statically the count tables are aggregates over a
-    checkpoint with no usable size statistic, so the planner picks
-    SortMergeJoin and SORTS the corpus-scaled bigram relation twice (once
-    per scoring join) — measured at sf100 (265M bigram rows): 82.5s ->
-    61.7s with the hints, values identical. At bench scale the hint
-    instead BLOCKS AQE's runtime broadcast conversion (sf0.1: 1.33 ->
-    1.50s), so it stays off below the gate. A hint, not a forced
-    broadcast: count tables are vocabulary-scaled, and a real web
-    corpus's bigram table can outgrow any broadcast budget while a
-    per-partition hash build side scales with the partition count.
+    The scoring join broadcasts the materialized model while its ACTUAL
+    checkpoint bytes fit ``BROADCAST_MODEL_MAX_BYTES`` — the zero-
+    corpus-shuffle shape (see the model comment below). Past the cap the
+    planner keeps a shuffle join, and ``shuffle_hash_joins`` is the
+    third-decade lever there: without it the planner picks SortMergeJoin
+    and SORTS the corpus-scaled bigram relation (measured sf100, r12
+    single-join shapes: 82.4s SMJ vs 72.6s shuffle_hash vs 63.7s
+    broadcast, values identical). At bench scale a hint would BLOCK AQE's
+    runtime broadcast conversion, so it stays suite-gated on corpus size.
     """
     from .partitioning import spread
 
@@ -123,7 +146,7 @@ def doc_lm_scores(
     # array many times (size, sequence bounds, element_at inside the
     # transform lambda), codegen's subexpression elimination does not
     # reach into higher-order-function lambdas, and an inlined ``toks``
-    # re-runs the regex tokenizer per reference — measured sf10: the
+    # re-runs the split+filter tokenizer per reference — measured sf10: the
     # count map stage is 475s CPU inlined vs 78s projected (CollapseProject
     # keeps the projection because a non-cheap expression with multiple
     # consumer references is not inlined).
@@ -183,9 +206,13 @@ def doc_lm_scores(
     model = big.join(uni.withColumnRenamed("w", "prev"), "prev").localCheckpoint(
         eager=True
     )
-    msize = int(
-        str(model._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    )
+    msize = ckpt_actual_bytes(model)
+    if msize is None:
+        msize = int(
+            str(
+                model._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        )
     if msize <= BROADCAST_MODEL_MAX_BYTES:
         model = F.broadcast(model)
     elif shuffle_hash_joins:
