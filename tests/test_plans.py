@@ -83,8 +83,14 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         # PQ: codebooks are m*k_codes rows (parameter-bounded); the ADC
         # lookup table is one row per query vector — both SF-independent.
         "cb", "codebooks", "qtab",
-        # DSIR: 1-row n-gram grand totals.
-        "t_total", "r_total",
+        # DSIR: 1-row n-gram grand totals; count-model tables are
+        # PARAMETER-bounded (<= n_buckets rows) and the hint is gated on
+        # n_buckets <= BROADCAST_MODEL_MAX_BUCKETS (r12). "model" also
+        # covers lm.py's scoring-model hint, which is gated on the ACTUAL
+        # materialized checkpoint bytes (ckpt_actual_bytes <= 512MB cap),
+        # not an estimate — an oversized relation falls back to the
+        # planner's shuffle join at any sf.
+        "t_total", "r_total", "tt", "rr", "model",
         # Q7/Q8 shapes: aliases of the 25-row nation dim.
         "n1", "n2", "nation_c", "nation_s",
         # PageRank: 1-row dangling-mass aggregate.
