@@ -118,9 +118,9 @@ def importance_weights_subset(
     the scoring pass consumes a single precomputed per-bucket term table
     (``log(ct+1) - log(cr+1)``, n_buckets rows, one broadcast join
     instead of two). The n_buckets-bounded combined model takes the
-    EAGER barrier (r11/r12 race-class discipline: the totals broadcast
-    subqueries replay checkpoint blocks, never the corpus; the
-    corpus-scaled scoring lineage has exactly one consumer).
+    EAGER barrier (r11/r12 race-class discipline: the grand-total
+    collect and the model broadcast replay checkpoint blocks, never the
+    corpus; the corpus-scaled scoring lineage has exactly one consumer).
     sf100 (265M bigrams, 5M docs): 465.8s/pass -> see PLANS.md r12.
     """
     from .partitioning import spread
@@ -141,9 +141,17 @@ def importance_weights_subset(
         )
         .localCheckpoint(eager=True)
     )
-    totals = model.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-    )
+    # Grand totals as LITERALS, not 1-row broadcast subqueries: the model
+    # is already materialized (eager checkpoint above), so this collect is
+    # a bounded 1-row agg over checkpoint blocks — and folding nt/nr into
+    # the plan removes two BroadcastNestedLoopJoins + their per-execution
+    # broadcast-build jobs from the scoring pass (same change as
+    # lm.doc_lm_scores' vocabulary literal, r12). agg() always returns
+    # exactly one row (NULL sums on an empty model), matching the old
+    # 1-row crossJoin semantics bit-for-bit.
+    nt_v, nr_v = model.agg(F.sum("ct"), F.sum("cr")).collect()[0]
+    nt_c = F.lit(nt_v) if nt_v is not None else F.lit(None).cast("bigint")
+    nr_c = F.lit(nr_v) if nr_v is not None else F.lit(None).cast("bigint")
     probe = (
         F.broadcast(model) if n_buckets <= BROADCAST_MODEL_MAX_BUCKETS else model
     )
@@ -156,20 +164,16 @@ def importance_weights_subset(
     # reassociation could flip a rounded 6th decimal).
     gram_term = (
         F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-        - F.log(F.col("nt") + float(n_buckets))
+        - F.log(nt_c + float(n_buckets))
         - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
-        + F.log(F.col("nr") + float(n_buckets))
+        + F.log(nr_c + float(n_buckets))
     )
-    out = (
-        per_gram.crossJoin(F.broadcast(totals))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.col("bucket")).alias("n_grams"),
-            F.coalesce(
-                F.sum(F.when(F.col("bucket").isNotNull(), gram_term)),
-                F.lit(0.0),
-            ).alias("logw"),
-        )
+    out = per_gram.groupBy(id_col).agg(
+        F.count(F.col("bucket")).alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("bucket").isNotNull(), gram_term)),
+            F.lit(0.0),
+        ).alias("logw"),
     )
     if round_digits is not None:
         out = out.withColumn("logw", F.round("logw", round_digits))
@@ -221,8 +225,12 @@ def importance_weights(
     r_counts = ngram_count_model(raw, content_col, n, n_buckets).localCheckpoint(
         eager=True
     )
-    t_total = t_counts.agg(F.sum("c").alias("nt"))
-    r_total = r_counts.agg(F.sum("c").alias("nr"))
+    # Grand totals as literals (bounded 1-row collects over the eager
+    # checkpoints) — see importance_weights_subset for the rationale.
+    nt_v = t_counts.agg(F.sum("c")).collect()[0][0]
+    nr_v = r_counts.agg(F.sum("c")).collect()[0][0]
+    nt_c = F.lit(nt_v) if nt_v is not None else F.lit(None).cast("bigint")
+    nr_c = F.lit(nr_v) if nr_v is not None else F.lit(None).cast("bigint")
 
     tt = t_counts.withColumnRenamed("c", "ct")
     rr = r_counts.withColumnRenamed("c", "cr")
@@ -242,24 +250,19 @@ def importance_weights(
         .join(rr, "bucket", "left")
     )
     # log((ct+1)/(nt+V)) - log((cr+1)/(nr+V)); constants enter once per
-    # gram, via the 1-row total tables (broadcast cross join).
+    # gram, as plan literals.
     gram_term = (
         F.log(F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
-        - F.log(F.col("nt") + float(n_buckets))
+        - F.log(nt_c + float(n_buckets))
         - F.log(F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
-        + F.log(F.col("nr") + float(n_buckets))
+        + F.log(nr_c + float(n_buckets))
     )
-    out = (
-        per_gram.crossJoin(F.broadcast(t_total))
-        .crossJoin(F.broadcast(r_total))
-        .groupBy(id_col)
-        .agg(
-            F.count(F.col("bucket")).alias("n_grams"),
-            F.coalesce(
-                F.sum(F.when(F.col("bucket").isNotNull(), gram_term)),
-                F.lit(0.0),
-            ).alias("logw"),
-        )
+    out = per_gram.groupBy(id_col).agg(
+        F.count(F.col("bucket")).alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("bucket").isNotNull(), gram_term)),
+            F.lit(0.0),
+        ).alias("logw"),
     )
     if round_digits is not None:
         out = out.withColumn("logw", F.round("logw", round_digits))

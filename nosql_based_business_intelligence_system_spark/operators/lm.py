@@ -173,7 +173,16 @@ def doc_lm_scores(
         .localCheckpoint(eager=True)
     )
     uni = counts.groupBy(F.col("prev").alias("w")).agg(F.sum("c").alias("cp"))
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    # Vocabulary size as a LITERAL, not a 1-row broadcast subquery: counts
+    # is already materialized (eager checkpoint above), so this collect is
+    # a bounded (1-row) agg over checkpoint blocks — and folding it into
+    # the plan removes the BroadcastNestedLoopJoin + its per-execution
+    # broadcast-build job from the scoring pass entirely (measured sf0.1:
+    # the leftover broadcast/job residue of the subquery shape taxed the
+    # NEXT queries in a shared session ~+1s across the 20-query bench;
+    # see PLANS.md r12). Value-identical: v enters logp as the same
+    # bigint addend either way.
+    v_count = uni.agg(F.count(F.lit(1)).alias("v")).collect()[0]["v"]
     big = counts.filter(F.col("cur").isNotNull()).select(
         "prev", "cur", F.col("c").alias("cb")
     )
@@ -181,7 +190,9 @@ def doc_lm_scores(
         F.col(id_col), F.explode_outer(token_bigrams(toks)).alias("bg")
     ).select(id_col, F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
 
-    logp = F.log(F.col("cb") + F.lit(1.0)) - F.log(F.col("cp") + F.col("v"))
+    logp = F.log(F.col("cb") + F.lit(1.0)) - F.log(
+        F.col("cp") + F.lit(v_count)
+    )
     # Fold c(prev) into the bigram table BEFORE the corpus join: both
     # sides are bounded (checkpoint-derived), so this inner join is
     # vocabulary-scaled — and the corpus-side scoring then probes ONE
@@ -219,7 +230,6 @@ def doc_lm_scores(
         model = model.hint("shuffle_hash")
     scored = (
         pairs.join(model, ["prev", "cur"], "left")
-        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count(F.col("prev")).alias("n_bigrams"),
