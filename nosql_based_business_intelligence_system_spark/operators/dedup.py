@@ -92,17 +92,38 @@ def pair_disk_guard(
     sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("d"))
     if max_bucket is not None:
         sizes = sizes.filter(F.col("d") <= max_bucket)
+    return pair_disk_guard_from_sizes(
+        sizes, lever, budget_bytes, row_width, size_col="d"
+    )
+
+
+def pair_disk_guard_from_sizes(
+    sizes: DataFrame,
+    lever: str,
+    budget_bytes: int | None = None,
+    row_width: int = PAIR_ROW_WIDTH,
+    size_col: str = "d",
+) -> int:
+    """:func:`pair_disk_guard` when the caller ALREADY holds one row per
+    bucket that will pair, with the bucket's doc count in ``size_col`` —
+    the fused-aggregation path (r13): a pipeline that groups its keyed
+    rows into per-bucket doc lists anyway derives the guard from the
+    list sizes instead of paying a second full shuffle of the keyed rows
+    for a count aggregate. Same d*(d-1)/2 pricing, same error; buckets
+    the operator will not pair (dropped over-cap, singletons = 0 pairs)
+    must already be filtered out — identical arithmetic, since excluded
+    singletons price 0."""
     row = sizes.agg(
         F.coalesce(
-            F.sum(F.col("d") * (F.col("d") - 1) / 2), F.lit(0.0)
+            F.sum(F.col(size_col) * (F.col(size_col) - 1) / 2), F.lit(0.0)
         ).alias("pairs"),
-        F.coalesce(F.max("d"), F.lit(0)).alias("biggest"),
+        F.coalesce(F.max(size_col), F.lit(0)).alias("biggest"),
     ).first()
     est = int(row["pairs"] * row_width)
     budget = (
         budget_bytes
         if budget_bytes is not None
-        else _pair_disk_budget(keyed.sparkSession)
+        else _pair_disk_budget(sizes.sparkSession)
     )
     if est > budget:
         raise PairExplosionError(
@@ -483,7 +504,9 @@ def minhash_signatures(
     )
 
 
-def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def _band_rows(
+    sig: DataFrame, num_hashes: int, bands: int, checkpoint: bool = True
+) -> DataFrame:
     """(doc, band, key) LSH band rows from a (doc, sig) signature frame.
 
     Band key: the r-row signature slice's values as a STRUCT — struct
@@ -492,10 +515,13 @@ def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     16 bytes/key vs ~40-byte strings. The whole bands-array explode is
     ONE parsed expression (see the signature agg note in
     minhash_signatures: per-band F.struct/F.lit construction was ~200
-    py4j round-trips). Returned frame is lazily checkpointed: every
-    caller reads the banded rows at least twice (self-join sides, or
-    guard + bucket grouping), and without the checkpoint the explode
-    evaluates once per read (~4s/side at sf10)."""
+    py4j round-trips). ``checkpoint`` (default) lazily checkpoints the
+    frame for callers that read the banded rows more than once (the
+    self-join sides, or guard + bucket grouping) — without it the explode
+    evaluates once per read (~4s/side at sf10). Callers with exactly ONE
+    consumer (the r13 fused guarded path) pass ``checkpoint=False``: at
+    sf100 the stored banded blocks measured 21.7 GB, and storing +
+    re-reading them cost more than the single explode they saved."""
     r = num_hashes // bands
     band_structs = ", ".join(
         "named_struct('band', {i}, 'key', named_struct({ks}))".format(
@@ -506,15 +532,12 @@ def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
         )
         for i in range(bands)
     )
-    return (
-        sig.select(
-            "doc", F.expr(f"explode(array({band_structs}))").alias("bk")
-        )
-        .select(
-            "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-        )
-        .localCheckpoint(eager=False)
+    out = sig.select(
+        "doc", F.expr(f"explode(array({band_structs}))").alias("bk")
+    ).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    return out.localCheckpoint(eager=False) if checkpoint else out
 
 
 def minhash_lsh_dupes(
@@ -585,13 +608,16 @@ def minhash_lsh_dupes(
             df, content_col, id_col, n, num_hashes, seed
         ).localCheckpoint(eager=False)
     )
-    banded = _band_rows(sig, num_hashes, bands)
-    if disk_guard:
+    banded = _band_rows(
+        sig, num_hashes, bands, checkpoint=max_docs_per_band_key is None
+    )
+    if disk_guard and max_docs_per_band_key is None:
         # priced on the checkpointed banded rows (the guard's aggregate
-        # doubles as the checkpoint's materializing action); with an
-        # active cap only the buckets that will actually pair count —
-        # the sf100 unguarded blast (6.26e9 candidates, ~300 GB shuffle)
-        # dies HERE with the cap lever named, not mid-join on ENOSPC
+        # doubles as the checkpoint's materializing action) — the sf100
+        # unguarded blast (6.26e9 candidates, ~300 GB shuffle) dies HERE
+        # with the cap lever named, not mid-join on ENOSPC. The capped
+        # path fuses its guard into the bucket aggregation below instead
+        # (one shuffle of the banded rows total, r13).
         pair_disk_guard(
             banded, ["band", "key"], "max_docs_per_band_key",
             pair_disk_budget, max_bucket=max_docs_per_band_key,
@@ -629,13 +655,36 @@ def minhash_lsh_dupes(
         # over-cap buckets are DROPPED (the documented recall trade),
         # survivors pair-explode in place. Pairs within kept buckets are
         # identical to drop-then-self-join semantics.
+        #
+        # r13 FUSION (stage-profiled at sf100, PLANS.md r13): the banded
+        # rows are consumed exactly ONCE. The previous shape paid the
+        # band explode three extra ways before any pairing — a lazy-
+        # checkpoint block store of the full banded frame (21.7 GB at
+        # sf100), a separate guard shuffle (count aggregate over 155M
+        # mostly-singleton buckets, 3.2 GB exchange + its own partial-agg
+        # hash pass), and a re-read of the stored 21.7 GB into the
+        # collect_list aggregate (14 GB of spill). Now the ONE bucket
+        # aggregate feeds everything: the kept (2 <= d <= cap) doc lists
+        # are collision-scaled (~MBs, not corpus-banded GBs), THEY take
+        # the lazy checkpoint, and the guard prices d*(d-1)/2 from the
+        # kept lists' sizes — identical arithmetic (dropped over-cap
+        # buckets were excluded before; singletons price 0) — still
+        # BEFORE the pair explode launches.
         buckets = (
             banded.groupBy("band", "key")
             .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
             .filter(
                 (F.size("ds") > 1) & (F.size("ds") <= max_docs_per_band_key)
             )
+            .select("ds")
+            .localCheckpoint(eager=False)
         )
+        if disk_guard:
+            pair_disk_guard_from_sizes(
+                buckets.select(F.size("ds").alias("d")),
+                "max_docs_per_band_key",
+                pair_disk_budget,
+            )
         cand = buckets.select(
             F.explode(
                 F.expr(
@@ -1197,9 +1246,22 @@ def _span_rows(
             idx, lambda i: F.array_join(F.slice("toks", i * k + 1, k), " ")
         ),
     )
-    ex = chunked.select(
-        "doc", F.posexplode("chunks").alias("pos", "span")
-    ).withColumn("h", F.md5("span"))
+    # posexplode_OUTER + a null filter on the GENERATOR OUTPUT, not inner
+    # posexplode: the inner form makes the optimizer infer
+    # ``size(chunks) > 0 AND isnotnull(chunks)`` and push it below the
+    # Generate BY SUBSTITUTION — the full chunk transform (tokenizer
+    # inside its lambda included) lands inlined in a per-row Filter, so
+    # every doc paid the tokenize+chunk work twice per consumer and the
+    # split re-ran per element inside the substituted lambda (caught by
+    # the r13 ``hof_reeval`` doctor rule; the r12 lm.py class). A filter
+    # on ``span`` cannot be pushed below the Generate, and outer explode
+    # of an empty array yields exactly one all-null row, so dropping
+    # null spans reproduces inner-explode semantics bit-for-bit.
+    ex = (
+        chunked.select("doc", F.posexplode_outer("chunks").alias("pos", "span"))
+        .filter(F.col("span").isNotNull())
+        .withColumn("h", F.md5("span"))
+    )
     census = ex.groupBy("h").agg(
         F.countDistinct("doc").alias("nd"),
         F.min(F.struct("doc", "pos")).alias("__keeper"),

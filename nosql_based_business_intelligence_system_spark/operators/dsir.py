@@ -122,6 +122,10 @@ def importance_weights_subset(
     collect and the model broadcast replay checkpoint blocks, never the
     corpus; the corpus-scaled scoring lineage has exactly one consumer).
     sf100 (265M bigrams, 5M docs): 465.8s/pass -> see PLANS.md r12.
+
+    NOTE: the eager checkpoint + grand-total collect mean CONSTRUCTING
+    this DataFrame runs Spark jobs (the model-build corpus pass); the
+    function is not lazy — same contract as lm.doc_lm_scores.
     """
     from .partitioning import spread
 
@@ -203,6 +207,11 @@ def importance_weights(
     sort-merge at scale; see the constant's docstring); raising n_buckets
     past the budget falls back to the planner's shuffled join. Left joins
     keep unseen buckets (count 0 under smoothing).
+
+    NOTE: the eager model checkpoints + grand-total collects mean
+    CONSTRUCTING this DataFrame runs Spark jobs (two count-model corpus
+    passes); the function is not lazy — same contract as
+    lm.doc_lm_scores.
     """
     from .partitioning import spread
 

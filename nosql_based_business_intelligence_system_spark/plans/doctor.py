@@ -28,6 +28,13 @@ Rules (severity):
   (the corpus stage silently runs 2-3x per action; found three times in
   r11 — MG partials, LM tokenize, DSIR count models). Fix: eager
   checkpoint the BOUNDED derived frame (never a corpus-scaled one).
+- ``hof_reeval`` (error): a tokenizer-class expression (split / regexp
+  over a string column) inside a higher-order-function lambda body that
+  references NO in-scope lambda variable — loop-invariant non-cheap work
+  that re-evaluates once per array element because codegen's
+  subexpression elimination does not reach into ``LambdaFunction``
+  bodies (the r12 lm.py finding: 6x CPU on the bigram count stage).
+  Fix: project the expression as a real column before the HOF.
 - ``wide_scan`` (info): a Parquet scan reading 12+ columns — verify the
   query really needs them (projection pruning may be blocked by
   ``select *`` or UDF opacity).
@@ -150,6 +157,85 @@ QUERY_ALLOWS: dict[str, dict[str, str]] = {
 }
 
 
+#: Expression classes whose per-row cost is tokenizer-class (regex/split
+#: over a string column) — non-cheap enough that re-evaluating one per
+#: ARRAY ELEMENT inside a higher-order-function lambda is the r12 lm bug
+#: class (measured 6x CPU on the bigram count stage).
+_HOF_EXPENSIVE = {
+    "StringSplit",
+    "RegExpExtract",
+    "RegExpExtractAll",
+    "RegExpReplace",
+    "Sentences",
+}
+
+
+def _hof_invariant_tokenizers(df: DataFrame) -> list[str]:
+    """Tokenizer-class expressions that sit INSIDE a higher-order-function
+    lambda body but reference NONE of the in-scope lambda variables —
+    i.e. loop-invariant non-cheap work that codegen cannot hoist
+    (subexpression elimination does not reach into ``LambdaFunction``
+    bodies, so the expression re-runs once per array element).
+
+    The r12 repo-class find, mechanized (r12 verdict item 3): an inlined
+    ``T.tokens(text)`` referenced via ``element_at(toks, i)`` inside the
+    bigram transform re-ran the split+filter tokenizer per element —
+    475s -> 78s CPU at sf10 once projected as a real column. A
+    tokenizer applied TO a lambda variable (``transform(toks, t ->
+    regexp_replace(t, ...))``) is per-element by construction and is NOT
+    flagged. Traverses the OPTIMIZED logical plan so optimizer-inlined
+    shapes (CollapseProject folding a single-consumer projection back
+    into a lambda) are caught too."""
+    hits: list[str] = []
+
+    def subtree_refs_scope(expr, scope: set[int]) -> bool:
+        stack = [expr]
+        while stack:
+            e = stack.pop()
+            if (
+                e.getClass().getSimpleName() == "NamedLambdaVariable"
+                and e.exprId().id() in scope
+            ):
+                return True
+            ch = e.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return False
+
+    def walk_expr(expr, scope: frozenset[int]) -> None:
+        name = expr.getClass().getSimpleName()
+        if name == "LambdaFunction":
+            args = expr.arguments()
+            inner = set(scope)
+            for i in range(args.size()):
+                inner.add(args.apply(i).exprId().id())
+            ch = expr.children()
+            for i in range(ch.size()):
+                walk_expr(ch.apply(i), frozenset(inner))
+            return
+        if name in _HOF_EXPENSIVE and scope:
+            if not subtree_refs_scope(expr, set(scope)):
+                hits.append(name)
+                return  # one hit per invariant subtree is enough
+        ch = expr.children()
+        for i in range(ch.size()):
+            walk_expr(ch.apply(i), scope)
+
+    plan_stack = [df._jdf.queryExecution().optimizedPlan()]
+    while plan_stack:
+        node = plan_stack.pop()
+        exprs = node.expressions()
+        for i in range(exprs.size()):
+            walk_expr(exprs.apply(i), frozenset())
+        children = node.children()
+        for i in range(children.size()):
+            plan_stack.append(children.apply(i))
+        subqs = node.subqueries()
+        for i in range(subqs.size()):
+            plan_stack.append(subqs.apply(i))
+    return hits
+
+
 def _lazy_rescans(df: DataFrame) -> list[tuple[int, int]]:
     """(rdd_id, scan_count) for every checkpoint-backed ``LogicalRDD``
     scanned >= 2 times in the analyzed plan whose RDD has NOT materialized
@@ -211,6 +297,19 @@ def diagnose(df: DataFrame, allow: dict[str, str] | None = None) -> list[dict]:
             "python_row_boundary",
             "error",
             "row-at-a-time Python UDF (BatchEvalPython)",
+        )
+
+    # r12 HOF re-evaluation class: a loop-invariant tokenizer inside a
+    # higher-order-function lambda body re-runs per array element (codegen
+    # subexpression elimination does not reach into lambdas). Fix: project
+    # the expensive expression as a real column before the HOF consumes it.
+    for cls in _hof_invariant_tokenizers(df):
+        hit(
+            "hof_reeval",
+            "error",
+            f"loop-invariant {cls} inside a higher-order-function lambda "
+            "body — re-evaluated once per array element (project it as a "
+            "real column before the HOF; the r12 lm.py finding, 6x CPU)",
         )
 
     # r11 race class: multiple scans of an unmaterialized checkpoint RDD

@@ -76,3 +76,51 @@ def test_allowed_downgrades_but_keeps_finding(spark):
     cart = [f for f in out if f["rule"] == "cartesian_join"]
     assert cart and all(f["severity"] == "allowed" for f in cart)
     assert "bounded side" in cart[0]["detail"]
+
+
+def test_hof_reeval_catches_inlined_tokenizer(spark):
+    """Deliberate reintroduction of the r12 lm.py shape: T.tokens(text)
+    INLINED into the bigram transform — the split+filter tokenizer sits
+    inside the HOF lambda body with no lambda-variable reference, so it
+    re-evaluates once per element (measured 6x CPU at sf10). The rule
+    must flag it (proves the registry sweep can fail)."""
+    from nosql_based_business_intelligence_system_spark.functions import text as T
+    from nosql_based_business_intelligence_system_spark.operators.lm import (
+        token_bigrams,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    inlined = df.select(
+        "doc_id", F.explode_outer(token_bigrams(T.tokens(F.col("text")))).alias("bg")
+    )
+    assert "hof_reeval" in _rules(inlined)
+
+
+def test_hof_reeval_clean_when_projected(spark):
+    """The fixed shape — token array projected as a real column before
+    the HOF consumes it — must NOT be flagged (multiple consumer
+    references keep CollapseProject from re-inlining it)."""
+    from nosql_based_business_intelligence_system_spark.functions import text as T
+    from nosql_based_business_intelligence_system_spark.operators.lm import (
+        token_bigrams,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    toked = df.select("doc_id", T.tokens(F.col("text")).alias("__toks"))
+    projected = toked.select(
+        "doc_id", F.explode_outer(token_bigrams(F.col("__toks"))).alias("bg")
+    )
+    assert "hof_reeval" not in _rules(projected)
+
+
+def test_hof_reeval_ignores_per_element_regex(spark):
+    """A tokenizer-class expression applied TO the lambda variable is
+    per-element work by construction (each element processed once), not
+    re-evaluation — must not be flagged."""
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    per_el = df.select(
+        F.transform(
+            F.split("text", " "), lambda t: F.regexp_replace(t, "a", "b")
+        ).alias("cleaned")
+    )
+    assert "hof_reeval" not in _rules(per_el)

@@ -79,26 +79,14 @@ def test_no_forced_broadcast_of_scaling_dimensions():
     )
     allowed = {
         "nation", "region", "dim", "tiers", "centroids", "hot", "q",
-        "queries", "dfreq",
+        "queries",
         # PQ: codebooks are m*k_codes rows (parameter-bounded); the ADC
         # lookup table is one row per query vector — both SF-independent.
         "cb", "codebooks", "qtab",
-        # DSIR: 1-row n-gram grand totals; count-model tables are
-        # PARAMETER-bounded (<= n_buckets rows) and the hint is gated on
-        # n_buckets <= BROADCAST_MODEL_MAX_BUCKETS (r12). "model" also
-        # covers lm.py's scoring-model hint, which is gated on the ACTUAL
-        # materialized checkpoint bytes (ckpt_actual_bytes <= 512MB cap),
-        # not an estimate — an oversized relation falls back to the
-        # planner's shuffle join at any sf.
-        "t_total", "r_total", "tt", "rr", "model",
         # Q7/Q8 shapes: aliases of the 25-row nation dim.
         "n1", "n2", "nation_c", "nation_s",
         # PageRank: 1-row dangling-mass aggregate.
         "dangling",
-        # LM scoring: 1-row vocabulary-size aggregate.
-        "vocab",
-        # Misra-Gries merge: 1-row (k+1)-th-counter and stream-total aggs.
-        "kth", "totals",
         # lineitem_profile: 1-row per-column distinct-count aggregates.
         "nd",
         # Q15: 1-row scalar max-revenue aggregate.
@@ -111,11 +99,24 @@ def test_no_forced_broadcast_of_scaling_dimensions():
         # being shuffled/sorted for the candidate join.
         "probes",
     }
+    # FILE-QUALIFIED entries for generic identifiers that would otherwise
+    # allowlist any future F.broadcast(model)/F.broadcast(tt) repo-wide
+    # (ADVICE r12): these hints are sound only WHERE they are gated —
+    # dsir's count models are PARAMETER-bounded (<= n_buckets rows, hint
+    # gated on n_buckets <= BROADCAST_MODEL_MAX_BUCKETS) and lm's scoring
+    # model is gated on the ACTUAL materialized checkpoint bytes
+    # (ckpt_actual_bytes <= 512MB cap), falling back to the planner's
+    # shuffle join past the cap. The same names in any OTHER file stay
+    # offenders until justified here.
+    allowed_in_file = {
+        ("dsir.py", "model"), ("dsir.py", "tt"), ("dsir.py", "rr"),
+        ("lm.py", "model"),
+    }
     offenders = []
     for path in pkg.rglob("*.py"):
         for i, line in enumerate(path.read_text().splitlines(), 1):
             for arg in re.findall(r"F\.broadcast\((\w+)", line):
-                if arg not in allowed:
+                if arg not in allowed and (path.name, arg) not in allowed_in_file:
                     offenders.append(f"{path.name}:{i} broadcast({arg})")
     assert not offenders, offenders
 

@@ -8,6 +8,12 @@ a stage table that SUMS to the observed wall (executorRunTime/cores ~
 wall per stage), so an expensive query's floor is attributable instead
 of folklore. One warmup execution, then one profiled execution on a
 quiet session; stages from the profiled execution only.
+
+r13: each stage row also carries its own WALL (submissionTime ->
+completionTime) and the max/median task duration from the taskSummary
+endpoint — the §2.2/§2.5 skew instrument: a stage whose wall is ~2x
+executorRunTime/cores with max/median >> 1 is straggler-bound, while
+an even stage with the same gap is scheduling/overlap-bound.
 """
 
 from __future__ import annotations
@@ -56,6 +62,29 @@ def main() -> int:
     q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
 
+    def task_quants(stage_id: int, attempt: int) -> tuple[float, float]:
+        """(median, max) task duration seconds from the taskSummary
+        endpoint; (0, 0) when the endpoint has no data (0-task stages)."""
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages/{stage_id}/"
+                f"{attempt}/taskSummary?quantiles=0.5,1.0"
+            ) as r:
+                t = json.load(r)["duration"]
+                return t[0] / 1000, t[1] / 1000
+        except Exception:
+            return 0.0, 0.0
+
+    def iso_ms(s: str) -> float:
+        # "2026-08-18T12:00:00.123GMT" -> epoch seconds
+        from datetime import datetime, timezone
+
+        return (
+            datetime.strptime(s[:23], "%Y-%m-%dT%H:%M:%S.%f")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+
     rows = []
     total_rt = 0.0
     for s in stages():
@@ -63,11 +92,19 @@ def main() -> int:
             continue
         rt = s["executorRunTime"] / 1000
         total_rt += rt
+        try:
+            st_wall = iso_ms(s["completionTime"]) - iso_ms(s["submissionTime"])
+        except (KeyError, ValueError):
+            st_wall = 0.0
+        med, mx = task_quants(s["stageId"], s.get("attemptId", 0))
         rows.append(
             (
                 s["stageId"],
                 s["numCompleteTasks"],
                 round(rt, 1),
+                round(st_wall, 1),
+                round(med, 1),
+                round(mx, 1),
                 round(s.get("inputBytes", 0) / 1e6, 1),
                 round(s.get("shuffleReadBytes", 0) / 1e6, 1),
                 round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
@@ -80,7 +117,10 @@ def main() -> int:
     print(f"{name} @ {sf_dir}: wall {wall:.2f}s, "
           f"sum(executorRunTime) {total_rt:.1f}s, /{cores} cores = "
           f"{total_rt / cores:.2f}s ideal")
-    print("stage tasks runT(s) inMB shRdMB shWrMB memSpill diskSpill name")
+    print(
+        "stage tasks runT(s) wall(s) tMed tMax inMB shRdMB shWrMB "
+        "memSpill diskSpill name"
+    )
     for r in sorted(rows):
         print(" ".join(str(x) for x in r))
     return 0
