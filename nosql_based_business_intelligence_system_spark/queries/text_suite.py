@@ -102,9 +102,13 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("__nt"),
         F.size(F.array_distinct(toks)).alias("__nd"),
-        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias(
-            "__len_sum"
-        ),
+        # literal StringReplace, not regexp_replace: removing the single
+        # space char needs no regex engine — one of the census's four
+        # full-text passes drops to a memchr-class scan (r13; value- and
+        # oracle-identical, the pattern is a literal either way)
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        .cast("bigint")
+        .alias("__len_sum"),
         F.size(
             F.regexp_extract_all("text", F.lit(stop_pat), F.lit(0))
         ).alias("__stop"),

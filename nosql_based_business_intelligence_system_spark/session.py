@@ -34,6 +34,17 @@ SCALE_CONF: dict[str, str] = {
     # events.parquet carries TIMESTAMP(NANOS); read as long + convert
     # (sources.tables._normalize_event_ts) instead of failing the scan.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Cached plans keep AQE partition re-planning (r13, r12 advisory 7):
+    # with the default `false`, a .cache()/.persist() materializes at its
+    # plan's raw shuffle-partition count and AQE CANNOT coalesce inside
+    # the cached subtree — the multires-rollup finest grain (a few
+    # thousand rows) pinned 32 near-empty partitions and every coarser
+    # re-aggregation paid 32-way scheduling overhead, measurably ANTI-
+    # scaling with cores (events_multires_rollup best-of-7 at sf0.1:
+    # 0.648s on 32 cores vs 0.357s on 8; with this conf 0.378s on 32 —
+    # the 8-vs-32 inversion is gone). Partitioning only; values are
+    # partition-count-invariant (config-fuzz gate).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Janino class cache (STATIC conf — first JVM only): the 100-entry
     # default LRU-thrashes once a session cycles through the registry's
     # query mix (each query compiles several codegen stages), re-paying
